@@ -1,0 +1,685 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables => T}
+
+/** Batch relational operator surface (SURVEY.md §2.2): scans, projection,
+  * filters, joins (broadcast / sort-merge / semi / anti / range / as-of),
+  * aggregations (incl. rollup, cube, distinct), window functions, top-k,
+  * set ops, scalar function packs, and batch-equivalent formulations of
+  * the streaming window/session operators so they stay oracle-checkable.
+  *
+  * Reference has none of these (grep evidence in SURVEY.md §2.2); the
+  * engine adds them per the north-star contract. Each query:
+  *   - is deterministic (full ORDER BY on a unique key in both engines;
+  *     explicit NULLS FIRST in the oracle since DuckDB defaults NULLS LAST
+  *     while Spark defaults NULLS FIRST),
+  *   - rounds floating aggregates so double summation-order noise cannot
+  *     flip the driver's hash compare,
+  *   - emits timestamps as formatted strings or dates (parquet timestamp
+  *     logical-type annotations differ between writers).
+  *
+  * Scale posture (100 TB): filters/projections push into the parquet scan;
+  * dimension joins are explicitly broadcast; fact-fact joins shuffle on
+  * their keys only; window functions partition by high-cardinality keys;
+  * nothing collects to the driver.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: scan + filter + hash aggregate.
+    * At scale: partial aggregation map-side, tiny result. */
+  private val q01 = Q(
+    "q01_agg_pricing",
+    (s, d) => {
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"),
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 6) AS avg_qty,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+  )
+
+  /** Projection + selective filter; predicates and the two-column read
+    * schema push down to the parquet scan. */
+  private val q02 = Q(
+    "q02_filter_project",
+    (s, d) => {
+      T.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1995-01-01") &&
+            col("l_shipdate") < lit("1996-01-01") &&
+            col("l_discount").between(0.02, 0.06) &&
+            col("l_quantity") < 10)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+            .as("revenue"),
+        )
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice * (1 - l_discount), 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        AND l_discount BETWEEN 0.02 AND 0.06
+        AND l_quantity < 10
+      ORDER BY l_orderkey, l_linenumber"""),
+  )
+
+  /** Star join over two tiny dimensions — both explicitly broadcast so
+    * the fact side never shuffles. */
+  private val q03 = Q(
+    "q03_join_broadcast",
+    (s, d) => {
+      val c = T.customer(s, d)
+      val n = T.nation(s, d)
+      val r = T.region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_acctbal"),
+        )
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""
+      SELECT r_name, n_name, count(*) AS n_customers,
+             round(sum(c_acctbal), 2) AS total_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""),
+  )
+
+  /** Fact-fact equi join (sort-merge/shuffled-hash territory at scale;
+    * both sides shuffle on the order key only). */
+  private val q04 = Q(
+    "q04_join_factfact",
+    (s, d) => {
+      val o = T.orders(s, d).filter(
+        col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val l = T.lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+        )
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_items,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+  )
+
+  /** Left-semi join (EXISTS). */
+  private val q05 = Q(
+    "q05_join_semi",
+    (s, d) => {
+      val o = T.orders(s, d)
+      val bigLines =
+        T.lineitem(s, d).filter(col("l_quantity") > 45).select("l_orderkey")
+      o.join(bigLines, o("o_orderkey") === bigLines("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+        )
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""),
+  )
+
+  /** Left-anti join (NOT EXISTS): customers that never ordered. */
+  private val q06 = Q(
+    "q06_join_anti",
+    (s, d) => {
+      val c = T.customer(s, d)
+      val o = T.orders(s, d).select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""),
+  )
+
+  /** Range (theta) join: event pairs per user within a 5-minute window.
+    * Equi key (user_id) bounds the shuffle; the range predicate is applied
+    * post-shuffle, so this scales as sum(per-user pairs), not n². */
+  private val q07 = Q(
+    "q07_join_range",
+    (s, d) => {
+      val e  = T.events(s, d)
+      val e1 = e.select(
+        col("user_id"),
+        col("ts").as("ts1"),
+        col("event_id").as("id1"))
+      val e2 = e.select(
+        col("user_id").as("user_id2"),
+        col("ts").as("ts2"),
+        col("event_id").as("id2"))
+      e1.join(
+          e2,
+          col("user_id") === col("user_id2") &&
+            col("ts2") > col("ts1") &&
+            col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT e1.user_id, count(*) AS n_pairs
+      FROM events e1 JOIN events e2
+        ON e1.user_id = e2.user_id
+       AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+      GROUP BY e1.user_id
+      ORDER BY e1.user_id"""),
+  )
+
+  /** Per-group top-k via row_number window (ties broken by key → stable). */
+  private val q08 = Q(
+    "q08_window_topk_group",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      T.customer(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(
+          col("c_nationkey"),
+          col("rk"),
+          col("c_custkey"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy(col("c_nationkey"), col("rk"))
+    },
+    Some("""
+      SELECT c_nationkey, rk, c_custkey, round(c_acctbal, 2) AS acctbal
+      FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+            FROM customer)
+      WHERE rk <= 3
+      ORDER BY c_nationkey, rk"""),
+  )
+
+  /** Running (cumulative) aggregate per customer over order time. */
+  private val q09 = Q(
+    "q09_window_running",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.orders(s, d)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"),
+          count(lit(1)).over(w).as("running_n"),
+        )
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER w, 2) AS running_total,
+             count(*) OVER w AS running_n
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey"""),
+  )
+
+  /** lag/lead: microseconds since the user's previous event. */
+  private val q10 = Q(
+    "q10_window_lag",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      T.events(s, d)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            .as("micros_since_prev"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+        )
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+             epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS micros_since_prev,
+             lead(event_type, 1) OVER w AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id"""),
+  )
+
+  /** Global top-k: orderBy+limit plans TakeOrderedAndProject — per-partition
+    * heaps then a k-row merge on the driver, no full sort at scale. */
+  private val q11 = Q(
+    "q11_topk_global",
+    (s, d) =>
+      T.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(
+          col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("totalprice")),
+    Some("""
+      SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 10"""),
+  )
+
+  /** UNION (distinct) over conforming schemas. */
+  private val q12 = Q(
+    "q12_set_union",
+    (s, d) =>
+      T.customer(s, d)
+        .select(col("c_nationkey").as("nationkey"))
+        .union(T.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy(col("nationkey")),
+    Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey AS nationkey FROM supplier
+      ORDER BY nationkey"""),
+  )
+
+  /** INTERSECT. */
+  private val q13 = Q(
+    "q13_set_intersect",
+    (s, d) =>
+      T.customer(s, d)
+        .select(col("c_nationkey").as("nationkey"))
+        .intersect(T.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey")),
+    Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey AS nationkey FROM supplier
+      ORDER BY nationkey"""),
+  )
+
+  /** EXCEPT. */
+  private val q14 = Q(
+    "q14_set_except",
+    (s, d) =>
+      T.customer(s, d)
+        .select(col("c_nationkey").as("nationkey"))
+        .except(T.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey")),
+    Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey AS nationkey FROM supplier
+      ORDER BY nationkey"""),
+  )
+
+  /** ROLLUP hierarchy totals (NULLS FIRST pinned — engine defaults differ). */
+  private val q15 = Q(
+    "q15_agg_rollup",
+    (s, d) =>
+      T.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""),
+  )
+
+  /** CUBE over two low-cardinality flags. */
+  private val q16 = Q(
+    "q16_agg_cube",
+    (s, d) =>
+      T.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             round(sum(l_quantity), 2) AS qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
+  )
+
+  /** Exact distinct counts (expand-based in Spark, two-phase at scale). */
+  private val q17 = Q(
+    "q17_agg_distinct",
+    (s, d) =>
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"),
+        )
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+  )
+
+  /** String scalar pack: case, regexp extract, split, length, concat. */
+  private val q18 = Q(
+    "q18_scalar_string",
+    (s, d) =>
+      T.part(s, d)
+        .select(
+          col("p_partkey"),
+          lower(col("p_brand")).as("brand_lc"),
+          upper(col("p_type")).as("type_uc"),
+          regexp_extract(col("p_type"), "^[a-z]+", 0).as("type_head"),
+          size(split(col("p_name"), " ")).as("n_name_words"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        )
+        .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey,
+             lower(p_brand) AS brand_lc,
+             upper(p_type) AS type_uc,
+             regexp_extract(p_type, '^[a-z]+', 0) AS type_head,
+             CAST(len(string_split(p_name, ' ')) AS INT) AS n_name_words,
+             CAST(length(p_name) AS INT) AS name_len,
+             p_brand || '|' || p_type AS brand_type
+      FROM part
+      ORDER BY p_partkey"""),
+  )
+
+  /** Date/time scalar pack: truncation + field extraction + grouping. */
+  private val q19 = Q(
+    "q19_scalar_date",
+    (s, d) =>
+      T.orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("yr"), col("qtr"), col("mo")),
+    Some("""
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+             CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+             CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY 1, 2, 3
+      ORDER BY yr, qtr, mo"""),
+  )
+
+  /** JSON extraction from the events.props payload (honors the reference's
+    * decode-JSON-payload semantics, subscribe_to_shard.ex:365-366). */
+  private val q20 = Q(
+    "q20_scalar_json",
+    (s, d) =>
+      T.events(s, d)
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+             max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
+  /** Array higher-order functions over the embedding vectors: fold
+    * (aggregate), element count — all codegen-friendly built-ins. */
+  private val q21 = Q(
+    "q21_array_hof",
+    (s, d) =>
+      T.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dims"),
+          round(
+            sqrt(aggregate(
+              col("embedding"),
+              lit(0.0),
+              (acc, x) => acc + x.cast("double") * x.cast("double"))),
+            6).as("l2_norm"),
+          round(
+            aggregate(
+              col("embedding"),
+              lit(0.0),
+              (acc, x) => acc + x.cast("double")) / size(col("embedding")),
+            6).as("mean_val"),
+        )
+        .orderBy(col("vec_id")),
+    Some("""
+      SELECT vec_id,
+             CAST(len(embedding) AS INT) AS dims,
+             round(sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+             round(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE))) / len(embedding), 6) AS mean_val
+      FROM embeddings
+      ORDER BY vec_id"""),
+  )
+
+  /** base64 round-trip (the reference's record payloads are base64 "Data"
+    * fields, subscribe_to_shard.ex:366): encode text bytes, decode back,
+    * verify length survives. */
+  private val q22 = Q(
+    "q22_scalar_base64",
+    (s, d) =>
+      T.documents(s, d)
+        .select(
+          col("doc_id"),
+          substring(base64(col("text").cast("binary")), 1, 24).as("b64_head"),
+          length(unbase64(base64(col("text").cast("binary"))))
+            .as("decoded_len"),
+          col("n_chars"),
+        )
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             substring(to_base64(CAST(text AS BLOB)), 1, 24) AS b64_head,
+             CAST(octet_length(from_base64(to_base64(CAST(text AS BLOB)))) AS INT)
+               AS decoded_len,
+             n_chars
+      FROM documents
+      ORDER BY doc_id"""),
+  )
+
+  /** Tumbling 1-hour event-time window aggregate — the deterministic batch
+    * formulation of the streaming windowed aggregation (date_trunc group-by
+    * ≡ window('1 hour') in append mode once the watermark passes). */
+  private val q23 = Q(
+    "q23_window_tumbling",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("window_start"), col("event_type")),
+    Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type"""),
+  )
+
+  /** Sessionization with a 30-minute inactivity gap (batch equivalent of
+    * session_window): lag → new-session flag → running sum = session id →
+    * two-level aggregate. */
+  private val q24 = Q(
+    "q24_sessionize",
+    (s, d) => {
+      val wOrd = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val withSess = T.events(s, d)
+        .withColumn(
+          "new_sess",
+          when(
+            lag(col("ts"), 1).over(wOrd).isNull ||
+              (unix_micros(col("ts")) -
+                unix_micros(lag(col("ts"), 1).over(wOrd))) > 1800000000L,
+            1L).otherwise(0L))
+        .withColumn(
+          "sess_id",
+          sum(col("new_sess")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withSess
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("sess_len"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          max(col("sess_len")).as("max_sess_len"),
+          sum(col("sess_len")).as("n_events"),
+        )
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts, 1) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessions AS (
+        SELECT user_id,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM flagged
+      ), per_sess AS (
+        SELECT user_id, sess_id, count(*) AS sess_len
+        FROM sessions GROUP BY user_id, sess_id
+      )
+      SELECT user_id,
+             count(*) AS n_sessions,
+             max(sess_len) AS max_sess_len,
+             CAST(sum(sess_len) AS BIGINT) AS n_events
+      FROM per_sess
+      GROUP BY user_id
+      ORDER BY user_id"""),
+  )
+
+  /** As-of join via a single ordered window pass (no join blowup): for each
+    * purchase, the user's most recent click at-or-before it. */
+  private val q25 = Q(
+    "q25_asof_join",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events(s, d)
+        .withColumn(
+          "last_click_ts",
+          max(when(col("event_type") === "click", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("last_click_ts"),
+        )
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH marked AS (
+        SELECT event_id, user_id, ts, event_type,
+               max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        FROM events)
+      SELECT event_id, user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             strftime(last_click_ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+      FROM marked
+      WHERE event_type = 'purchase'
+      ORDER BY event_id"""),
+  )
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+}

@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables => T}
+
+/** Text-analysis operators over the documents table: language-ID
+  * (stopword/n-gram heuristic), quality scoring, token counting
+  * (whitespace + regex tokenizer), positional rolling-hash document
+  * fingerprinting, and corpus term statistics.
+  *
+  * All map-only per document except term stats (one shuffle on term);
+  * everything stays in whole-stage codegen (built-in functions + HOFs,
+  * no UDFs).
+  */
+object TextAnalysis {
+
+  private val stopEn = Seq("the", "a", "of", "to", "and", "in")
+  private val stopDe = Seq("der", "die", "das", "und", "ein")
+  private val stopEs = Seq("el", "la", "los", "de", "y")
+  private val stopFr = Seq("le", "la", "les", "et", "un")
+  private val stopZh = Seq("de", "shi", "le", "bu")
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Language ID: stopword-hit-ratio per language wordlist, argmax with a
+    * fixed preference order on ties (word-soup fixtures tie at 0 for the
+    * non-en lists, so this degenerates deterministically — the mechanism
+    * is what's exercised). */
+  private val t01 = Q(
+    "t01_text_langid",
+    (s, d) => {
+      val scores = Seq(
+        "en" -> stopEn, "de" -> stopDe, "es" -> stopEs,
+        "fr" -> stopFr, "zh" -> stopZh)
+      val scoreExprs = scores.map { case (l, ws) =>
+        s"size(filter(ws, w -> w IN ${inList(ws)})) / CAST(size(ws) AS DOUBLE) AS s_$l"
+      }
+      val pred =
+        """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+          |     WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+          |     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+          |     WHEN s_fr >= s_zh THEN 'fr'
+          |     ELSE 'zh' END AS pred_lang""".stripMargin.replaceAll("\n", " ")
+      T.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .selectExpr(Seq("doc_id") ++ scoreExprs ++ Seq(pred, "lang AS actual_lang"): _*)
+        .selectExpr(
+          "doc_id",
+          "round(s_en, 6) AS score_en",
+          "round(s_de, 6) AS score_de",
+          "pred_lang",
+          "actual_lang")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(ws, w -> w IN ${inList(stopEn)})) / CAST(len(ws) AS DOUBLE) AS s_en,
+               len(list_filter(ws, w -> w IN ${inList(stopDe)})) / CAST(len(ws) AS DOUBLE) AS s_de,
+               len(list_filter(ws, w -> w IN ${inList(stopEs)})) / CAST(len(ws) AS DOUBLE) AS s_es,
+               len(list_filter(ws, w -> w IN ${inList(stopFr)})) / CAST(len(ws) AS DOUBLE) AS s_fr,
+               len(list_filter(ws, w -> w IN ${inList(stopZh)})) / CAST(len(ws) AS DOUBLE) AS s_zh
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents))
+      SELECT doc_id,
+             round(s_en, 6) AS score_en,
+             round(s_de, 6) AS score_de,
+             CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS pred_lang,
+             lang AS actual_lang
+      FROM scored
+      ORDER BY doc_id"""),
+  )
+
+  /** Quality scoring: length, average word length, stopword ratio →
+    * weighted 0..1 score + tier. Tier is derived from the ROUNDED score so
+    * both engines bucket identically. */
+  private val t02 = Q(
+    "t02_text_quality",
+    (s, d) =>
+      T.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .selectExpr(
+          "doc_id",
+          "size(ws) AS n_words",
+          "CAST(n_chars - (size(ws) - 1) AS DOUBLE) / size(ws) AS avg_wlen",
+          s"size(filter(ws, w -> w IN ${inList(stopEn)})) / CAST(size(ws) AS DOUBLE) AS stop_ratio")
+        .selectExpr(
+          "doc_id",
+          "n_words",
+          "round(avg_wlen, 6) AS avg_word_len",
+          "round(stop_ratio, 6) AS stopword_ratio",
+          """round(0.4 * least(n_words / 50.0, 1.0)
+             + 0.3 * stop_ratio
+             + 0.3 * least(avg_wlen / 8.0, 1.0), 6) AS quality_score""")
+        .selectExpr(
+          "doc_id", "n_words", "avg_word_len", "stopword_ratio",
+          "quality_score",
+          """CASE WHEN quality_score >= 0.6 THEN 'high'
+                  WHEN quality_score >= 0.4 THEN 'medium'
+                  ELSE 'low' END AS tier""")
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(len(ws) AS INT) AS n_words,
+               CAST(n_chars - (len(ws) - 1) AS DOUBLE) / len(ws) AS avg_wlen,
+               len(list_filter(ws, w -> w IN ${inList(stopEn)}))
+                 / CAST(len(ws) AS DOUBLE) AS stop_ratio
+        FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents)),
+      sc AS (
+        SELECT doc_id, n_words,
+               round(avg_wlen, 6) AS avg_word_len,
+               round(stop_ratio, 6) AS stopword_ratio,
+               round(0.4 * least(n_words / 50.0, 1.0)
+                     + 0.3 * stop_ratio
+                     + 0.3 * least(avg_wlen / 8.0, 1.0), 6) AS quality_score
+        FROM m)
+      SELECT doc_id, n_words, avg_word_len, stopword_ratio, quality_score,
+             CASE WHEN quality_score >= 0.6 THEN 'high'
+                  WHEN quality_score >= 0.4 THEN 'medium'
+                  ELSE 'low' END AS tier
+      FROM sc
+      ORDER BY doc_id"""),
+  )
+
+  /** Token counting: whitespace tokens, regex (BPE-ish word/punct)
+    * tokens, distinct tokens, type-token ratio. */
+  private val t03 = Q(
+    "t03_token_stats",
+    (s, d) =>
+      T.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .selectExpr(
+          "doc_id",
+          "size(ws) AS n_ws_tokens",
+          "CAST(regexp_count(text, '[a-z0-9]+') AS INT) AS n_re_tokens",
+          "size(array_distinct(ws)) AS n_distinct",
+          "round(size(array_distinct(ws)) / CAST(size(ws) AS DOUBLE), 6) AS ttr")
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(ws) AS INT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_re_tokens,
+             CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
+             round(len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 6) AS ttr
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+      ORDER BY doc_id"""),
+  )
+
+  /** Positional rolling-hash fingerprint: Σ position·value(word) mod p,
+    * value(word) = first 16 bits of md5 — order-sensitive, so permuted
+    * documents fingerprint differently (unlike a bag-of-words hash). */
+  private val t04 = Q(
+    "t04_text_fingerprint",
+    (s, d) => {
+      val nib = (j: Int) =>
+        s"(instr('0123456789abcdef', substring(md5(w), $j, 1)) - 1)"
+      val wordVal =
+        s"CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS BIGINT)"
+      T.documents(s, d)
+        .selectExpr(
+          "doc_id",
+          s"""aggregate(
+                transform(split(text, ' '), (w, i) -> CAST(i + 1 AS BIGINT) * $wordVal),
+                CAST(0 AS BIGINT), (acc, x) -> acc + x)
+              % CAST(1000000007 AS BIGINT) AS fingerprint""")
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val nib = (j: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(ws[i]), $j, 1)) - 1)"
+      val wordVal =
+        s"CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS BIGINT)"
+      s"""
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(1, len(ws) + 1),
+                    i -> i * $wordVal)) AS BIGINT)
+               % CAST(1000000007 AS BIGINT) AS fingerprint
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      ORDER BY doc_id"""
+    },
+  )
+
+  /** Corpus term statistics: occurrences + document frequency per term —
+    * the one shuffling op here (explode → hash agg on term). */
+  private val t05 = Q(
+    "t05_term_stats",
+    (s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"))
+        .agg(
+          count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("doc_freq"))
+        .orderBy(col("n_occurrences").desc, col("term"))
+        .limit(100),
+    Some("""
+      SELECT term, count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS doc_freq
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY term
+      ORDER BY n_occurrences DESC, term
+      LIMIT 100"""),
+  )
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05)
+}
