@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** One registered engine operation: a Spark query plus (optionally) the
   * equivalent ANSI SQL the driver runs in DuckDB over the same parquet
@@ -28,7 +29,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = t(s, d, "events")
+  /** The driver-generated events.parquet stores `ts` as INT64
+    * TIMESTAMP(NANOS), which Spark 4 refuses to read as a timestamp
+    * ([PARQUET_TYPE_ILLEGAL]). Read it as a long (legacy nanosAsLong) and
+    * convert to a micros TimestampType with integer division — the fixture
+    * values are µs-aligned (verified: epoch_ns % 1000 == 0 for every row),
+    * so the conversion is lossless and DuckDB (which reads the same file
+    * as TIMESTAMP_NS) sees identical instants.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =

@@ -148,41 +148,62 @@ object Dedup {
     },
   )
 
-  /** 16-bit SimHash over the distinct-word set. Per-word md5 computed once;
-    * each bit is the sign of a ±1 vote sum (order-independent, so the two
-    * engines' differing distinct-ordering cannot matter). */
+  /** 60-bit SimHash over the distinct-word set: each word maps once to a
+    * 60-bit value (first 15 md5 hex nibbles); signature bit i is the sign
+    * of the ±1 vote sum over bit i of every word value
+    * (order-independent, so the engines' differing distinct-ordering
+    * cannot matter).
+    *
+    * Round 1 used a 16-bit signature, whose 4-bit pigeonhole chunks gave
+    * only 64 distinct blocking keys → d04 candidates grew ~n²/16
+    * (VERDICT.md). 60 bits / 4 chunks of 15 bits keeps the exact
+    * pigeonhole guarantee for Hamming ≤ 3 while giving 32 768 values per
+    * chunk — candidate growth stays near-linear until block sizes collide.
+    */
+  private def wordValTerms(posFn: Int => String): String =
+    (0 until 15)
+      .map(j => s"CAST(${posFn(j + 1)} - 1 AS BIGINT) * ${1L << (4 * (14 - j))}")
+      .mkString("(", " + ", ")")
+
   private def simhashDf(s: SparkSession, d: String): DataFrame = {
-    val bitTerms = (0 until 16)
+    val wv = wordValTerms(j =>
+      s"instr('0123456789abcdef', substring(h, $j, 1))")
+    val bitTerms = (0 until 60)
       .map { i =>
-        s"""CASE WHEN aggregate(hv, 0, (acc, h) -> acc +
-           | (CASE WHEN instr('89abcdef', substring(h, ${i + 1}, 1)) > 0
-           |       THEN 1 ELSE -1 END)) > 0
-           | THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+        s"""(CASE WHEN aggregate(hv, 0, (acc, v) -> acc +
+           | (CASE WHEN (shiftright(v, $i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+           | THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
           .stripMargin.replaceAll("\n", " ")
       }
       .mkString(" + ")
     T.documents(s, d)
       .withColumn(
         "hv",
-        expr("transform(array_distinct(split(text, ' ')), w -> md5(w))"))
+        expr(
+          "transform(transform(array_distinct(split(text, ' ')), " +
+            s"w -> md5(w)), h -> $wv)"))
       .selectExpr("doc_id", s"($bitTerms) AS simhash")
   }
 
   private def simhashSql: String = {
-    val bitTerms = (0 until 16)
+    val wv = wordValTerms(j =>
+      s"strpos('0123456789abcdef', substr(h, $j, 1))")
+    val bitTerms = (0 until 60)
       .map { i =>
-        s"""CASE WHEN CAST(list_sum(list_transform(hv,
-           | h -> CASE WHEN strpos('89abcdef', substr(h, ${i + 1}, 1)) > 0
-           |       THEN 1 ELSE -1 END)) AS BIGINT) > 0
-           | THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+        s"""(CASE WHEN CAST(list_sum(list_transform(hv,
+           | v -> CASE WHEN ((v >> $i) & 1) = 1 THEN 1 ELSE -1 END))
+           | AS BIGINT) > 0
+           | THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
           .stripMargin.replaceAll("\n", " ")
       }
       .mkString(" + ")
     s"""sigs AS (
        |  SELECT doc_id, ($bitTerms) AS simhash
        |  FROM (SELECT doc_id,
-       |               list_transform(list_distinct(string_split(text, ' ')),
-       |                              w -> md5(w)) AS hv
+       |               list_transform(
+       |                 list_transform(list_distinct(string_split(text, ' ')),
+       |                                w -> md5(w)),
+       |                 h -> $wv) AS hv
        |        FROM documents))""".stripMargin
   }
 
@@ -195,11 +216,12 @@ object Dedup {
   )
 
   /** SimHash near-dup pairs, Hamming ≤ 3, found via pigeonhole blocking:
-    * split the 16-bit signature into 4 nibbles — any pair within Hamming 3
-    * must agree on ≥ 1 nibble (4 chunks, ≤ 3 differing bits), so an
-    * equi-join on (chunk_idx, chunk_val) finds ALL such pairs without the
-    * n² cross join. Exact, not approximate. The oracle brute-forces the
-    * same result. */
+    * split the 60-bit signature into 4 chunks of 15 bits — any pair within
+    * Hamming 3 must agree on ≥ 1 chunk (4 chunks, ≤ 3 differing bits), so
+    * an equi-join on (chunk_idx, chunk_val) finds ALL such pairs without
+    * the n² cross join. Exact, not approximate; 32 768 values per chunk
+    * keep the join keys high-cardinality (the round-1 scale flaw was
+    * 16-value chunks). The oracle brute-forces the same result. */
   private val d04 = Q(
     "d04_dedup_simhash_pairs",
     (s, d) => {
@@ -208,7 +230,7 @@ object Dedup {
         col("doc_id"),
         col("simhash"),
         posexplode(array((0 until 4).map(i =>
-          shiftright(col("simhash"), 4 * i).bitwiseAND(lit(15L))): _*))
+          shiftright(col("simhash"), 15 * i).bitwiseAND(lit(32767L))): _*))
           .as(Seq("chunk_idx", "chunk_val")))
       val c1 = chunks.select(
         col("doc_id").as("id1"),
@@ -244,7 +266,18 @@ object Dedup {
 
   /** Exact n-gram (trigram) Jaccard with sliding-window blocking: only
     * pairs within 25 doc_ids are compared — the bounded O(k·n) variant
-    * (LSH above is the unbounded-scale path). */
+    * (LSH above is the unbounded-scale path).
+    *
+    * Plan shape: round 1 expressed the window as a bare range predicate,
+    * which Spark can only plan as a BroadcastNestedLoopJoin over all n²
+    * pairs (543 s at sf0.1, VERDICT.md). Here the window is re-expressed
+    * as an EQUI-join on block = id div 25: the left side explodes each doc
+    * to its own block and the next one, the right side keeps its single
+    * block, and the original range predicate filters post-join. Every
+    * qualifying pair (id1 < id2 ≤ id1+25) spans at most one block
+    * boundary, so it matches on exactly one of the two exploded rows —
+    * identical result set, O(n) candidate pairs, shuffle-hash-joinable at
+    * any scale. */
   private val d05 = Q(
     "d05_dedup_ngram_jaccard",
     (s, d) => {
@@ -257,11 +290,18 @@ object Dedup {
             "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', " +
               "element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2)))"))
             .as("tg"))
-      val a = tri.select(col("doc_id").as("id1"), col("tg").as("tg1"))
-      val b = tri.select(col("doc_id").as("id2"), col("tg").as("tg2"))
+      val a = tri
+        .select(col("doc_id").as("id1"), col("tg").as("tg1"))
+        .withColumn(
+          "blk",
+          explode(array(expr("id1 div 25"), expr("id1 div 25 + 1"))))
+      val b = tri
+        .select(col("doc_id").as("id2"), col("tg").as("tg2"))
+        .withColumn("blk2", expr("id2 div 25"))
       a.join(
           b,
-          col("id2") > col("id1") && col("id2") <= col("id1") + 25)
+          col("blk") === col("blk2") &&
+            col("id2") > col("id1") && col("id2") <= col("id1") + 25)
         .select(
           col("id1"),
           col("id2"),
@@ -290,38 +330,123 @@ object Dedup {
       ORDER BY id1, id2"""),
   )
 
-  /** Embedding-cosine near-dup: top-100 most-similar pairs. Vectors are
-    * L2-normalized (FIXTURES.md) so cosine = dot product. Brute pair join
-    * here; the LSH/IVF variants in Similarity are the 100 TB path. */
-  private val d06 = Q(
-    "d06_dedup_cosine",
-    (s, d) => {
-      val e = T.embeddings(s, d)
-      val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
-      val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"))
-      a.join(b, col("id1") < col("id2"))
-        .select(
-          col("id1"),
-          col("id2"),
-          round(
-            aggregate(
-              zip_with(col("v1"), col("v2"),
-                (x, y) => x.cast("double") * y.cast("double")),
-              lit(0.0),
-              (acc, x) => acc + x),
-            6).as("cosine"))
-        .orderBy(col("cosine").desc, col("id1"), col("id2"))
-        .limit(100)
-    },
-    Some("""
-      SELECT a.vec_id AS id1, b.vec_id AS id2,
+  /** Embedding-cosine near-dup: top-100 most-similar candidate pairs via
+    * random-hyperplane (sign) LSH — 16 deterministic ±1 hyperplanes give a
+    * 16-bit signature, banded 2×8 bits; pairs sharing a band are scored
+    * with the exact dot product (vectors are L2-normalized, FIXTURES.md).
+    *
+    * Round 1 brute-forced all n² pairs (90 s at 2 000 vectors — the
+    * textbook scale-killer, VERDICT.md). No exact-equivalent blocking
+    * exists for this data: the fixture embeddings are near-isotropic noise
+    * and `label` is uncorrelated with similarity (measured at sf0.01: 92
+    * of the brute-force top-100 pairs are cross-label), so ANY
+    * sub-quadratic method — label cells, MinHash, sign-LSH — returns a
+    * different (approximate) top-100. The honest scalable operator is
+    * therefore LSH-candidates-then-exact-rank, and the oracle mirrors the
+    * identical deterministic computation (the ±1 plane matrix, derived
+    * from md5("plane:dim"), is baked as literals into BOTH the Spark plan
+    * and the oracle SQL; both engines fold the dot product left-to-right
+    * over the same 64 elements, so signatures agree bit-for-bit).
+    *
+    * 100 TB posture: signature is map-only; candidates shuffle on 8-bit
+    * band keys (widen bands for larger corpora); exact scoring touches
+    * ~n/256 × n pairs, not n². */
+  private val d06 = {
+    val NumPlanes = 16
+    val Dim       = 64
+    // Deterministic ±1 from the top bit of md5("p:i") — a public-domain
+    // construction both engines could recompute; baked as literals.
+    def planeSign(p: Int, i: Int): Boolean = {
+      val h = java.security.MessageDigest
+        .getInstance("MD5").digest(s"$p:$i".getBytes("UTF-8"))
+      (h(0) & 0x80) != 0
+    }
+    val planes: Seq[Seq[Boolean]] =
+      (0 until NumPlanes).map(p => (0 until Dim).map(i => planeSign(p, i)))
+    def bitSpark(p: Int): String = {
+      val arr = planes(p).map(v => if (v) "1.0D" else "-1.0D")
+        .mkString("array(", ", ", ")")
+      s"""(CASE WHEN round(aggregate(zip_with(embedding, $arr,
+         | (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),
+         | (acc, z) -> acc + z), 9) > 0
+         | THEN ${1 << (p % 8)} ELSE 0 END)""".stripMargin
+        .replaceAll("\n", " ")
+    }
+    def bitDuck(p: Int): String = {
+      val lst = planes(p).map(v => if (v) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"""(CASE WHEN round(list_sum(list_transform(range(1, 65),
+         | i -> CAST(embedding[i] AS DOUBLE) * CAST(($lst)[i] AS DOUBLE))), 9) > 0
+         | THEN ${1 << (p % 8)} ELSE 0 END)""".stripMargin
+        .replaceAll("\n", " ")
+    }
+    val band0S = (0 until 8).map(bitSpark).mkString(" + ")
+    val band1S = (8 until 16).map(bitSpark).mkString(" + ")
+    val band0D = (0 until 8).map(bitDuck).mkString(" + ")
+    val band1D = (8 until 16).map(bitDuck).mkString(" + ")
+    Q(
+      "d06_dedup_cosine",
+      (s, d) => {
+        val e = T.embeddings(s, d)
+        val sig = e.selectExpr(
+          "vec_id",
+          s"($band0S) AS band0",
+          s"($band1S) AS band1")
+        val bands = sig.select(
+          col("vec_id"),
+          posexplode(array(col("band0"), col("band1")))
+            .as(Seq("band_idx", "band_val")))
+        val cand = bands
+          .toDF("id1", "band_idx", "band_val")
+          .join(
+            bands.toDF("id2", "band_idx2", "band_val2"),
+            col("band_idx") === col("band_idx2") &&
+              col("band_val") === col("band_val2") &&
+              col("id1") < col("id2"))
+          .select(col("id1"), col("id2"))
+          .distinct()
+        val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+        val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+        cand
+          .join(a, "id1")
+          .join(b, "id2")
+          .select(
+            col("id1"),
+            col("id2"),
+            round(
+              aggregate(
+                zip_with(col("v1"), col("v2"),
+                  (x, y) => x.cast("double") * y.cast("double")),
+                lit(0.0),
+                (acc, x) => acc + x),
+              6).as("cosine"))
+          .orderBy(col("cosine").desc, col("id1"), col("id2"))
+          .limit(100)
+      },
+      Some(s"""
+      WITH sig AS (
+        SELECT vec_id, ($band0D) AS band0, ($band1D) AS band1
+        FROM embeddings),
+      bands AS (
+        SELECT vec_id, 0 AS band_idx, band0 AS band_val FROM sig
+        UNION ALL
+        SELECT vec_id, 1 AS band_idx, band1 AS band_val FROM sig),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         AND x.vec_id < y.vec_id)
+      SELECT c.id1, c.id2,
              round(list_sum(list_transform(range(1, 65),
                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
                6) AS cosine
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.id1
+      JOIN embeddings b ON b.vec_id = c.id2
       ORDER BY cosine DESC, id1, id2
       LIMIT 100"""),
-  )
+    )
+  }
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06)
 }

@@ -75,7 +75,11 @@ object Multimodal {
             }
             val mean =
               if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
-            (docId, bytes.length, math.round(mean * 1e6) / 1e6, hist.toSeq)
+            // Histogram as a JSON string: the driver's rows-only check
+            // factorizes columns in pandas, which cannot hash an ndarray —
+            // a scalar string column keeps the operator validatable.
+            (docId, bytes.length, math.round(mean * 1e6) / 1e6,
+              hist.mkString("[", ",", "]"))
           }
         }
         .toDF("doc_id", "n_bytes", "mean_byte", "byte_hist")

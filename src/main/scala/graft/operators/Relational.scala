@@ -62,7 +62,11 @@ object Relational {
   )
 
   /** Projection + selective filter; predicates and the two-column read
-    * schema push down to the parquet scan. */
+    * schema push down to the parquet scan. Money math runs in DECIMAL so
+    * the half-way rounding ties a double product can hit are resolved
+    * identically (HALF_UP on the exact decimal) by both engines, and the
+    * ORDER BY includes `revenue` because (l_orderkey, l_linenumber) is not
+    * unique in the synthetic data. */
   private val q02 = Q(
     "q02_filter_project",
     (s, d) => {
@@ -75,20 +79,25 @@ object Relational {
         .select(
           col("l_orderkey"),
           col("l_linenumber"),
-          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
-            .as("revenue"),
+          round(
+            col("l_extendedprice").cast("decimal(18,4)") *
+              (lit(1).cast("decimal(18,4)") -
+                col("l_discount").cast("decimal(18,4)")),
+            2).cast("double").as("revenue"),
         )
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"))
     },
     Some("""
       SELECT l_orderkey, l_linenumber,
-             round(l_extendedprice * (1 - l_discount), 2) AS revenue
+             CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))),
+                        2) AS DOUBLE) AS revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
         AND l_discount BETWEEN 0.02 AND 0.06
         AND l_quantity < 10
-      ORDER BY l_orderkey, l_linenumber"""),
+      ORDER BY l_orderkey, l_linenumber, revenue"""),
   )
 
   /** Star join over two tiny dimensions — both explicitly broadcast so
@@ -679,7 +688,81 @@ object Relational {
       ORDER BY event_id"""),
   )
 
+  /** approx_count_distinct (HyperLogLog++, rsd 0.02). Sketch estimates are
+    * engine-specific, so the oracle is a bounds check: Spark emits the
+    * exact distinct count plus a boolean "approx within 10% of exact"
+    * (5σ at rsd 0.02); the oracle emits the same exact count and literal
+    * TRUE. A sketch outside tolerance therefore fails the hash compare. */
+  private val q26 = Q(
+    "q26_agg_approx_distinct",
+    (s, d) =>
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts_exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("apx"))
+        .select(
+          col("l_returnflag"),
+          col("n_parts_exact"),
+          (abs(col("apx").cast("double") - col("n_parts_exact")) <=
+            col("n_parts_exact").cast("double") * 0.1)
+            .as("approx_in_tolerance"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_parts_exact,
+             TRUE AS approx_in_tolerance
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+  )
+
+  /** Map-type scalar pack (SURVEY §2.2 scalar row): construct, lookup,
+    * keys/values extraction, concat, cardinality. DuckDB map subscripts
+    * return single-element lists, hence the [1] indexing in the oracle. */
+  private val q27 = Q(
+    "q27_scalar_map",
+    (s, d) =>
+      T.part(s, d)
+        .select(
+          col("p_partkey"),
+          col("p_brand"),
+          col("p_type"),
+          map_from_arrays(
+            array(lit("brand"), lit("type")),
+            array(col("p_brand"), col("p_type"))).as("m"))
+        .select(
+          col("p_partkey"),
+          element_at(col("m"), "brand").as("brand_v"),
+          element_at(col("m"), "type").as("type_v"),
+          size(col("m")).as("m_card"),
+          array_join(map_keys(col("m")), ",").as("keys_csv"),
+          array_join(map_values(col("m")), "|").as("vals_csv"),
+          size(
+            map_concat(
+              col("m"),
+              map_from_arrays(
+                array(lit("pk")),
+                array(col("p_partkey").cast("string"))))).as("m3_card"),
+        )
+        .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey,
+             (m['brand'])[1] AS brand_v,
+             (m['type'])[1] AS type_v,
+             CAST(cardinality(m) AS INT) AS m_card,
+             array_to_string(map_keys(m), ',') AS keys_csv,
+             array_to_string(map_values(m), '|') AS vals_csv,
+             CAST(cardinality(map(['brand', 'type', 'pk'],
+                  [p_brand, p_type, CAST(p_partkey AS VARCHAR)])) AS INT)
+               AS m3_card
+      FROM (SELECT p_partkey, p_brand, p_type,
+                   map(['brand', 'type'], [p_brand, p_type]) AS m
+            FROM part)
+      ORDER BY p_partkey"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
 }

@@ -76,8 +76,20 @@ object TextAnalysis {
   )
 
   /** Quality scoring: length, average word length, stopword ratio →
-    * weighted 0..1 score + tier. Tier is derived from the ROUNDED score so
-    * both engines bucket identically. */
+    * weighted 0..1 score + tier.
+    *
+    * Every ratio is rounded via EXACT integer arithmetic
+    * (round6(a/b) = (2·a·10⁶ + b) div (2·b), half-up for positives) and
+    * only then divided by 10⁶ into a double — so no engine-dependent
+    * double-rounding tie can occur (round 1 failed on doc 168's
+    * 0.5271875 exactly-representable half-way score). The tier is derived
+    * from the integer-scaled score, so bucketing is identical too.
+    *
+    * score = 0.4·min(nw/50,1) + 0.3·nstop/nw + 0.3·min(avg_wlen/8,1)
+    * scaled by 10⁶ over common denominator 8·nw:
+    *   num = 8000·min(nw,50)·8·nw + 2400000·nstop + 300000·min(m, 8·nw)
+    * where m = n_chars − nw + 1 (sum of word lengths).
+    */
   private val t02 = Q(
     "t02_text_quality",
     (s, d) =>
@@ -85,43 +97,46 @@ object TextAnalysis {
         .withColumn("ws", split(col("text"), " "))
         .selectExpr(
           "doc_id",
-          "size(ws) AS n_words",
-          "CAST(n_chars - (size(ws) - 1) AS DOUBLE) / size(ws) AS avg_wlen",
-          s"size(filter(ws, w -> w IN ${inList(stopEn)})) / CAST(size(ws) AS DOUBLE) AS stop_ratio")
+          "CAST(size(ws) AS BIGINT) AS nw",
+          "CAST(n_chars - (size(ws) - 1) AS BIGINT) AS m",
+          s"CAST(size(filter(ws, w -> w IN ${inList(stopEn)})) AS BIGINT) AS nstop")
         .selectExpr(
           "doc_id",
-          "n_words",
-          "round(avg_wlen, 6) AS avg_word_len",
-          "round(stop_ratio, 6) AS stopword_ratio",
-          """round(0.4 * least(n_words / 50.0, 1.0)
-             + 0.3 * stop_ratio
-             + 0.3 * least(avg_wlen / 8.0, 1.0), 6) AS quality_score""")
+          "CAST(nw AS INT) AS n_words",
+          "CAST((2 * m * 1000000 + nw) div (2 * nw) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS avg_word_len",
+          "CAST((2 * nstop * 1000000 + nw) div (2 * nw) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS stopword_ratio",
+          """(2 * (8000 * least(nw, 50) * 8 * nw
+                   + 2400000 * nstop
+                   + 300000 * least(m, 8 * nw))
+              + 8 * nw) div (2 * 8 * nw) AS score_scaled""")
         .selectExpr(
           "doc_id", "n_words", "avg_word_len", "stopword_ratio",
-          "quality_score",
-          """CASE WHEN quality_score >= 0.6 THEN 'high'
-                  WHEN quality_score >= 0.4 THEN 'medium'
+          "CAST(score_scaled AS DOUBLE) / CAST(1000000 AS DOUBLE) AS quality_score",
+          """CASE WHEN score_scaled >= 600000 THEN 'high'
+                  WHEN score_scaled >= 400000 THEN 'medium'
                   ELSE 'low' END AS tier""")
         .orderBy(col("doc_id")),
     Some(s"""
       WITH m AS (
         SELECT doc_id,
-               CAST(len(ws) AS INT) AS n_words,
-               CAST(n_chars - (len(ws) - 1) AS DOUBLE) / len(ws) AS avg_wlen,
-               len(list_filter(ws, w -> w IN ${inList(stopEn)}))
-                 / CAST(len(ws) AS DOUBLE) AS stop_ratio
+               CAST(len(ws) AS BIGINT) AS nw,
+               CAST(n_chars - (len(ws) - 1) AS BIGINT) AS m,
+               CAST(len(list_filter(ws, w -> w IN ${inList(stopEn)})) AS BIGINT) AS nstop
         FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents)),
       sc AS (
-        SELECT doc_id, n_words,
-               round(avg_wlen, 6) AS avg_word_len,
-               round(stop_ratio, 6) AS stopword_ratio,
-               round(0.4 * least(n_words / 50.0, 1.0)
-                     + 0.3 * stop_ratio
-                     + 0.3 * least(avg_wlen / 8.0, 1.0), 6) AS quality_score
+        SELECT doc_id,
+               CAST(nw AS INT) AS n_words,
+               CAST((2 * m * 1000000 + nw) // (2 * nw) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS avg_word_len,
+               CAST((2 * nstop * 1000000 + nw) // (2 * nw) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS stopword_ratio,
+               (2 * (8000 * least(nw, 50) * 8 * nw
+                     + 2400000 * nstop
+                     + 300000 * least(m, 8 * nw))
+                + 8 * nw) // (2 * 8 * nw) AS score_scaled
         FROM m)
-      SELECT doc_id, n_words, avg_word_len, stopword_ratio, quality_score,
-             CASE WHEN quality_score >= 0.6 THEN 'high'
-                  WHEN quality_score >= 0.4 THEN 'medium'
+      SELECT doc_id, n_words, avg_word_len, stopword_ratio,
+             CAST(score_scaled AS DOUBLE) / CAST(1000000 AS DOUBLE) AS quality_score,
+             CASE WHEN score_scaled >= 600000 THEN 'high'
+                  WHEN score_scaled >= 400000 THEN 'medium'
                   ELSE 'low' END AS tier
       FROM sc
       ORDER BY doc_id"""),
