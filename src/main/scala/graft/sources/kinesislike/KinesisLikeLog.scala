@@ -1,0 +1,166 @@
+package graft.sources.kinesislike
+
+import java.io.{BufferedReader, File, FileInputStream, InputStreamReader}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The local ordered event log the KinesisLike source replays. The image
+  * has no network, so the "stream" is a directory of per-shard append-only
+  * text files — the semantic stand-in for a Kinesis shard's ordered record
+  * stream (SURVEY.md §7 Slice 2).
+  *
+  * Line format (one record per line — the analog of one decoded
+  * event-stream frame, subscribe_to_shard.ex:313-327):
+  *
+  *   <sequenceNumber>\t<arrivalMicros>\t<partitionKey>\t<base64 data>
+  *
+  * - sequence numbers are numeric and strictly increasing within a shard
+  *   (Kinesis continuation numbers are ordered strings,
+  *   subscribe_to_shard.ex:343-354);
+  * - `data` is base64, mirroring the base64 "Data" field of a Kinesis
+  *   record that decode_records un-wraps (subscribe_to_shard.ex:365-366);
+  * - a literal `#CLOSED` final line is the nil-continuation shard-closed
+  *   marker (subscribe_to_shard.ex:356-363).
+  *
+  * Duplicate lines (same sequence number twice) are legal — Kinesis is
+  * at-least-once across resubscribes, and the streaming dedup operator
+  * exists precisely for that.
+  */
+object KinesisLikeLog {
+
+  val ClosedMarker = "#CLOSED"
+  val ReadyMarker  = "_LOG_READY"
+
+  final case class Record(
+      seq: Long,
+      arrivalMicros: Long,
+      partitionKey: String,
+      dataB64: String,
+  )
+
+  def parseLine(line: String): Option[Record] =
+    if (line.isEmpty || line.startsWith("#")) None
+    else {
+      val parts = line.split('\t')
+      Some(Record(parts(0).toLong, parts(1).toLong, parts(2), parts(3)))
+    }
+
+  def shardFiles(dir: String): Seq[File] = {
+    val d = new File(dir)
+    val fs = Option(d.listFiles()).getOrElse(Array.empty)
+    fs.filter(_.getName.matches("shard-\\d+\\.log")).sortBy(_.getName).toSeq
+  }
+
+  def shardId(f: File): String = f.getName.stripSuffix(".log")
+
+  def shardFile(dir: String, shardId: String): File =
+    new File(dir, s"$shardId.log")
+
+  /** Driver-side metadata scan (the analog of Kafka's listOffsets): fold
+    * over a shard file without materializing it. */
+  private def foldLines[A](f: File, zero: A)(op: (A, String) => A): A = {
+    if (!f.exists()) return zero
+    val in = new BufferedReader(
+      new InputStreamReader(new FileInputStream(f), UTF_8))
+    try {
+      var acc  = zero
+      var line = in.readLine()
+      while (line != null) {
+        acc = op(acc, line)
+        line = in.readLine()
+      }
+      acc
+    } finally in.close()
+  }
+
+  /** Highest sequence number present; -1 for an empty shard. */
+  def maxSeq(f: File): Long =
+    foldLines(f, -1L)((acc, l) => parseLine(l).map(_.seq.max(acc)).getOrElse(acc))
+
+  /** Shard-closed ⇔ the nil-continuation marker has been written
+    * (subscribe_to_shard.ex:356-363). */
+  def isClosed(f: File): Boolean =
+    foldLines(f, false)((acc, l) => acc || l == ClosedMarker)
+
+  /** Resolve a starting position to the "after" cursor the offset model
+    * uses: deliver every record with seq > cursor. Mirrors the wire
+    * variants (subscribe_to_shard.ex:424-435):
+    *   trim_horizon → everything; latest → only records appended after
+    *   query start; at/after_sequence_number → inclusive/exclusive cut;
+    *   at_timestamp → first record at-or-after the instant.
+    */
+  def resolveInitial(f: File, pos: StartingPosition): Long = pos match {
+    case StartingPosition.TrimHorizon            => -1L
+    case StartingPosition.Latest                 => maxSeq(f)
+    case StartingPosition.AtSequenceNumber(n)    => n - 1
+    case StartingPosition.AfterSequenceNumber(n) => n
+    case StartingPosition.AtTimestamp(ts) =>
+      val micros = ts.getEpochSecond * 1000000L + ts.getNano / 1000L
+      val first = foldLines(f, Long.MaxValue) { (acc, l) =>
+        parseLine(l) match {
+          case Some(r) if r.arrivalMicros >= micros => acc.min(r.seq)
+          case _                                    => acc
+        }
+      }
+      if (first == Long.MaxValue) maxSeq(f) else first - 1
+  }
+
+  /** Build a shard log directory from the driver-generated events table —
+    * the test-fixture generator standing in for the producer side of
+    * Kinesis (no network in the image). Idempotent via a ready marker.
+    *
+    * `copies` > 1 writes each record that many times (adjacent, same
+    * sequence number) to simulate at-least-once redelivery.
+    *
+    * Fixture-scale only: streams rows through toLocalIterator (never a
+    * full collect); the engine's scale path READS this log, it does not
+    * write it.
+    */
+  def writeFromEvents(
+      spark: SparkSession,
+      sfDir: String,
+      logDir: String,
+      numShards: Int = 4,
+      copies: Int = 1,
+  ): Unit = synchronized {
+    val ready = Paths.get(logDir, ReadyMarker)
+    if (Files.exists(ready)) return
+    Files.createDirectories(Paths.get(logDir))
+    val ev = graft.Tables
+      .events(spark, sfDir)
+      .select(
+        col("event_id"),
+        unix_micros(col("ts")).as("micros"),
+        col("user_id"),
+        to_json(struct(
+          col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))).as("payload"))
+      .orderBy(col("event_id"))
+    val writers = (0 until numShards).map { i =>
+      Files.newBufferedWriter(
+        Paths.get(logDir, f"shard-$i%05d.log"), UTF_8)
+    }
+    try {
+      val it = ev.toLocalIterator()
+      while (it.hasNext) {
+        val r      = it.next()
+        val seq    = r.getLong(0)
+        val micros = r.getLong(1)
+        val user   = r.getLong(2)
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(r.getString(3).getBytes(UTF_8))
+        val w = writers((user % numShards).toInt)
+        var c = 0
+        while (c < copies) {
+          w.write(s"$seq\t$micros\t$user\t$b64\n")
+          c += 1
+        }
+      }
+      writers.foreach { w => w.write(ClosedMarker + "\n") }
+    } finally writers.foreach(_.close())
+    Files.createFile(ready)
+  }
+}

@@ -1,0 +1,334 @@
+package graft.sources.kinesislike
+
+import java.io.{BufferedReader, File, FileInputStream, InputStreamReader}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Errors the source can surface, mirroring the reference's error taxonomy
+  * (subscribe_to_shard.ex:57,67-69; producer handle_info clauses
+  * producer.ex:89-132). Every class is retryable via the producer's fixed
+  * backoff (producer.ex:37) except nothing — the reference retries all of
+  * them too; `classify` returns the label the producer logs. */
+object KinesisLikeErrors {
+  final class ResourceInUseException(msg: String) extends RuntimeException(msg)
+  final class TransportClosedException(msg: String) extends RuntimeException(msg)
+  final class HttpErrorException(val status: Int, msg: String) extends RuntimeException(msg)
+  final class StreamClosedException(msg: String) extends RuntimeException(msg)
+
+  /** Producer-side classification (producer.ex:89-132): five clauses, all
+    * of which mark the stream unhealthy and schedule a retry. */
+  def classify(t: Throwable): String = rootCause(t) match {
+    case _: ResourceInUseException  => "resource_in_use"    // producer.ex:89-96
+    case _: TransportClosedException => "transport_closed"  // producer.ex:98-105
+    case _: HttpErrorException      => "http_error"         // producer.ex:107-114
+    case _: StreamClosedException   => "closed"             // producer.ex:116-123
+    case _                          => "unknown"            // producer.ex:125-132
+  }
+
+  @annotation.tailrec
+  private def rootCause(t: Throwable): Throwable =
+    if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+}
+
+/** KinesisLike — a Spark DSv2 source replaying a local ordered shard log
+  * with the offset/resume semantics of the reference's SubscribeToShard
+  * client (SURVEY.md §7 Slice 2; no network exists in the image, so the
+  * log directory stands in for the wire).
+  *
+  * Semantics preserved from the reference:
+  *  - five starting positions (subscribe_to_shard.ex:60-65, 424-435),
+  *    default `latest` (producer.ex:22) — [[StartingPosition]];
+  *  - the resume cursor advances only for events actually delivered
+  *    (subscribe_to_shard.ex:343-354): a batch's end offset is exactly the
+  *    last sequence number its readers emitted;
+  *  - transparent resubscribe (subscribe_to_shard.ex:205-220): every
+  *    microbatch re-"requests" from the committed cursor, and a restart
+  *    from checkpoint carries the cursor forward; if NO events were ever
+  *    delivered the original starting position still governs
+  *    (subscribe_to_shard_test.exs:175-189) because the initial offset is
+  *    resolved from it once and persisted;
+  *  - shard closed = nil continuation (subscribe_to_shard.ex:356-363): a
+  *    `#CLOSED` log marker; the shard simply stops contributing offsets;
+  *  - one shard = one partition (producer.ex:172 supports exactly one
+  *    shard; we generalize to N files but each remains an ordered,
+  *    independently-consumed unit);
+  *  - rate control as a source option (maxRecordsPerBatch, per shard) —
+  *    the pull-based analog of the reference's ignored GenStage demand
+  *    (producer.ex:155-157);
+  *  - fault injection (failOnceAfter=N) delivers N records then raises a
+  *    transport error exactly once — the partial-events-before-error path
+  *    (producer.ex:159-168); Spark's committed-batch semantics preserve
+  *    the delivered prefix.
+  *
+  * Schema: the fixed Kinesis record envelope (SURVEY.md §1.3) —
+  * shardId, sequenceNumber, approximateArrivalTimestamp, partitionKey,
+  * data(binary, base64-decoded payload per subscribe_to_shard.ex:365-366).
+  *
+  * Scale posture: readers stream their shard file executor-side (no
+  * driver materialization); driver-side work is metadata-only offset
+  * resolution per microbatch, like Kafka's listOffsets.
+  */
+class KinesisLikeProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "kinesislike"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KinesisLikeTable.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KinesisLikeTable(new CaseInsensitiveStringMap(properties))
+}
+
+object KinesisLikeTable {
+  val schema: StructType = StructType(Seq(
+    StructField("shardId", StringType, nullable = false),
+    StructField("sequenceNumber", StringType, nullable = false),
+    StructField("approximateArrivalTimestamp", TimestampType, nullable = false),
+    StructField("partitionKey", StringType, nullable = false),
+    StructField("data", BinaryType, nullable = false),
+  ))
+}
+
+final case class KinesisLikeConfig(
+    logDir: String,
+    startingPosition: StartingPosition,
+    maxRecordsPerBatch: Option[Long],
+    failOnceAfter: Option[Long],
+)
+
+object KinesisLikeConfig {
+  def from(options: CaseInsensitiveStringMap): KinesisLikeConfig = {
+    val dir = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("kinesislike: 'path' option (log dir) is required"))
+    KinesisLikeConfig(
+      logDir = dir,
+      startingPosition = Option(options.get("startingPosition"))
+        .map(StartingPosition.parse)
+        .getOrElse(StartingPosition.default),
+      maxRecordsPerBatch =
+        Option(options.get("maxRecordsPerBatch")).map(_.toLong),
+      failOnceAfter = Option(options.get("failOnceAfter")).map(_.toLong),
+    )
+  }
+}
+
+class KinesisLikeTable(props: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"kinesislike(${props.get("path")})"
+  override def schema(): StructType = KinesisLikeTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Merge table-level properties with per-read options (read options win).
+    val merged = new util.HashMap[String, String](props.asCaseSensitiveMap())
+    merged.putAll(options.asCaseSensitiveMap())
+    new KinesisLikeScanBuilder(
+      KinesisLikeConfig.from(new CaseInsensitiveStringMap(merged)))
+  }
+}
+
+class KinesisLikeScanBuilder(cfg: KinesisLikeConfig) extends ScanBuilder {
+  override def build(): Scan = new KinesisLikeScan(cfg)
+}
+
+class KinesisLikeScan(cfg: KinesisLikeConfig) extends Scan {
+  override def readSchema(): StructType = KinesisLikeTable.schema
+  override def toBatch: Batch = new KinesisLikeBatch(cfg)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KinesisLikeMicroBatchStream(cfg)
+}
+
+/** Bounded scan of the whole log — the batch analog of a closed shard
+  * consumed from TRIM_HORIZON (SURVEY.md §1.3 "batch analog: bounded
+  * scan"). */
+class KinesisLikeBatch(cfg: KinesisLikeConfig) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    KinesisLikeLog.shardFiles(cfg.logDir).map { f =>
+      KinesisLikePartition(
+        KinesisLikeLog.shardId(f), f.getAbsolutePath,
+        after = -1L, until = Long.MaxValue,
+        failOnceAfter = -1L, failMarker = "")
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    KinesisLikeReaderFactory
+}
+
+/** Per-shard resume cursor: shard → last delivered sequence number
+  * (deliver strictly greater). The streaming Offset analog of the
+  * reference's `resume_position` (subscribe_to_shard.ex:343-354), made
+  * durable by Spark's checkpoint commit log instead of
+  * update_resume_position messages (producer.ex:136-139 — see SURVEY.md
+  * §3.3 for why that mechanism collapses into checkpoint config here). */
+final case class KinesisLikeOffset(positions: Map[String, Long]) extends Offset {
+  override def json(): String =
+    positions.toSeq.sorted.map { case (s, v) => s"$s=$v" }.mkString(";")
+}
+
+object KinesisLikeOffset {
+  def fromJson(s: String): KinesisLikeOffset =
+    KinesisLikeOffset(
+      s.split(';').filter(_.nonEmpty).map { kv =>
+        val i = kv.lastIndexOf('=')
+        kv.substring(0, i) -> kv.substring(i + 1).toLong
+      }.toMap)
+}
+
+class KinesisLikeMicroBatchStream(cfg: KinesisLikeConfig)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  // Shard set is fixed at stream start, matching the reference's
+  // single-DescribeStream shard discovery (producer.ex:171-188); shard
+  // splits/merges surface as closed shards, never as new partitions
+  // (explicit reference non-goal, subscribe_to_shard.ex:8).
+  private lazy val shards: Seq[File] = {
+    val fs = KinesisLikeLog.shardFiles(cfg.logDir)
+    if (fs.isEmpty)
+      throw new IllegalArgumentException(
+        s"kinesislike: no shard-*.log files in ${cfg.logDir}")
+    fs
+  }
+
+  override def initialOffset(): Offset =
+    KinesisLikeOffset(shards.map { f =>
+      KinesisLikeLog.shardId(f) ->
+        KinesisLikeLog.resolveInitial(f, cfg.startingPosition)
+    }.toMap)
+
+  override def getDefaultReadLimit: ReadLimit =
+    cfg.maxRecordsPerBatch
+      .map(n => ReadLimit.maxRows(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** End offset for the next microbatch: everything available, capped per
+    * shard by the rate limit. This is the S7 resubscribe loop — each
+    * batch re-requests from the committed cursor
+    * (subscribe_to_shard.ex:205-220). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[KinesisLikeOffset].positions
+    val cap = limit match {
+      case r: ReadMaxRows => Some(r.maxRows())
+      case _              => None
+    }
+    KinesisLikeOffset(shards.map { f =>
+      val sh    = KinesisLikeLog.shardId(f)
+      val avail = KinesisLikeLog.maxSeq(f)
+      val after = from.getOrElse(sh, -1L)
+      val end = cap match {
+        case Some(n) => math.min(avail, after + n)
+        case None    => avail
+      }
+      sh -> math.max(after, end)
+    }.toMap)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KinesisLikeOffset].positions
+    val e = end.asInstanceOf[KinesisLikeOffset].positions
+    shards.flatMap { f =>
+      val sh    = KinesisLikeLog.shardId(f)
+      val after = s.getOrElse(sh, -1L)
+      val until = e.getOrElse(sh, after)
+      if (until <= after) None
+      else Some(KinesisLikePartition(
+        sh, f.getAbsolutePath, after, until,
+        cfg.failOnceAfter.getOrElse(-1L),
+        new File(cfg.logDir, "_FAILED_ONCE").getAbsolutePath))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    KinesisLikeReaderFactory
+
+  override def deserializeOffset(json: String): Offset =
+    KinesisLikeOffset.fromJson(json)
+
+  // The commit log IS the resume position store; nothing else to do
+  // (contrast producer.ex:136-139's explicit message).
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class KinesisLikePartition(
+    shardId: String,
+    path: String,
+    after: Long,
+    until: Long,
+    failOnceAfter: Long,
+    failMarker: String,
+) extends InputPartition
+
+object KinesisLikeReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new KinesisLikeReader(p.asInstanceOf[KinesisLikePartition])
+}
+
+/** Executor-side shard reader: streams the ordered log file, skips to the
+  * cursor, emits records in (after, until], decodes the base64 payload —
+  * the RecordReader analog of the reference's frame parser + decoder
+  * (S9 subscribe_to_shard.ex:277-327 and S12 365-366). Order within a
+  * shard is file order = sequence order, preserving the reference's
+  * event-order guarantee (subscribe_to_shard.ex:157). */
+class KinesisLikeReader(p: KinesisLikePartition)
+    extends PartitionReader[InternalRow] {
+
+  private val in = new BufferedReader(
+    new InputStreamReader(new FileInputStream(p.path), UTF_8))
+  private var row: InternalRow = _
+  private var delivered        = 0L
+  private val shardUtf         = UTF8String.fromString(p.shardId)
+
+  override def next(): Boolean = {
+    var line = in.readLine()
+    while (line != null) {
+      KinesisLikeLog.parseLine(line) match {
+        case Some(r) if r.seq > p.until => return false // ordered: done
+        case Some(r) if r.seq > p.after =>
+          maybeFail()
+          row = new GenericInternalRow(Array[Any](
+            shardUtf,
+            UTF8String.fromString(r.seq.toString),
+            r.arrivalMicros,
+            UTF8String.fromString(r.partitionKey),
+            java.util.Base64.getDecoder.decode(r.dataB64),
+          ))
+          delivered += 1
+          return true
+        case _ => // skipped (≤ cursor) or marker line
+      }
+      line = in.readLine()
+    }
+    false
+  }
+
+  /** One-shot fault injection: after `failOnceAfter` delivered records,
+    * raise a transport error exactly once per log dir (marker file). The
+    * task retry then succeeds — exercising partial-delivery-then-error
+    * (producer.ex:159-168) without wedging the query. */
+  private def maybeFail(): Unit =
+    if (p.failOnceAfter >= 0 && delivered == p.failOnceAfter) {
+      val marker = new File(p.failMarker)
+      if (marker.createNewFile())
+        throw new KinesisLikeErrors.TransportClosedException(
+          s"simulated transport close after $delivered records on ${p.shardId}")
+    }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,286 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.sources.kinesislike.{KinesisLikeLog, KinesisLikeOffset, StartingPosition}
+
+/** Source behavior matrix, mirroring the reference's SubscribeToShard
+  * integration tests (subscribe_to_shard_test.exs):
+  *  - multi-event streaming + order preservation (128-143),
+  *  - resubscribe carrying AFTER_SEQUENCE_NUMBER of the last delivered
+  *    event (145-166),
+  *  - resubscribe with the ORIGINAL position when zero events were
+  *    delivered (175-189),
+  *  - shard-closed termination (205-218),
+  *  - a 1 MB record spanning many transport chunks reassembles intact
+  *    (220-245),
+  *  - in-stream error after partial delivery (191-203) via fault
+  *    injection,
+  * plus the five starting positions against a real log and
+  * microbatch-split invariance (SURVEY.md §5.2).
+  */
+class KinesisLikeSourceSpec extends SparkSpec {
+
+  private var ctr = 0
+  private def tmpDir(prefix: String): Path = {
+    ctr += 1
+    Files.createTempDirectory(s"$prefix$ctr")
+  }
+
+  /** Write a shard log by hand: (seq, micros, key, payloadString). */
+  private def writeShard(
+      dir: Path,
+      shard: Int,
+      records: Seq[(Long, Long, String, String)],
+      closed: Boolean = true): Unit = {
+    val lines = records.map { case (seq, us, k, payload) =>
+      val b64 = java.util.Base64.getEncoder.encodeToString(payload.getBytes(UTF_8))
+      s"$seq\t$us\t$k\t$b64"
+    } ++ (if (closed) Seq(KinesisLikeLog.ClosedMarker) else Nil)
+    Files.write(
+      dir.resolve(f"shard-$shard%05d.log"),
+      (lines.mkString("\n") + "\n").getBytes(UTF_8))
+  }
+
+  private def appendShard(
+      dir: Path,
+      shard: Int,
+      records: Seq[(Long, Long, String, String)]): Unit = {
+    val lines = records.map { case (seq, us, k, payload) =>
+      val b64 = java.util.Base64.getEncoder.encodeToString(payload.getBytes(UTF_8))
+      s"$seq\t$us\t$k\t$b64"
+    }
+    Files.write(
+      dir.resolve(f"shard-$shard%05d.log"),
+      (lines.mkString("\n") + "\n").getBytes(UTF_8),
+      StandardOpenOption.APPEND)
+  }
+
+  private def readBatch(dir: Path): DataFrame =
+    spark.read.format("kinesislike").option("path", dir.toString).load()
+
+  /** Run a streaming read to completion into a fresh memory sink; returns
+    * collected (shardId, seq, payload) triples. */
+  private def runStream(
+      dir: Path,
+      startingPosition: String,
+      checkpoint: Path,
+      sinkName: String,
+      extraOptions: Map[String, String] = Map.empty): Seq[(String, Long, String)] = {
+    var reader = spark.readStream
+      .format("kinesislike")
+      .option("path", dir.toString)
+      .option("startingPosition", startingPosition)
+    extraOptions.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load()
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .option("checkpointLocation", checkpoint.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .select(col("shardId"), col("sequenceNumber").cast("long"),
+        col("data").cast("string"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq
+  }
+
+  // ---------------------------------------------------------------- batch
+
+  test("batch read returns every record with the envelope schema") {
+    val dir = tmpDir("kl_batch")
+    writeShard(dir, 0, Seq((0L, 1000L, "u1", "a"), (1L, 2000L, "u2", "b")))
+    writeShard(dir, 1, Seq((2L, 1500L, "u3", "c")))
+    val df = readBatch(dir)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("shardId", "sequenceNumber", "approximateArrivalTimestamp",
+        "partitionKey", "data"))
+    val rows = df
+      .select(col("shardId"), col("sequenceNumber"),
+        unix_micros(col("approximateArrivalTimestamp")).as("us"),
+        col("partitionKey"), col("data").cast("string"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toSet
+    assert(rows == Set(
+      ("shard-00000", "0", 1000L, "u1", "a"),
+      ("shard-00000", "1", 2000L, "u2", "b"),
+      ("shard-00001", "2", 1500L, "u3", "c")))
+  }
+
+  test("per-shard record order is preserved (subscribe_to_shard_test.exs:128-143)") {
+    val dir = tmpDir("kl_order")
+    writeShard(dir, 0, (0L until 50L).map(i => (i, i * 10, "k", s"p$i")))
+    // One partition per shard, no shuffle → collect() preserves in-partition order.
+    val seqs = readBatch(dir)
+      .select(col("sequenceNumber").cast("long")).collect().map(_.getLong(0)).toSeq
+    assert(seqs == (0L until 50L))
+  }
+
+  test("a 1 MB record round-trips intact (subscribe_to_shard_test.exs:220-245)") {
+    val dir = tmpDir("kl_big")
+    val big = "x" * (1024 * 1024) // 1 MB pre-base64, the Kinesis record cap
+    writeShard(dir, 0, Seq((0L, 1L, "k", big)))
+    val got = readBatch(dir).select(col("data").cast("string")).collect()
+    assert(got.length == 1 && got(0).getString(0) == big)
+  }
+
+  // ---------------------------------------- starting-position resolution
+
+  test("five starting positions resolve to the correct record subsets") {
+    val dir = tmpDir("kl_pos")
+    // arrival timestamps: seq i arrives at i seconds.
+    writeShard(dir, 0, (0L until 10L).map(i => (i, i * 1000000L, "k", s"p$i")))
+    val f = KinesisLikeLog.shardFile(dir.toString, "shard-00000")
+    import StartingPosition._
+    assert(KinesisLikeLog.resolveInitial(f, TrimHorizon) == -1L)
+    assert(KinesisLikeLog.resolveInitial(f, Latest) == 9L)
+    assert(KinesisLikeLog.resolveInitial(f, AtSequenceNumber(4)) == 3L)
+    assert(KinesisLikeLog.resolveInitial(f, AfterSequenceNumber(4)) == 4L)
+    assert(KinesisLikeLog.resolveInitial(
+      f, AtTimestamp(java.time.Instant.ofEpochSecond(5))) == 4L)
+    // at_timestamp past the end behaves like latest.
+    assert(KinesisLikeLog.resolveInitial(
+      f, AtTimestamp(java.time.Instant.ofEpochSecond(100))) == 9L)
+  }
+
+  test("streaming honors at_sequence_number / after_sequence_number / at_timestamp") {
+    val dir = tmpDir("kl_subset")
+    writeShard(dir, 0, (0L until 10L).map(i => (i, i * 1000000L, "k", s"p$i")))
+    def seqsFrom(pos: String, tag: String): Seq[Long] =
+      runStream(dir, pos, tmpDir(s"ck_$tag"), s"sink_subset_$tag")
+        .map(_._2).sorted
+    assert(seqsFrom("trim_horizon", "th") == (0L until 10L))
+    assert(seqsFrom("at_sequence_number:7", "at") == Seq(7L, 8L, 9L))
+    assert(seqsFrom("after_sequence_number:7", "after") == Seq(8L, 9L))
+    assert(seqsFrom("at_timestamp:8", "ts") == Seq(8L, 9L))
+    assert(seqsFrom("latest", "latest") == Seq.empty)
+  }
+
+  // ------------------------------------------------- resume semantics
+
+  /** Restartable run: the memory sink cannot recover from a checkpoint,
+    * so resume tests write to a (fault-tolerant) parquet file sink and
+    * read the committed output back. */
+  private def runStreamToFiles(
+      dir: Path,
+      startingPosition: String,
+      checkpoint: Path,
+      out: Path): Seq[Long] = {
+    val q = spark.readStream
+      .format("kinesislike")
+      .option("path", dir.toString)
+      .option("startingPosition", startingPosition)
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", checkpoint.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read
+      .schema(graft.sources.kinesislike.KinesisLikeTable.schema)
+      .parquet(out.toString)
+      .select(col("sequenceNumber").cast("long"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+  }
+
+  test("restart resumes AFTER the last delivered sequence number " +
+    "(subscribe_to_shard_test.exs:145-166)") {
+    val dir  = tmpDir("kl_resume")
+    val ckpt = tmpDir("kl_resume_ck")
+    val out  = tmpDir("kl_resume_out")
+    writeShard(dir, 0, (0L until 5L).map(i => (i, i, "k", s"p$i")), closed = false)
+    assert(runStreamToFiles(dir, "trim_horizon", ckpt, out) == (0L until 5L))
+    // The "subscription" ended; more records arrive on the shard.
+    appendShard(dir, 0, (5L until 8L).map(i => (i, i, "k", s"p$i")))
+    // The checkpointed cursor carries forward: combined output is exactly
+    // 0..7 with the new records delivered exactly once, never re-read.
+    assert(runStreamToFiles(dir, "trim_horizon", ckpt, out) == (0L until 8L))
+  }
+
+  test("zero delivered events ⇒ the ORIGINAL starting position still governs " +
+    "(subscribe_to_shard_test.exs:175-189)") {
+    val dir  = tmpDir("kl_orig")
+    val ckpt = tmpDir("kl_orig_ck")
+    val out  = tmpDir("kl_orig_out")
+    // Shard exists but has nothing past the requested position yet.
+    writeShard(dir, 0, (0L until 3L).map(i => (i, i, "k", s"p$i")), closed = false)
+    assert(runStreamToFiles(dir, "after_sequence_number:5", ckpt, out).isEmpty)
+    appendShard(dir, 0, (4L until 8L).map(i => (i, i, "k", s"p$i")))
+    // Not everything new — only what the original position admits.
+    assert(runStreamToFiles(dir, "after_sequence_number:5", ckpt, out) ==
+      Seq(6L, 7L))
+  }
+
+  test("closed shard: all records delivered, then the shard just ends " +
+    "(subscribe_to_shard_test.exs:205-218)") {
+    val dir = tmpDir("kl_closed")
+    writeShard(dir, 0, Seq((0L, 1L, "k", "a"), (1L, 2L, "k", "b")), closed = true)
+    val f = KinesisLikeLog.shardFile(dir.toString, "shard-00000")
+    assert(KinesisLikeLog.isClosed(f))
+    val got = runStream(dir, "trim_horizon", tmpDir("kl_closed_ck"), "sink_closed")
+    assert(got.map(_._2).sorted == Seq(0L, 1L))
+  }
+
+  // --------------------------------------------- rate limit + invariance
+
+  test("microbatch-split invariance: any maxRecordsPerBatch yields the same result") {
+    val dir = tmpDir("kl_inv")
+    writeShard(dir, 0, (0L until 17L).map(i => (i, i, "a", s"p$i")))
+    writeShard(dir, 1, (17L until 29L).map(i => (i, i, "b", s"p$i")))
+    val expected = (0L until 29L).toSeq
+    for (batchSize <- Seq("1", "3", "7", "1000")) {
+      val got = runStream(
+        dir, "trim_horizon", tmpDir(s"kl_inv_ck$batchSize"),
+        s"sink_inv_$batchSize",
+        Map("maxRecordsPerBatch" -> batchSize))
+      assert(got.map(_._2).sorted == expected,
+        s"mismatch at maxRecordsPerBatch=$batchSize")
+    }
+  }
+
+  test("rate limit caps each microbatch (offset math, per shard)") {
+    val dir = tmpDir("kl_cap")
+    writeShard(dir, 0, (0L until 10L).map(i => (i, i, "k", s"p$i")))
+    // Offset arithmetic: after=2 with cap 3 ⇒ end exactly 5.
+    val stream = new graft.sources.kinesislike.KinesisLikeMicroBatchStream(
+      graft.sources.kinesislike.KinesisLikeConfig(
+        dir.toString, StartingPosition.TrimHorizon, Some(3L), None))
+    val start = KinesisLikeOffset(Map("shard-00000" -> 2L))
+    val end = stream
+      .latestOffset(start, org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(3L))
+      .asInstanceOf[KinesisLikeOffset]
+    assert(end.positions == Map("shard-00000" -> 5L))
+  }
+
+  // ---------------------------------------------------- fault injection
+
+  test("partial delivery then a transport error: delivered records survive, " +
+    "nothing is lost or duplicated (producer.ex:159-168)") {
+    val dir = tmpDir("kl_fault")
+    writeShard(dir, 0, (0L until 12L).map(i => (i, i, "k", s"p$i")))
+    val got = runStream(
+      dir, "trim_horizon", tmpDir("kl_fault_ck"), "sink_fault",
+      Map("failOnceAfter" -> "5"))
+    // The fault fired exactly once (marker written by the reader)...
+    assert(Files.exists(dir.resolve("_FAILED_ONCE")))
+    // ...and the task retry reprocessed the batch exactly-once.
+    assert(got.map(_._2).sorted == (0L until 12L))
+  }
+
+  test("offset json round-trips") {
+    val off = KinesisLikeOffset(Map("shard-00000" -> 12L, "shard-00001" -> -1L))
+    assert(KinesisLikeOffset.fromJson(off.json()) == off)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{SparkEntry, SparkSpec}
+
+/** End-to-end equivalence of the streaming operators with their batch
+  * analogs (SURVEY.md §5.2: "streaming query produces byte-identical
+  * results to the batch analogs"), plus the listener → registry wiring.
+  * Runs on the sf0.001 fixtures. */
+class StreamingOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq
+
+  test("flagship entry smoke: rows > 0 on sf0.001 (driver gate)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q28 streaming tumbling window ≡ q23 batch tumbling window") {
+    val streaming = SparkEntry.queries("q28_stream_window")(spark, sf)
+    val batch     = SparkEntry.queries("q23_window_tumbling")(spark, sf)
+    assert(rows(streaming) == rows(batch))
+  }
+
+  test("q29 streaming dedup of a doubled log ≡ batch aggregate of the " +
+    "original events") {
+    val streaming = SparkEntry.queries("q29_stream_dedup")(spark, sf)
+    val batch = {
+      import org.apache.spark.sql.functions._
+      graft.Tables.events(spark, sf)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    }
+    assert(rows(streaming) == rows(batch))
+  }
+
+  test("RegistryListener marks a named query healthy on progress") {
+    val registry = new ProducerRegistry
+    val listener = new RegistryListener(registry)
+    spark.streams.addListener(listener)
+    try {
+      val dir  = java.nio.file.Files.createTempDirectory("kl_listener")
+      val ckpt = java.nio.file.Files.createTempDirectory("kl_listener_ck")
+      java.nio.file.Files.write(
+        dir.resolve("shard-00000.log"),
+        "0\t1\tk\tYQ==\n#CLOSED\n".getBytes("UTF-8"))
+      val q = spark.readStream
+        .format("kinesislike")
+        .option("path", dir.toString)
+        .option("startingPosition", "trim_horizon")
+        .load()
+        .writeStream
+        .format("memory")
+        .queryName("listener_stream")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // Listener events are delivered asynchronously.
+      val deadline = System.currentTimeMillis() + 30000
+      while (registry.snapshot.get("listener_stream") != Some(true) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(registry.snapshot.get("listener_stream") == Some(true))
+    } finally spark.streams.removeListener(listener)
+  }
+}
