@@ -45,12 +45,18 @@ object Streaming {
   /** Build (once per sf dir + copies) the shard log replayed by these
     * queries. Lives under java.io.tmpdir; idempotent via the log's ready
     * marker. */
-  private def ensureLog(s: SparkSession, d: String, copies: Int): String = {
+  private def ensureLog(
+      s: SparkSession,
+      d: String,
+      copies: Int,
+      sentinel: Boolean = false): String = {
     val base = new java.io.File(d).getName
+    val suffix = if (sentinel) "_sent" else ""
     val dir = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_kinesislike/${base}_c$copies").getAbsolutePath
-    KinesisLikeLog.writeFromEvents(s, d, dir, numShards = 4, copies = copies)
+      s"graft_kinesislike/${base}_c$copies$suffix").getAbsolutePath
+    KinesisLikeLog.writeFromEvents(
+      s, d, dir, numShards = 4, copies = copies, sentinel = sentinel)
     dir
   }
 
@@ -150,5 +156,73 @@ object Streaming {
       ORDER BY event_type"""),
   )
 
-  val all: Seq[Q] = Seq(q28, q29)
+  /** Streaming sessionization: real session_window() with a watermark, in
+    * append mode. The gap is 1 800 000 001 µs so "same session iff
+    * inter-event gap ≤ 30 min" matches q24's inclusive boundary exactly
+    * (session_window merges on strictly-less-than-gap). Append mode only
+    * emits a session once the watermark passes its close, so the log
+    * carries a sentinel record 30 days past the last real event (user -1)
+    * — every real session closes.
+    *
+    * The sentinel must NOT be filtered before the aggregation: Catalyst
+    * pushes a deterministic non-event-time filter below the
+    * EventTimeWatermark node, and a pre-filtered sentinel never reaches
+    * the watermark collector (observed: the final watermark stalled 1 s
+    * behind the last real event and withheld its session). Instead the
+    * sentinel flows into the aggregation, forms its own never-closing
+    * session that append mode never emits, and is defensively filtered
+    * from the sink. The per-user rollup then equals the q24 batch
+    * sessionization, whose oracle doubles as the check. */
+  private val q30 = Q(
+    "q30_stream_session",
+    (s, d) => {
+      val log = ensureLog(s, d, copies = 1, sentinel = true)
+      val stream = s.readStream
+        .format("kinesislike")
+        .option("path", log)
+        .option("startingPosition", "trim_horizon")
+        .load()
+      val sessions = parsed(stream)
+        .withWatermark("ts", "1 second")
+        .groupBy(
+          session_window(col("ts"), "1800000001 microseconds"),
+          col("user_id"))
+        .agg(count(lit(1)).as("sess_len"))
+      runToMemory(s, sessions, "append")
+        .filter(col("user_id") >= 0)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          max(col("sess_len")).as("max_sess_len"),
+          sum(col("sess_len")).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    // Identical oracle to q24's batch sessionization.
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts, 1) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessions AS (
+        SELECT user_id,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM flagged
+      ), per_sess AS (
+        SELECT user_id, sess_id, count(*) AS sess_len
+        FROM sessions GROUP BY user_id, sess_id
+      )
+      SELECT user_id,
+             count(*) AS n_sessions,
+             max(sess_len) AS max_sess_len,
+             CAST(sum(sess_len) AS BIGINT) AS n_events
+      FROM per_sess
+      GROUP BY user_id
+      ORDER BY user_id"""),
+  )
+
+  val all: Seq[Q] = Seq(q28, q29, q30)
 }

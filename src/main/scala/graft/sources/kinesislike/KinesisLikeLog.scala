@@ -119,12 +119,18 @@ object KinesisLikeLog {
     * full collect); the engine's scale path READS this log, it does not
     * write it.
     */
+  /** With `sentinel = true`, one extra record (user_id -1, event_type
+    * "sentinel", 30 days past the last event) is appended to shard 0 —
+    * it exists to advance the event-time watermark past every real
+    * session so append-mode session windows all emit (the streaming
+    * analog of "the stream kept running after the data of interest"). */
   def writeFromEvents(
       spark: SparkSession,
       sfDir: String,
       logDir: String,
       numShards: Int = 4,
       copies: Int = 1,
+      sentinel: Boolean = false,
   ): Unit = synchronized {
     val ready = Paths.get(logDir, ReadyMarker)
     if (Files.exists(ready)) return
@@ -144,6 +150,8 @@ object KinesisLikeLog {
         Paths.get(logDir, f"shard-$i%05d.log"), UTF_8)
     }
     try {
+      var lastSeq    = -1L
+      var lastMicros = 0L
       val it = ev.toLocalIterator()
       while (it.hasNext) {
         val r      = it.next()
@@ -158,6 +166,17 @@ object KinesisLikeLog {
           w.write(s"$seq\t$micros\t$user\t$b64\n")
           c += 1
         }
+        lastSeq = math.max(lastSeq, seq)
+        lastMicros = math.max(lastMicros, micros)
+      }
+      if (sentinel) {
+        val us = lastMicros + 30L * 24 * 3600 * 1000000L
+        val ts = java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS)
+        val payload =
+          s"""{"event_id":${lastSeq + 1},"ts":"$ts","user_id":-1,""" +
+            """"event_type":"sentinel","value":0.0,"props":"{}"}"""
+        val b64 = java.util.Base64.getEncoder.encodeToString(payload.getBytes(UTF_8))
+        writers(0).write(s"${lastSeq + 1}\t$us\t-1\t$b64\n")
       }
       writers.foreach { w => w.write(ClosedMarker + "\n") }
     } finally writers.foreach(_.close())

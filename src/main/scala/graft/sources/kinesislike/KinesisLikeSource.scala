@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -187,7 +187,9 @@ object KinesisLikeOffset {
 }
 
 class KinesisLikeMicroBatchStream(cfg: KinesisLikeConfig)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream
+    with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   // Shard set is fixed at stream start, matching the reference's
   // single-DescribeStream shard discovery (producer.ex:171-188); shard
@@ -200,6 +202,16 @@ class KinesisLikeMicroBatchStream(cfg: KinesisLikeConfig)
         s"kinesislike: no shard-*.log files in ${cfg.logDir}")
     fs
   }
+
+  // Trigger.AvailableNow bound: offsets snapshotted at query start so the
+  // run drains exactly what existed then (and microbatching — hence
+  // watermark advancement and state flushing — still happens).
+  @volatile private var availableNowBound: Option[Map[String, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(shards.map { f =>
+      KinesisLikeLog.shardId(f) -> KinesisLikeLog.maxSeq(f)
+    }.toMap)
 
   override def initialOffset(): Offset =
     KinesisLikeOffset(shards.map { f =>
@@ -223,8 +235,11 @@ class KinesisLikeMicroBatchStream(cfg: KinesisLikeConfig)
       case _              => None
     }
     KinesisLikeOffset(shards.map { f =>
-      val sh    = KinesisLikeLog.shardId(f)
-      val avail = KinesisLikeLog.maxSeq(f)
+      val sh = KinesisLikeLog.shardId(f)
+      val avail = availableNowBound match {
+        case Some(bound) => bound.getOrElse(sh, -1L)
+        case None        => KinesisLikeLog.maxSeq(f)
+      }
       val after = from.getOrElse(sh, -1L)
       val end = cap match {
         case Some(n) => math.min(avail, after + n)
@@ -233,6 +248,11 @@ class KinesisLikeMicroBatchStream(cfg: KinesisLikeConfig)
       sh -> math.max(after, end)
     }.toMap)
   }
+
+  override def reportLatestOffset(): Offset =
+    KinesisLikeOffset(shards.map { f =>
+      KinesisLikeLog.shardId(f) -> KinesisLikeLog.maxSeq(f)
+    }.toMap)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

@@ -39,6 +39,12 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows(streaming) == rows(batch))
   }
 
+  test("q30 streaming session_window ≡ q24 batch sessionization") {
+    val streaming = SparkEntry.queries("q30_stream_session")(spark, sf)
+    val batch     = SparkEntry.queries("q24_sessionize")(spark, sf)
+    assert(rows(streaming) == rows(batch))
+  }
+
   test("RegistryListener marks a named query healthy on progress") {
     val registry = new ProducerRegistry
     val listener = new RegistryListener(registry)
