@@ -27,9 +27,16 @@ object Dedup {
   private val NumHashes = 8
   private val BandSize  = 2 // → 4 bands of 2 hashes
 
+  /** documents spread across the session's parallelism: the fixture table
+    * is a single parquet file (= one input partition), which would run
+    * every CPU-bound signature/verify stage on one core; at warehouse
+    * scale the table arrives pre-partitioned and this is a no-op cost. */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
   /** doc_id + distinct word-bigram shingle array, map-only. */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
+    docs(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(
@@ -71,15 +78,25 @@ object Dedup {
   )
 
   /** MinHash signature + banded LSH candidate pairs + exact-Jaccard verify.
-    * k=8 md5 minhashes, 4 bands × 2 rows; pairs sharing any band are
-    * verified against true shingle-set Jaccard ≥ 0.2. */
+    * k=8 minhashes, 4 bands × 2 rows; pairs sharing any band are verified
+    * against true shingle-set Jaccard ≥ 0.2.
+    *
+    * Hash family: the 8 "independent" hashes are the four 8-hex-char
+    * (32-bit) quarters of md5("a:"||x) and md5("b:"||x) — two md5
+    * evaluations per shingle instead of eight (round 1 cost 8 md5/shingle
+    * ≈ 12M digests at sf0.1; hashing dominates signature cost). The min
+    * over equal-length hex strings is the min over the 32-bit values —
+    * ample headroom against min-collisions at fixture scale. */
   private val d02 = Q(
     "d02_dedup_minhash_lsh",
     (s, d) => {
       val base = shingled(s, d)
+        .withColumn("ha", expr("transform(sh, x -> md5('a:' || x))"))
+        .withColumn("hb", expr("transform(sh, x -> md5('b:' || x))"))
       val hashCols: Seq[Column] = (0 until NumHashes).map { i =>
-        array_min(transform(col("sh"), x => md5(concat(lit(s"$i:"), x))))
-          .as(s"h$i")
+        val src = if (i < 4) "ha" else "hb"
+        val off = (i % 4) * 8 + 1
+        array_min(transform(col(src), x => substring(x, off, 8))).as(s"h$i")
       }
       val sig = base.select(col("doc_id") +: hashCols: _*)
       val bandCols = (0 until NumHashes / BandSize).map { b =>
@@ -109,20 +126,24 @@ object Dedup {
       cand
         .join(a, "id1")
         .join(b, "id2")
-        .select(
-          col("id1"),
-          col("id2"),
-          (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-            (size(col("sh1")) + size(col("sh2")) -
-              size(array_intersect(col("sh1"), col("sh2")))))
-            .as("jacc"))
+        // Intersection computed once per pair (it is the per-pair cost).
+        .withColumn(
+          "inter",
+          size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+        .withColumn(
+          "jacc",
+          col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
         .filter(col("jacc") >= 0.2)
         .select(col("id1"), col("id2"), round(col("jacc"), 6).as("jaccard"))
         .orderBy(col("id1"), col("id2"))
     },
     Some {
       val mins = (0 until NumHashes)
-        .map(i => s"list_min(list_transform(sh, x -> md5('$i:' || x))) AS h$i")
+        .map { i =>
+          val seed = if (i < 4) "a" else "b"
+          val off  = (i % 4) * 8 + 1
+          s"list_min(list_transform(sh, x -> substr(md5('$seed:' || x), $off, 8))) AS h$i"
+        }
         .mkString(", ")
       val bandRows = (0 until NumHashes / BandSize)
         .map(b =>
@@ -176,7 +197,7 @@ object Dedup {
           .stripMargin.replaceAll("\n", " ")
       }
       .mkString(" + ")
-    T.documents(s, d)
+    docs(s, d)
       .withColumn(
         "hv",
         expr(
@@ -281,7 +302,7 @@ object Dedup {
   private val d05 = Q(
     "d05_dedup_ngram_jaccard",
     (s, d) => {
-      val tri = T.documents(s, d)
+      val tri = docs(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(
@@ -302,12 +323,13 @@ object Dedup {
           b,
           col("blk") === col("blk2") &&
             col("id2") > col("id1") && col("id2") <= col("id1") + 25)
-        .select(
-          col("id1"),
-          col("id2"),
-          (size(array_intersect(col("tg1"), col("tg2"))).cast("double") /
-            (size(col("tg1")) + size(col("tg2")) -
-              size(array_intersect(col("tg1"), col("tg2"))))).as("jacc"))
+        // Intersection computed once per pair (it is the per-pair cost).
+        .withColumn(
+          "inter",
+          size(array_intersect(col("tg1"), col("tg2"))).cast("double"))
+        .withColumn(
+          "jacc",
+          col("inter") / (size(col("tg1")) + size(col("tg2")) - col("inter")))
         .filter(col("jacc") >= 0.1)
         .select(col("id1"), col("id2"), round(col("jacc"), 6).as("jaccard"))
         .orderBy(col("id1"), col("id2"))

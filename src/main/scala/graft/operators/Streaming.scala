@@ -51,13 +51,19 @@ object Streaming {
       copies: Int,
       sentinel: Boolean = false): String = {
     val base = new java.io.File(d).getName
-    val suffix = if (sentinel) "_sent" else ""
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_kinesislike/${base}_c$copies$suffix").getAbsolutePath
-    KinesisLikeLog.writeFromEvents(
-      s, d, dir, numShards = 4, copies = copies, sentinel = sentinel)
-    dir
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_kinesislike")
+    val baseDir = new java.io.File(root, s"${base}_c1").getAbsolutePath
+    KinesisLikeLog.writeFromEvents(s, d, baseDir, numShards = 4)
+    if (copies == 1 && !sentinel) baseDir
+    else {
+      // Variants derive from the base by line transformation — the Spark
+      // read of events.parquet happens once per sf dir, not per variant.
+      val suffix = if (sentinel) "_sent" else ""
+      val dir = new java.io.File(root, s"${base}_c$copies$suffix").getAbsolutePath
+      KinesisLikeLog.derive(baseDir, dir, copies, sentinel)
+      dir
+    }
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory

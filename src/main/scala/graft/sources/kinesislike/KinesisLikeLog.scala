@@ -182,4 +182,55 @@ object KinesisLikeLog {
     } finally writers.foreach(_.close())
     Files.createFile(ready)
   }
+
+  /** Derive a log variant (duplicated records and/or a sentinel) from an
+    * already-built base log by pure line transformation — no Spark job,
+    * so query packs that need several variants of the same sf dir pay the
+    * Spark read once. Idempotent via the ready marker. */
+  def derive(
+      baseDir: String,
+      targetDir: String,
+      copies: Int,
+      sentinel: Boolean,
+  ): Unit = synchronized {
+    val ready = Paths.get(targetDir, ReadyMarker)
+    if (Files.exists(ready)) return
+    Files.createDirectories(Paths.get(targetDir))
+    val shards = shardFiles(baseDir)
+    var lastSeq    = -1L
+    var lastMicros = 0L
+    shards.foreach { f =>
+      foldLines(f, ()) { (_, l) =>
+        parseLine(l).foreach { r =>
+          lastSeq = math.max(lastSeq, r.seq)
+          lastMicros = math.max(lastMicros, r.arrivalMicros)
+        }
+      }
+    }
+    shards.zipWithIndex.foreach { case (f, idx) =>
+      val w = Files.newBufferedWriter(
+        Paths.get(targetDir, f.getName), UTF_8)
+      try {
+        foldLines(f, ()) { (_, l) =>
+          if (parseLine(l).isDefined) {
+            var c = 0
+            while (c < copies) { w.write(l + "\n"); c += 1 }
+          }
+        }
+        if (sentinel && idx == 0) {
+          val us = lastMicros + 30L * 24 * 3600 * 1000000L
+          val ts = java.time.Instant.EPOCH
+            .plus(us, java.time.temporal.ChronoUnit.MICROS)
+          val payload =
+            s"""{"event_id":${lastSeq + 1},"ts":"$ts","user_id":-1,""" +
+              """"event_type":"sentinel","value":0.0,"props":"{}"}"""
+          val b64 = java.util.Base64.getEncoder
+            .encodeToString(payload.getBytes(UTF_8))
+          w.write(s"${lastSeq + 1}\t$us\t-1\t$b64\n")
+        }
+        w.write(ClosedMarker + "\n")
+      } finally w.close()
+    }
+    Files.createFile(ready)
+  }
 }
