@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native codegen'd dot product over two float-array columns — the
+  * custom-Expression tier of the operator preference order (SURVEY §4.2:
+  * built-ins first, then a Catalyst `Expression` with `doGenCode`, and
+  * only then anything slower). The built-in HOF formulation
+  * (`aggregate(zip_with(a, b, (x, y) -> x*y), 0D, (acc, z) -> acc+z)`)
+  * allocates an intermediate product array per row and evaluates two
+  * lambda closures per element; this expression is a single fused loop
+  * over the unsafe array data inside whole-stage codegen.
+  *
+  * Semantics are chosen to be bit-compatible with the HOF fold the
+  * DuckDB oracle mirrors: elements promoted to double, products
+  * accumulated LEFT-TO-RIGHT (IEEE addition order matters), so swapping
+  * one for the other cannot change a hash-compared result. Unequal
+  * lengths dot the common prefix; element nulls are not expected
+  * (fixture embeddings are dense float vectors).
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  // Return type inferred: Seq[ArrayType] conforms to the (private[sql])
+  // Seq[AbstractDataType] the trait declares.
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  /** Idempotent per-session registration (queries receive an arbitrary
+    * session from the driver, so they self-register rather than assume
+    * `spark.sql.extensions` was configured). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot",
+      exprs => {
+        require(
+          exprs.length == 2,
+          s"vec_dot requires exactly 2 arguments (two ARRAY<FLOAT> columns), got ${exprs.length}")
+        FloatVectorDot(exprs(0), exprs(1))
+      },
+      "built-in")
+
+  /** Column-level API over the registered function. */
+  def vecDot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("vec_dot", a, b)
+  }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` registration
+  * path for sessions configured up front (the injectFunction analog of
+  * the per-session registry call above). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => FloatVectorDot(children.head, children(1))))
+}

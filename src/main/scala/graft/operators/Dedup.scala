@@ -435,12 +435,10 @@ object Dedup {
           .select(
             col("id1"),
             col("id2"),
+            // Native codegen'd dot (bit-identical to the HOF fold the
+            // oracle mirrors — see graft.functions.FloatVectorDot).
             round(
-              aggregate(
-                zip_with(col("v1"), col("v2"),
-                  (x, y) => x.cast("double") * y.cast("double")),
-                lit(0.0),
-                (acc, x) => acc + x),
+              graft.functions.GraftFunctions.vecDot(s, col("v1"), col("v2")),
               6).as("cosine"))
           .orderBy(col("cosine").desc, col("id1"), col("id2"))
           .limit(100)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables => T}
+import graft.functions.GraftFunctions
 
 /** Approximate-nearest-neighbor search over the embedding column
   * (ArrayType(FloatType), fixed dim 64, L2-normalized per FIXTURES.md so
@@ -17,13 +18,13 @@ import graft.{Q, Tables => T}
   */
 object Similarity {
 
-  /** dot(a, b) promoted to double, sequential fold (bit-identical to the
-    * DuckDB oracle's list_sum ∘ list_transform). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** dot(a, b) via the native codegen'd [[graft.functions.FloatVectorDot]]
+    * expression: promoted to double, accumulated left-to-right — the same
+    * IEEE operation sequence as the HOF fold the DuckDB oracle mirrors
+    * (list_sum ∘ list_transform), so results stay bit-identical while the
+    * per-row intermediate product array and lambda dispatch disappear. */
+  private def dot(s: SparkSession, a: Column, b: Column): Column =
+    GraftFunctions.vecDot(s, a, b)
 
   /** Exact brute-force cosine top-k for the query vector vec_id=0. */
   private val s01 = Q(
@@ -36,7 +37,7 @@ object Similarity {
         .select(
           col("vec_id"),
           col("label"),
-          round(dot(col("embedding"), col("qv")), 6).as("cosine"))
+          round(dot(s, col("embedding"), col("qv")), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
     },
@@ -81,7 +82,7 @@ object Similarity {
         .select(
           col("vec_id"),
           col("label"),
-          round(dot(col("embedding"), col("qv")), 6).as("cosine"))
+          round(dot(s, col("embedding"), col("qv")), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10)
     },
