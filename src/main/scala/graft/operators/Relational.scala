@@ -762,7 +762,70 @@ object Relational {
       ORDER BY p_partkey"""),
   )
 
+  /** Statistical aggregate pack: sample stddev, Pearson correlation,
+    * exact interpolated percentile (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). Rounding chosen per magnitude so cross-engine
+    * summation-formula noise (Welford vs central-moment accumulators)
+    * cannot flip a digit: stddev ~3·10⁴ → 2 dp, corr/median per their
+    * scales. */
+  private val q31 = Q(
+    "q31_agg_stats",
+    (s, d) =>
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qty_price"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4)
+            .as("median_price"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        )
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             round(stddev_samp(l_extendedprice), 2) AS sd_price,
+             round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+             round(avg(l_extendedprice), 4) AS avg_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+  )
+
+  /** Explicit GROUPING SETS (beyond the rollup/cube shorthands of
+    * q15/q16) with grouping() indicators — SQL-formulated, since the
+    * grouping-sets shape is the one aggregation form the DataFrame API
+    * spells via SQL. */
+  private val q32 = Q(
+    "q32_agg_grouping_sets",
+    (s, d) => {
+      T.lineitem(s, d).createOrReplaceTempView("graft_q32_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS qty
+        FROM graft_q32_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST,
+                 g_flag, g_status""")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) AS INT) AS g_flag,
+             CAST(grouping(l_linestatus) AS INT) AS g_status,
+             count(*) AS n,
+             round(sum(l_quantity), 2) AS qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST,
+               g_flag, g_status"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
+    q31, q32)
 }
