@@ -90,12 +90,17 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` registration
-  * path for sessions configured up front (the injectFunction analog of
-  * the per-session registry call above). */
+  * path for sessions configured up front: the vec_dot function plus the
+  * per-group top-k planner strategy (the runtime analogs are
+  * [[GraftFunctions.register]] and `spark.experimental.extraStrategies`,
+  * used by the query pack since the driver hands it unconfigured
+  * sessions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
       (children: Seq[Expression]) => FloatVectorDot(children.head, children(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+  }
 }

@@ -824,8 +824,39 @@ object Relational {
                g_flag, g_status"""),
   )
 
+  /** Per-group top-k through the custom whole-operator path
+    * (graft.plans.TopKPerGroup: custom LogicalPlan → SparkStrategy →
+    * bounded-heap SparkPlan, one hash shuffle, NO per-group sort) —
+    * same semantics as q08's window formulation, same oracle shape, so
+    * the custom physical operator is held to the DuckDB gate like every
+    * built-in. */
+  private val q33 = Q(
+    "q33_topk_custom",
+    (s, d) =>
+      graft.plans.TopK
+        .perGroup(
+          s,
+          T.customer(s, d),
+          Seq(col("c_nationkey")),
+          Seq(col("c_acctbal").desc, col("c_custkey").asc),
+          3)
+        .select(
+          col("c_nationkey"),
+          col("c_custkey"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy(col("c_nationkey"), col("acctbal").desc, col("c_custkey")),
+    Some("""
+      SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal
+      FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+            FROM customer)
+      WHERE rk <= 3
+      ORDER BY c_nationkey, acctbal DESC, c_custkey"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q31, q32)
+    q31, q32, q33)
 }
