@@ -87,70 +87,71 @@ object Dedup {
     * ≈ 12M digests at sf0.1; hashing dominates signature cost). The min
     * over equal-length hex strings is the min over the 32-bit values —
     * ample headroom against min-collisions at fixture scale. */
-  private val d02 = Q(
-    "d02_dedup_minhash_lsh",
-    (s, d) => {
-      val base = shingled(s, d)
-        .withColumn("ha", expr("transform(sh, x -> md5('a:' || x))"))
-        .withColumn("hb", expr("transform(sh, x -> md5('b:' || x))"))
-      val hashCols: Seq[Column] = (0 until NumHashes).map { i =>
-        val src = if (i < 4) "ha" else "hb"
-        val off = (i % 4) * 8 + 1
-        array_min(transform(col(src), x => substring(x, off, 8))).as(s"h$i")
+  /** Verified near-dup pairs (id1, id2, jacc) through the banded-LSH
+    * pipeline — shared by d02 (the pair listing) and d07 (cluster
+    * assignment over these edges). */
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val base = shingled(s, d)
+      .withColumn("ha", expr("transform(sh, x -> md5('a:' || x))"))
+      .withColumn("hb", expr("transform(sh, x -> md5('b:' || x))"))
+    val hashCols: Seq[Column] = (0 until NumHashes).map { i =>
+      val src = if (i < 4) "ha" else "hb"
+      val off = (i % 4) * 8 + 1
+      array_min(transform(col(src), x => substring(x, off, 8))).as(s"h$i")
+    }
+    val sig = base.select(col("doc_id") +: hashCols: _*)
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
+    }
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    val b1 = bands.select(
+      col("doc_id").as("id1"),
+      col("band_idx"),
+      col("band_val"))
+    val b2 = bands.select(
+      col("doc_id").as("id2"),
+      col("band_idx").as("band_idx2"),
+      col("band_val").as("band_val2"))
+    val cand = b1
+      .join(
+        b2,
+        col("band_idx") === col("band_idx2") &&
+          col("band_val") === col("band_val2") &&
+          col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    val a = base.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val b = base.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    cand
+      .join(a, "id1")
+      .join(b, "id2")
+      // Intersection computed once per pair (it is the per-pair cost).
+      .withColumn(
+        "inter",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn(
+        "jacc",
+        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .filter(col("jacc") >= 0.2)
+      .select(col("id1"), col("id2"), col("jacc"))
+  }
+
+  /** The d02 pipeline as DuckDB CTEs ending in `pairs(id1, id2, jacc)`. */
+  private def lshPairsSql: String = {
+    val mins = (0 until NumHashes)
+      .map { i =>
+        val seed = if (i < 4) "a" else "b"
+        val off  = (i % 4) * 8 + 1
+        s"list_min(list_transform(sh, x -> substr(md5('$seed:' || x), $off, 8))) AS h$i"
       }
-      val sig = base.select(col("doc_id") +: hashCols: _*)
-      val bandCols = (0 until NumHashes / BandSize).map { b =>
-        concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
-      }
-      val bands = sig.select(
-        col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
-      val b1 = bands.select(
-        col("doc_id").as("id1"),
-        col("band_idx"),
-        col("band_val"))
-      val b2 = bands.select(
-        col("doc_id").as("id2"),
-        col("band_idx").as("band_idx2"),
-        col("band_val").as("band_val2"))
-      val cand = b1
-        .join(
-          b2,
-          col("band_idx") === col("band_idx2") &&
-            col("band_val") === col("band_val2") &&
-            col("id1") < col("id2"))
-        .select(col("id1"), col("id2"))
-        .distinct()
-      val a = base.select(col("doc_id").as("id1"), col("sh").as("sh1"))
-      val b = base.select(col("doc_id").as("id2"), col("sh").as("sh2"))
-      cand
-        .join(a, "id1")
-        .join(b, "id2")
-        // Intersection computed once per pair (it is the per-pair cost).
-        .withColumn(
-          "inter",
-          size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
-        .withColumn(
-          "jacc",
-          col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
-        .filter(col("jacc") >= 0.2)
-        .select(col("id1"), col("id2"), round(col("jacc"), 6).as("jaccard"))
-        .orderBy(col("id1"), col("id2"))
-    },
-    Some {
-      val mins = (0 until NumHashes)
-        .map { i =>
-          val seed = if (i < 4) "a" else "b"
-          val off  = (i % 4) * 8 + 1
-          s"list_min(list_transform(sh, x -> substr(md5('$seed:' || x), $off, 8))) AS h$i"
-        }
-        .mkString(", ")
-      val bandRows = (0 until NumHashes / BandSize)
-        .map(b =>
-          s"SELECT doc_id, $b AS band_idx, h${2 * b} || h${2 * b + 1} AS band_val FROM sig")
-        .mkString(" UNION ALL ")
-      s"""
-      WITH $shingledSql,
+      .mkString(", ")
+    val bandRows = (0 until NumHashes / BandSize)
+      .map(b =>
+        s"SELECT doc_id, $b AS band_idx, h${2 * b} || h${2 * b + 1} AS band_val FROM sig")
+      .mkString(" UNION ALL ")
+    s"""$shingledSql,
       sig AS (SELECT doc_id, $mins FROM base),
       bands AS ($bandRows),
       cand AS (SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
@@ -162,11 +163,86 @@ object Dedup {
                         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                           AS jacc
                  FROM cand c JOIN base a ON a.doc_id = c.id1
-                             JOIN base b ON b.doc_id = c.id2)
+                             JOIN base b ON b.doc_id = c.id2),
+      pairs AS (SELECT id1, id2, jacc FROM scored WHERE jacc >= 0.2)"""
+  }
+
+  private val d02 = Q(
+    "d02_dedup_minhash_lsh",
+    (s, d) =>
+      lshPairs(s, d)
+        .select(col("id1"), col("id2"), round(col("jacc"), 6).as("jaccard"))
+        .orderBy(col("id1"), col("id2")),
+    Some(s"""
+      WITH $lshPairsSql
       SELECT id1, id2, round(jacc, 6) AS jaccard
-      FROM scored WHERE jacc >= 0.2
-      ORDER BY id1, id2"""
+      FROM pairs
+      ORDER BY id1, id2"""),
+  )
+
+  /** Dedup cluster assignment: connected components over the verified
+    * near-dup pairs — the step that turns pairwise matches into
+    * canonical-document groups (keep cluster_id, drop the rest).
+    *
+    * Spark side: min-label propagation — every doc starts labeled with
+    * its own id; 8 fixed rounds of "take the min label across neighbors"
+    * (label reach doubles per round via the re-grouped frontier, so 8
+    * rounds cover any cluster of diameter ≤ 2⁸; near-dup clusters are
+    * tiny). Each round is one equi-join + one aggregate, and the lineage
+    * is truncated per round with an eager localCheckpoint — exactly the
+    * iterate-checkpoint shape a 100 TB connected-components job uses
+    * (without it the plan doubles per iteration). The oracle computes the
+    * same fixpoint declaratively with a recursive CTE. */
+  private val d07 = Q(
+    "d07_dedup_clusters",
+    (s, d) => {
+      val pairs = lshPairs(s, d).select(col("id1"), col("id2"))
+        .localCheckpoint(true) // computed once, not once per iteration
+      val edges = pairs
+        .select(col("id1").as("src"), col("id2").as("dst"))
+        .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      var labels = T.documents(s, d)
+        .select(col("doc_id"), col("doc_id").as("lbl"))
+      for (_ <- 1 to 8) {
+        val propagated = edges
+          .join(labels, col("src") === col("doc_id"))
+          .select(col("dst").as("doc_id"), col("lbl"))
+        labels = labels
+          .union(propagated)
+          .groupBy(col("doc_id"))
+          .agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+      }
+      val clusters = labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+      val sizes = clusters
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      clusters
+        .join(sizes, "cluster_id")
+        .select(
+          col("doc_id"),
+          col("cluster_id"),
+          col("cluster_size"),
+          (col("doc_id") =!= col("cluster_id")).as("is_duplicate"))
+        .orderBy(col("doc_id"))
     },
+    Some(s"""
+      WITH RECURSIVE $lshPairsSql,
+      edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                UNION ALL
+                SELECT id2 AS a, id1 AS b FROM pairs),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+      clusters AS (SELECT id AS doc_id, min(r) AS cluster_id
+                   FROM reach GROUP BY id)
+      SELECT c.doc_id, c.cluster_id, n.cluster_size,
+             (c.doc_id <> c.cluster_id) AS is_duplicate
+      FROM clusters c
+      JOIN (SELECT cluster_id, count(*) AS cluster_size
+            FROM clusters GROUP BY cluster_id) n USING (cluster_id)
+      ORDER BY c.doc_id"""),
   )
 
   /** 60-bit SimHash over the distinct-word set: each word maps once to a
@@ -468,5 +544,5 @@ object Dedup {
     )
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06)
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07)
 }
