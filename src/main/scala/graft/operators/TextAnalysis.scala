@@ -223,5 +223,62 @@ object TextAnalysis {
       LIMIT 100"""),
   )
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05)
+  /** TF-IDF with per-document top-5 terms: tf = in-doc occurrences,
+    * idf = ln((N+1)/(df+1)) + 1 (smoothed), ranked per doc on the ROUNDED
+    * score (so a last-ulp ln() difference between engines cannot reorder
+    * near-ties) with the term as tie-breaker.
+    *
+    * Scale shape: one explode + two hash aggregates (term stats shuffle
+    * on term, tf on (doc, term)), the corpus size joined in as a
+    * broadcast scalar, and a per-doc window for the top-5 — every join
+    * key is high-cardinality. */
+  private val t06 = Q(
+    "t06_tfidf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = words.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val ndocs = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .join(dfreq, "term")
+        .crossJoin(broadcast(ndocs))
+        .withColumn(
+          "tfidf",
+          round(
+            col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0),
+            4))
+      val w = Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT t.doc_id, t.term,
+               round(t.tf * (ln((nd.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 4)
+                 AS tfidf
+        FROM tf t JOIN dfreq d USING (term), nd),
+      ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term ASC) AS rk
+        FROM scored)
+      SELECT doc_id, CAST(rk AS INT) AS rk, term, tfidf
+      FROM ranked WHERE rk <= 5
+      ORDER BY doc_id, rk"""),
+  )
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06)
 }
