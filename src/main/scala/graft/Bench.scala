@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session before timing: touch every table and exercise one
+    // shuffle so JVM/codegen/scan warmup is not attributed to whichever
+    // query happens to run first (round 1 misread a 4 s warmup tail as a
+    // q20 regression).
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      try Tables.t(spark, sfDir, t).groupBy().count().collect()
+      catch { case _: Throwable => Tables.events(spark, sfDir).count() }
+    }
     // Sorted name order (stable attribution across rounds); noop-format
     // write fully materializes every result row — count() would let
     // limit-only plans short-circuit and hide result-production cost.

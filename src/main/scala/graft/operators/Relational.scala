@@ -855,8 +855,58 @@ object Relational {
       ORDER BY c_nationkey, acctbal DESC, c_custkey"""),
   )
 
+  /** Pivot (groupBy().pivot() with an explicit value list, so the output
+    * schema is static and deterministic); the oracle is the equivalent
+    * conditional aggregation. */
+  private val q34 = Q(
+    "q34_pivot",
+    (s, d) =>
+      T.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+        .orderBy(col("o_orderpriority")),
+    Some("""
+      SELECT o_orderpriority,
+             round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,
+             round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o,
+             round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+  )
+
+  /** Null-handling scalar pack: coalesce, nullif, nvl2, greatest/least
+    * over a derived nullable column. */
+  private val q35 = Q(
+    "q35_scalar_null",
+    (s, d) =>
+      T.customer(s, d)
+        .select(
+          col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"))
+        .select(
+          col("c_custkey"),
+          coalesce(col("seg_nb"), lit("(redacted)")).as("seg_or_default"),
+          expr("nvl2(seg_nb, 'kept', 'dropped')").as("kept_flag"),
+          greatest(col("c_custkey") % 7, col("c_custkey") % 5).as("g_mod"),
+          least(col("c_custkey") % 7, col("c_custkey") % 5).as("l_mod"),
+        )
+        .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey,
+             coalesce(nullif(c_mktsegment, 'BUILDING'), '(redacted)') AS seg_or_default,
+             CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+                  THEN 'kept' ELSE 'dropped' END AS kept_flag,
+             greatest(c_custkey % 7, c_custkey % 5) AS g_mod,
+             least(c_custkey % 7, c_custkey % 5) AS l_mod
+      FROM customer
+      ORDER BY c_custkey"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q31, q32, q33)
+    q31, q32, q33, q34, q35)
 }
