@@ -230,5 +230,93 @@ object Streaming {
       ORDER BY user_id"""),
   )
 
-  val all: Seq[Q] = Seq(q28, q29, q30)
+  /** Stream-stream interval join: purchases ⋈ clicks per user, the click
+    * at most one hour before the purchase — both sides watermarked, equi
+    * key (user_id) + event-time range constraint, the canonical
+    * state-bounded streaming join. Inner joins emit matches as both sides
+    * arrive, so the drained result equals the batch interval join, whose
+    * SQL is the oracle. */
+  private val q36 = Q(
+    "q36_stream_join",
+    (s, d) => {
+      val log = ensureLog(s, d, copies = 1)
+      def side(): DataFrame = s.readStream
+        .format("kinesislike")
+        .option("path", log)
+        .option("startingPosition", "trim_horizon")
+        .load()
+      val purchases = parsed(side())
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = parsed(side())
+        .filter(col("event_type") === "click")
+        .select(
+          col("user_id").as("c_user"),
+          col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(
+        clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      runToMemory(s, joined, "append")
+        .select(col("purchase_id"), col("click_id"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    },
+    Some("""
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      ORDER BY purchase_id, click_id"""),
+  )
+
+  /** Streaming SLIDING window (2 h length, 1 h slide): every event lands
+    * in exactly two windows. Complete mode drains all windows; the oracle
+    * materializes the same assignment by unioning the two shifted window
+    * starts per event. */
+  private val q37 = Q(
+    "q37_stream_sliding",
+    (s, d) => {
+      val log = ensureLog(s, d, copies = 1)
+      val stream = s.readStream
+        .format("kinesislike")
+        .option("path", log)
+        .option("startingPosition", "trim_horizon")
+        .load()
+      val agg = parsed(stream)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+      runToMemory(s, agg, "complete")
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"),
+          col("n"),
+          col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value
+        FROM events)
+      SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      FROM w
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type"""),
+  )
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q36, q37)
 }
