@@ -88,5 +88,51 @@ object Multimodal {
     None, // stubbed decode: no SQL analog → driver records rows-only check
   )
 
-  val all: Seq[Q] = Seq(m01, m02)
+  /** Frame sampling over "video" payloads (doc_id % 3 = 2): one frame of
+    * 16 bytes every 32-byte stride — the row-explodes-to-frames plumbing a
+    * video pipeline needs (schema, offsets, per-frame checksum), with the
+    * decode itself standing on binary substring. Fully oracle-checkable:
+    * both engines slice the same blob and md5 the slice. */
+  private val m03 = Q(
+    "m03_frame_sample",
+    (s, d) =>
+      T.documents(s, d)
+        .selectExpr(
+          "doc_id",
+          "CAST(text AS BINARY) AS payload",
+          "length(CAST(text AS BINARY)) AS n")
+        .filter("doc_id % 3 = 2 AND n >= 16")
+        .select(
+          col("doc_id"),
+          col("payload"),
+          explode(expr("sequence(0, CAST((n - 16) div 32 AS INT))"))
+            .as("frame_idx"))
+        .selectExpr(
+          "doc_id",
+          "frame_idx",
+          "frame_idx * 32 + 1 AS frame_off",
+          "md5(substring(payload, frame_idx * 32 + 1, 16)) AS frame_hash")
+        .orderBy(col("doc_id"), col("frame_idx")),
+    // DuckDB quirks absorbed here: generate_series as a TABLE function
+    // rejects lateral column refs (scalar-list + unnest instead), and
+    // this build has no BLOB substr — the VARCHAR slice is byte-identical
+    // for the ASCII fixture (md5(VARCHAR) hashes UTF-8 bytes; the Spark
+    // side stays genuinely binary).
+    Some("""
+      WITH v AS (
+        SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+        FROM documents WHERE doc_id % 3 = 2),
+      frames AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, CAST((n - 16) // 32 AS INT))) AS i
+        FROM v WHERE n >= 16)
+      SELECT doc_id,
+             CAST(i AS INT) AS frame_idx,
+             CAST(i * 32 + 1 AS INT) AS frame_off,
+             md5(substr(text, CAST(i * 32 + 1 AS BIGINT), 16)) AS frame_hash
+      FROM frames
+      ORDER BY doc_id, frame_idx"""),
+  )
+
+  val all: Seq[Q] = Seq(m01, m02, m03)
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** m02's decoder is a stub (no codecs in the image), so its features get
+  * no SQL oracle — this spec holds it to an INDEPENDENT formulation
+  * instead: the same statistics computed through Spark SQL built-ins
+  * (ascii() per character — valid because the fixture text is pure
+  * ASCII, asserted first), making the mapPartitions path cross-checked
+  * rather than trusted. */
+class MultimodalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("m02 stub features match an independent SQL formulation") {
+    val docs = graft.Tables.documents(spark, sf)
+    // Precondition for the ascii()-based reference: ASCII-only text
+    // (char count == UTF-8 byte count).
+    assert(docs.filter(expr(
+      "length(text) <> length(CAST(text AS BINARY))")).count() == 0)
+
+    val ref = docs
+      .selectExpr(
+        "doc_id",
+        "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))) AS bytes")
+      .selectExpr(
+        "doc_id",
+        "size(bytes) AS n_bytes",
+        "aggregate(bytes, CAST(0 AS BIGINT), (a, x) -> a + x) / CAST(size(bytes) AS DOUBLE) AS mean_raw",
+        """concat('[', concat_ws(',',
+             transform(sequence(0, 7),
+               k -> CAST(size(filter(bytes, x -> CAST(x div 32 AS INT) = k)) AS STRING))),
+           ']') AS byte_hist""")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getString(3)))
+      .toMap
+
+    val got = SparkEntry.queries("m02_media_features")(spark, sf).collect()
+    assert(got.length == ref.size)
+    got.foreach { r =>
+      val (nBytes, meanRaw, hist) = ref(r.getLong(0))
+      assert(r.getInt(1) == nBytes, s"n_bytes for doc ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(2) - meanRaw) < 1e-6,
+        s"mean_byte for doc ${r.getLong(0)}")
+      assert(r.getString(3) == hist, s"byte_hist for doc ${r.getLong(0)}")
+    }
+  }
+}
