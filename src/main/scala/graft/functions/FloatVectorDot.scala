@@ -71,8 +71,9 @@ object GraftFunctions {
   /** Idempotent per-session registration (queries receive an arbitrary
     * session from the driver, so they self-register rather than assume
     * `spark.sql.extensions` was configured). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "vec_dot",
       exprs => {
         require(
@@ -81,11 +82,42 @@ object GraftFunctions {
         FloatVectorDot(exprs(0), exprs(1))
       },
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash60",
+      exprs => {
+        require(
+          exprs.length == 1,
+          s"simhash60 requires exactly 1 argument (an ARRAY<BIGINT> column), got ${exprs.length}")
+        SimHash60(exprs.head)
+      },
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "sign_dots16",
+      exprs => {
+        require(
+          exprs.length == 1,
+          s"sign_dots16 requires exactly 1 argument (an ARRAY<FLOAT> column), got ${exprs.length}")
+        SignDots16(exprs.head)
+      },
+      "built-in")
+  }
 
   /** Column-level API over the registered function. */
   def vecDot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("vec_dot", a, b)
+  }
+
+  /** Column-level API: 60-bit SimHash of an ARRAY<BIGINT> word-hash column. */
+  def simHash60(spark: SparkSession, hv: Column): Column = {
+    register(spark)
+    call_function("simhash60", hv)
+  }
+
+  /** Column-level API: 16 sign-LSH raw dot products of an ARRAY<FLOAT>. */
+  def signDots16(spark: SparkSession, embedding: Column): Column = {
+    register(spark)
+    call_function("sign_dots16", embedding)
   }
 }
 
@@ -101,6 +133,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
       (children: Seq[Expression]) => FloatVectorDot(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (children: Seq[Expression]) => SimHash60(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("sign_dots16"),
+      new ExpressionInfo(classOf[SignDots16].getName, "sign_dots16"),
+      (children: Seq[Expression]) => SignDots16(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

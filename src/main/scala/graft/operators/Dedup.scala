@@ -91,7 +91,13 @@ object Dedup {
     * pipeline — shared by d02 (the pair listing) and d07 (cluster
     * assignment over these edges). */
   private def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val base = shingled(s, d)
+    // The shingle arrays feed the signature derivation AND both sides of
+    // the verify join: materialize them ONCE (eager localCheckpoint, the
+    // d07 iterate-checkpoint pattern) instead of re-deriving the split +
+    // bigram transform up to 4× across the band/verify self-joins — at
+    // 100 TB you'd write signatures to storage once, never recompute.
+    val base = shingled(s, d).localCheckpoint(true)
+    val sigInput = base
       .withColumn("ha", expr("transform(sh, x -> md5('a:' || x))"))
       .withColumn("hb", expr("transform(sh, x -> md5('b:' || x))"))
     val hashCols: Seq[Column] = (0 until NumHashes).map { i =>
@@ -99,13 +105,16 @@ object Dedup {
       val off = (i % 4) * 8 + 1
       array_min(transform(col(src), x => substring(x, off, 8))).as(s"h$i")
     }
-    val sig = base.select(col("doc_id") +: hashCols: _*)
+    val sig = sigInput.select(col("doc_id") +: hashCols: _*)
     val bandCols = (0 until NumHashes / BandSize).map { b =>
       concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
     }
+    // Tiny (4 short rows per doc) and read by both sides of the candidate
+    // self-join: checkpoint so the md5 minhash passes run exactly once.
     val bands = sig.select(
       col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+      .localCheckpoint(true)
     val b1 = bands.select(
       col("doc_id").as("id1"),
       col("band_idx"),
@@ -184,15 +193,18 @@ object Dedup {
     * near-dup pairs — the step that turns pairwise matches into
     * canonical-document groups (keep cluster_id, drop the rest).
     *
-    * Spark side: min-label propagation — every doc starts labeled with
-    * its own id; 8 fixed rounds of "take the min label across neighbors"
-    * (label reach doubles per round via the re-grouped frontier, so 8
-    * rounds cover any cluster of diameter ≤ 2⁸; near-dup clusters are
-    * tiny). Each round is one equi-join + one aggregate, and the lineage
-    * is truncated per round with an eager localCheckpoint — exactly the
-    * iterate-checkpoint shape a 100 TB connected-components job uses
-    * (without it the plan doubles per iteration). The oracle computes the
-    * same fixpoint declaratively with a recursive CTE. */
+    * Spark side: min-label propagation to the FIXPOINT — every doc starts
+    * labeled with its own id; each round takes the min label across
+    * neighbors (labels travel one hop per round over the static edge
+    * list), and iteration stops when a round lowers no label, so
+    * correctness holds for any cluster diameter — matching the oracle's
+    * exact recursive-CTE fixpoint. Each round is one equi-join + one
+    * aggregate, lineage truncated per round with an eager localCheckpoint
+    * — exactly the iterate-checkpoint shape a 100 TB connected-components
+    * job uses (without it the plan doubles per iteration); the
+    * changed-label count that drives termination is the standard
+    * per-round convergence metric of such jobs (a scalar per round, not a
+    * driver-side collect of data). */
   private val d07 = Q(
     "d07_dedup_clusters",
     (s, d) => {
@@ -203,15 +215,27 @@ object Dedup {
         .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       var labels = T.documents(s, d)
         .select(col("doc_id"), col("doc_id").as("lbl"))
-      for (_ <- 1 to 8) {
+        .localCheckpoint(true)
+      var changed = 1L
+      var rounds  = 0
+      // Labels move one hop per round, so the loop must run to the
+      // fixpoint (diameter + 1 rounds), not a fixed count; the cap only
+      // guards against a pathological fixture (diameter ≥ doc count).
+      while (changed > 0 && rounds < 10000) {
         val propagated = edges
           .join(labels, col("src") === col("doc_id"))
           .select(col("dst").as("doc_id"), col("lbl"))
-        labels = labels
+        val next = labels
           .union(propagated)
           .groupBy(col("doc_id"))
           .agg(min(col("lbl")).as("lbl"))
           .localCheckpoint(true)
+        changed = next
+          .join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
+          .filter(col("lbl") =!= col("prev"))
+          .count()
+        labels = next
+        rounds += 1
       }
       val clusters = labels.select(col("doc_id"), col("lbl").as("cluster_id"))
       val sizes = clusters
@@ -262,24 +286,22 @@ object Dedup {
       .map(j => s"CAST(${posFn(j + 1)} - 1 AS BIGINT) * ${1L << (4 * (14 - j))}")
       .mkString("(", " + ", ")")
 
+  /** Spark side of the simhash signature. The word→60-bit value is the
+    * first 15 md5 hex nibbles parsed base-16 (`conv` — numerically
+    * identical to the oracle's per-nibble strpos fold in [[simhashSql]]),
+    * and the 60 sign-bits come from the fused codegen
+    * [[graft.functions.SimHash60]] expression in ONE pass over the
+    * word-hash array — the built-in formulation was 60 separate
+    * interpreted `aggregate()` folds (CodegenFallback), 13.8 s at sf0.1. */
   private def simhashDf(s: SparkSession, d: String): DataFrame = {
-    val wv = wordValTerms(j =>
-      s"instr('0123456789abcdef', substring(h, $j, 1))")
-    val bitTerms = (0 until 60)
-      .map { i =>
-        s"""(CASE WHEN aggregate(hv, 0, (acc, v) -> acc +
-           | (CASE WHEN (shiftright(v, $i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-           | THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
-          .stripMargin.replaceAll("\n", " ")
-      }
-      .mkString(" + ")
+    graft.functions.GraftFunctions.register(s)
     docs(s, d)
       .withColumn(
         "hv",
         expr(
-          "transform(transform(array_distinct(split(text, ' ')), " +
-            s"w -> md5(w)), h -> $wv)"))
-      .selectExpr("doc_id", s"($bitTerms) AS simhash")
+          "transform(array_distinct(split(text, ' ')), " +
+            "w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT))"))
+      .selectExpr("doc_id", "simhash60(hv) AS simhash")
   }
 
   private def simhashSql: String = {
@@ -323,12 +345,15 @@ object Dedup {
     "d04_dedup_simhash_pairs",
     (s, d) => {
       val sig = simhashDf(s, d)
+      // Both sides of the pigeonhole self-join read the chunk table:
+      // checkpoint it so the signature pass runs once, not twice.
       val chunks = sig.select(
         col("doc_id"),
         col("simhash"),
         posexplode(array((0 until 4).map(i =>
           shiftright(col("simhash"), 15 * i).bitwiseAND(lit(32767L))): _*))
           .as(Seq("chunk_idx", "chunk_val")))
+        .localCheckpoint(true)
       val c1 = chunks.select(
         col("doc_id").as("id1"),
         col("simhash").as("sig1"),
@@ -378,6 +403,9 @@ object Dedup {
   private val d05 = Q(
     "d05_dedup_ngram_jaccard",
     (s, d) => {
+      // Both sides of the block self-join read the trigram table:
+      // materialize it once instead of re-running the split + trigram
+      // transform per side.
       val tri = docs(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
@@ -387,6 +415,7 @@ object Dedup {
             "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', " +
               "element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2)))"))
             .as("tg"))
+        .localCheckpoint(true)
       val a = tri
         .select(col("doc_id").as("id1"), col("tg").as("tg1"))
         .withColumn(
@@ -450,26 +479,19 @@ object Dedup {
     * band keys (widen bands for larger corpora); exact scoring touches
     * ~n/256 × n pairs, not n². */
   private val d06 = {
-    val NumPlanes = 16
-    val Dim       = 64
-    // Deterministic ±1 from the top bit of md5("p:i") — a public-domain
-    // construction both engines could recompute; baked as literals.
-    def planeSign(p: Int, i: Int): Boolean = {
-      val h = java.security.MessageDigest
-        .getInstance("MD5").digest(s"$p:$i".getBytes("UTF-8"))
-      (h(0) & 0x80) != 0
-    }
+    import graft.functions.SignDots16.{NumPlanes, planeSign}
+    val Dim = 64
+    // The ±1 plane matrix is SignDots16's md5("p:i") top-bit construction;
+    // the oracle bakes the same matrix as literals.
     val planes: Seq[Seq[Boolean]] =
       (0 until NumPlanes).map(p => (0 until Dim).map(i => planeSign(p, i)))
-    def bitSpark(p: Int): String = {
-      val arr = planes(p).map(v => if (v) "1.0D" else "-1.0D")
-        .mkString("array(", ", ", ")")
-      s"""(CASE WHEN round(aggregate(zip_with(embedding, $arr,
-         | (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE),
-         | (acc, z) -> acc + z), 9) > 0
-         | THEN ${1 << (p % 8)} ELSE 0 END)""".stripMargin
-        .replaceAll("\n", " ")
-    }
+    // Spark side: the 16 raw plane dots come from ONE fused codegen pass
+    // ([[graft.functions.SignDots16]]) instead of 16 interpreted
+    // zip_with+aggregate folds; the round(_,9)>0 bit logic stays on
+    // built-ins so the values the oracle mirrors are unchanged.
+    def bitSpark(p: Int): String =
+      s"(CASE WHEN round(element_at(dots, ${p + 1}), 9) > 0" +
+        s" THEN ${1 << (p % 8)} ELSE 0 END)"
     def bitDuck(p: Int): String = {
       val lst = planes(p).map(v => if (v) "1.0" else "-1.0")
         .mkString("[", ", ", "]")
@@ -485,15 +507,21 @@ object Dedup {
     Q(
       "d06_dedup_cosine",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val e = T.embeddings(s, d)
-        val sig = e.selectExpr(
-          "vec_id",
-          s"($band0S) AS band0",
-          s"($band1S) AS band1")
+        val sig = e
+          .selectExpr("vec_id", "sign_dots16(embedding) AS dots")
+          .selectExpr(
+            "vec_id",
+            s"($band0S) AS band0",
+            s"($band1S) AS band1")
+        // Both sides of the candidate self-join read the band table:
+        // checkpoint so the signature pass runs once, not twice.
         val bands = sig.select(
           col("vec_id"),
           posexplode(array(col("band0"), col("band1")))
             .as(Seq("band_idx", "band_val")))
+          .localCheckpoint(true)
         val cand = bands
           .toDF("id1", "band_idx", "band_val")
           .join(
