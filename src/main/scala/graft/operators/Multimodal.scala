@@ -11,7 +11,9 @@ import graft.{Q, Tables => T}
   *
   * m01 extracts typed metadata (SQL-expressible → oracle-checked); m02
   * runs the stubbed decoder partition-parallel over the binary payloads
-  * via Dataset.mapPartitions (rows-only check: no clean SQL analog).
+  * via Dataset.mapPartitions, oracle-checked through the ASCII-fixture
+  * byte-statistics reformulation (and independently cross-checked against
+  * a Spark-SQL formulation in MultimodalSpec).
   */
 object Multimodal {
 
@@ -49,9 +51,17 @@ object Multimodal {
     * STUB DECODER: a real deployment would decode the media bytes with a
     * codec library here (per batch, inside mapPartitions, exactly this
     * shape). This container ships no codecs, so the decode is a
-    * deterministic fake: an 8-bin byte histogram + mean byte value
-    * standing in for pixel statistics. The schema, partitioning, and
-    * batch iteration are the real thing.
+    * deterministic fake: an 8-bin byte histogram + integer-scaled mean
+    * byte value standing in for pixel statistics. The schema,
+    * partitioning, and batch iteration are the real thing.
+    *
+    * Oracle: the fixture text is pure ASCII (asserted in MultimodalSpec),
+    * so DuckDB can recompute the byte statistics character-wise via
+    * ascii(substr(...)) — the same trick m03's oracle uses — which
+    * upgrades this from a rows-only check to a full hash-gated row. The
+    * mean is emitted integer-scaled (µ-byte units, truncating division)
+    * because both engines compute `sum * 1000000 / n` exactly in integer
+    * arithmetic, where a rounded double could differ in half-tie ulps.
     */
   private val m02 = Q(
     "m02_media_features",
@@ -73,19 +83,36 @@ object Multimodal {
               sum += b
               i += 1
             }
-            val mean =
-              if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
-            // Histogram as a JSON string: the driver's rows-only check
-            // factorizes columns in pandas, which cannot hash an ndarray —
-            // a scalar string column keeps the operator validatable.
-            (docId, bytes.length, math.round(mean * 1e6) / 1e6,
-              hist.mkString("[", ",", "]"))
+            val meanMicro =
+              if (bytes.length == 0) 0L else sum * 1000000L / bytes.length
+            // Histogram as a JSON string: array-typed output columns crash
+            // the driver comparator's pandas factorize — a scalar string
+            // column keeps the operator validatable.
+            (docId, bytes.length, meanMicro, hist.mkString("[", ",", "]"))
           }
         }
-        .toDF("doc_id", "n_bytes", "mean_byte", "byte_hist")
+        .toDF("doc_id", "n_bytes", "mean_byte_micro", "byte_hist")
         .orderBy(col("doc_id"))
     },
-    None, // stubbed decode: no SQL analog → driver records rows-only check
+    Some {
+      val histTerms = (0 until 8)
+        .map(k => s"CAST(len(list_filter(bytes, x -> (x // 32) = $k)) AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"""
+      WITH b AS (
+        SELECT doc_id,
+               list_transform(range(1, len(text) + 1),
+                              i -> ascii(substr(text, i, 1))) AS bytes
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(bytes) AS INT) AS n_bytes,
+             CASE WHEN len(bytes) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST((list_sum(bytes) * 1000000) // len(bytes) AS BIGINT)
+             END AS mean_byte_micro,
+             '[' || $histTerms || ']' AS byte_hist
+      FROM b
+      ORDER BY doc_id"""
+    },
   )
 
   /** Frame sampling over "video" payloads (doc_id % 3 = 2): one frame of

@@ -92,13 +92,20 @@ object Streaming {
       .select(col("e.*"))
 
   /** Streaming tumbling-window aggregate: watermarked event-time window()
-    * over the replayed log. Complete output mode so every window is
-    * emitted once the log drains — making the result identical to the
-    * q23 batch formulation, whose oracle doubles as this query's check. */
+    * over the replayed log, in APPEND output mode — the scale-safe mode:
+    * each window is emitted exactly once when the watermark passes its
+    * close and its state is then evicted (complete mode re-emits every
+    * window each batch and never evicts — unbounded state on an unbounded
+    * stream). The log carries the q30 sentinel record (user -1, 30 days
+    * past the last real event) so the final watermark closes every real
+    * window; the sentinel's own window never closes, so append never
+    * emits it — the filter on the sink is defensive. The result is then
+    * identical to the q23 batch formulation, whose oracle doubles as this
+    * query's check. */
   private val q28 = Q(
     "q28_stream_window",
     (s, d) => {
-      val log = ensureLog(s, d, copies = 1)
+      val log = ensureLog(s, d, copies = 1, sentinel = true)
       val stream = s.readStream
         .format("kinesislike")
         .option("path", log)
@@ -110,7 +117,8 @@ object Streaming {
         .agg(
           count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("total_value"))
-      runToMemory(s, agg, "complete")
+      runToMemory(s, agg, "append")
+        .filter(col("event_type") =!= "sentinel")
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
             .as("window_start"),
@@ -278,13 +286,17 @@ object Streaming {
   )
 
   /** Streaming SLIDING window (2 h length, 1 h slide): every event lands
-    * in exactly two windows. Complete mode drains all windows; the oracle
-    * materializes the same assignment by unioning the two shifted window
-    * starts per event. */
+    * in exactly two windows. APPEND mode with the q30 sentinel (see q28
+    * for why complete mode is the unbounded-state anti-pattern): the
+    * sentinel pushes the watermark past every real window's close, so all
+    * of them emit exactly once and evict; the sentinel's own two windows
+    * never close and are defensively filtered from the sink. The oracle
+    * materializes the same window assignment by unioning the two shifted
+    * window starts per event. */
   private val q37 = Q(
     "q37_stream_sliding",
     (s, d) => {
-      val log = ensureLog(s, d, copies = 1)
+      val log = ensureLog(s, d, copies = 1, sentinel = true)
       val stream = s.readStream
         .format("kinesislike")
         .option("path", log)
@@ -296,7 +308,8 @@ object Streaming {
         .agg(
           count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("total_value"))
-      runToMemory(s, agg, "complete")
+      runToMemory(s, agg, "append")
+        .filter(col("event_type") =!= "sentinel")
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
             .as("window_start"),

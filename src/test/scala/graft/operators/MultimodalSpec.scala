@@ -28,22 +28,24 @@ class MultimodalSpec extends SparkSpec {
       .selectExpr(
         "doc_id",
         "size(bytes) AS n_bytes",
-        "aggregate(bytes, CAST(0 AS BIGINT), (a, x) -> a + x) / CAST(size(bytes) AS DOUBLE) AS mean_raw",
+        """CASE WHEN size(bytes) = 0 THEN CAST(0 AS BIGINT)
+           ELSE (aggregate(bytes, CAST(0 AS BIGINT), (a, x) -> a + x)
+                 * CAST(1000000 AS BIGINT)) div size(bytes)
+           END AS mean_micro""",
         """concat('[', concat_ws(',',
              transform(sequence(0, 7),
                k -> CAST(size(filter(bytes, x -> CAST(x div 32 AS INT) = k)) AS STRING))),
            ']') AS byte_hist""")
       .collect()
-      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getString(3)))
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getString(3)))
       .toMap
 
     val got = SparkEntry.queries("m02_media_features")(spark, sf).collect()
     assert(got.length == ref.size)
     got.foreach { r =>
-      val (nBytes, meanRaw, hist) = ref(r.getLong(0))
+      val (nBytes, meanMicro, hist) = ref(r.getLong(0))
       assert(r.getInt(1) == nBytes, s"n_bytes for doc ${r.getLong(0)}")
-      assert(math.abs(r.getDouble(2) - meanRaw) < 1e-6,
-        s"mean_byte for doc ${r.getLong(0)}")
+      assert(r.getLong(2) == meanMicro, s"mean_byte_micro for doc ${r.getLong(0)}")
       assert(r.getString(3) == hist, s"byte_hist for doc ${r.getLong(0)}")
     }
   }
