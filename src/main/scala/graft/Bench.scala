@@ -28,7 +28,16 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Deterministic between-query cleanup: operators that localCheckpoint
+      // shared subtrees (the dedup pack) would otherwise leave their
+      // materialized blocks pinned until a driver GC lets ContextCleaner
+      // find them, taxing every later query's memory budget (round 3: d07's
+      // leftovers roughly doubled the whole post-d07 tail).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -70,9 +70,13 @@ case class FloatVectorDot(left: Expression, right: Expression)
 object GraftFunctions {
   /** Idempotent per-session registration (queries receive an arbitrary
     * session from the driver, so they self-register rather than assume
-    * `spark.sql.extensions` was configured). */
+    * `spark.sql.extensions` was configured). The existence check keeps
+    * re-invocation from emitting a "replaced a previously registered
+    * function" WARN per query run — the three functions register
+    * together, so probing one suffices. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(FunctionIdentifier("vec_dot"))) return
     reg.createOrReplaceTempFunction(
       "vec_dot",
       exprs => {

@@ -21,8 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * list_sum): products accumulate LEFT-TO-RIGHT over elements, each
   * product is `CAST(x AS DOUBLE) * (±1.0)` — and IEEE-754 guarantees
   * `x * 1.0 == x` and `x * -1.0 == -x` bitwise, so the branch form below
-  * is exact, not approximate. Inputs beyond 64 elements are ignored
-  * (planes are 64-d); shorter inputs dot the prefix.
+  * is exact, not approximate. The planes are exactly 64-d, so inputs of
+  * any other length (or with null elements) throw rather than silently
+  * dotting a prefix — the HOF fold the expression replaced yielded NULL
+  * there, and a quiet prefix dot would mask a schema drift.
   *
   * The ±1 plane matrix is the public-domain md5("p:i") top-bit
   * construction (see [[SignDots16.planeSign]]); both this expression and
@@ -36,14 +38,20 @@ case class SignDots16(child: Expression)
   override def prettyName: String = "sign_dots16"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val x   = input.asInstanceOf[ArrayData]
-    val n   = math.min(x.numElements(), SignDots16.Dim)
+    val x = input.asInstanceOf[ArrayData]
+    if (x.numElements() != SignDots16.Dim)
+      throw new IllegalArgumentException(
+        s"sign_dots16 requires a ${SignDots16.Dim}-element ARRAY<FLOAT>, " +
+          s"got ${x.numElements()} elements")
     val out = new Array[Double](SignDots16.NumPlanes)
     var p = 0
     while (p < SignDots16.NumPlanes) {
       var s = 0.0
       var i = 0
-      while (i < n) {
+      while (i < SignDots16.Dim) {
+        if (x.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"sign_dots16 requires a null-free embedding; element $i is null")
         val v = x.getFloat(i).toDouble
         s += (if (SignDots16.planesFlat((p << 6) | i)) v else -v)
         i += 1
@@ -57,18 +65,25 @@ case class SignDots16(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val planes = ctx.addReferenceObj("planesFlat", SignDots16.planesFlat, "boolean[]")
-      val n      = ctx.freshName("n")
       val out    = ctx.freshName("out")
       val p      = ctx.freshName("p")
       val i      = ctx.freshName("i")
       val s      = ctx.freshName("s")
       val v      = ctx.freshName("v")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), ${SignDots16.Dim});
+         |if ($a.numElements() != ${SignDots16.Dim}) {
+         |  throw new IllegalArgumentException(
+         |    "sign_dots16 requires a ${SignDots16.Dim}-element ARRAY<FLOAT>, got "
+         |      + $a.numElements() + " elements");
+         |}
          |double[] $out = new double[${SignDots16.NumPlanes}];
          |for (int $p = 0; $p < ${SignDots16.NumPlanes}; $p++) {
          |  double $s = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < ${SignDots16.Dim}; $i++) {
+         |    if ($a.isNullAt($i)) {
+         |      throw new IllegalArgumentException(
+         |        "sign_dots16 requires a null-free embedding; element " + $i + " is null");
+         |    }
          |    double $v = (double) $a.getFloat($i);
          |    $s += $planes[($p << 6) | $i] ? $v : -$v;
          |  }

@@ -201,21 +201,34 @@ object Dedup {
     * exact recursive-CTE fixpoint. Each round is one equi-join + one
     * aggregate, lineage truncated per round with an eager localCheckpoint
     * — exactly the iterate-checkpoint shape a 100 TB connected-components
-    * job uses (without it the plan doubles per iteration); the
-    * changed-label count that drives termination is the standard
-    * per-round convergence metric of such jobs (a scalar per round, not a
-    * driver-side collect of data). */
+    * job uses (without it the plan doubles per iteration). The changed
+    * count that drives termination rides along inside the checkpointed
+    * frame (own label tagged through the min-aggregate), so per round
+    * there is exactly one shuffle job plus one cheap scan of the
+    * just-materialized in-memory blocks — no extra join against the
+    * previous labels. Superseded checkpoints are unpersisted as soon as
+    * the next round lands: without that, a long bench run accumulates one
+    * label snapshot per round and the resulting storage/GC pressure taxes
+    * every query that runs after this one (the round-3 regression). */
   private val d07 = Q(
     "d07_dedup_clusters",
     (s, d) => {
+      val sc = s.sparkContext
+      def trackedCheckpoint(df: DataFrame): (DataFrame, Set[Int]) = {
+        val before = sc.getPersistentRDDs.keySet.toSet
+        val out = df.localCheckpoint(true)
+        (out, sc.getPersistentRDDs.keySet.toSet -- before)
+      }
+      def unpersistIds(ids: Set[Int]): Unit =
+        for (id <- ids; rdd <- sc.getPersistentRDDs.get(id))
+          rdd.unpersist(blocking = false)
       val pairs = lshPairs(s, d).select(col("id1"), col("id2"))
         .localCheckpoint(true) // computed once, not once per iteration
       val edges = pairs
         .select(col("id1").as("src"), col("id2").as("dst"))
         .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      var labels = T.documents(s, d)
-        .select(col("doc_id"), col("doc_id").as("lbl"))
-        .localCheckpoint(true)
+      var (labels, labelIds) = trackedCheckpoint(
+        T.documents(s, d).select(col("doc_id"), col("doc_id").as("lbl")))
       var changed = 1L
       var rounds  = 0
       // Labels move one hop per round, so the loop must run to the
@@ -224,17 +237,26 @@ object Dedup {
       while (changed > 0 && rounds < 10000) {
         val propagated = edges
           .join(labels, col("src") === col("doc_id"))
-          .select(col("dst").as("doc_id"), col("lbl"))
-        val next = labels
-          .union(propagated)
-          .groupBy(col("doc_id"))
-          .agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint(true)
-        changed = next
-          .join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
-          .filter(col("lbl") =!= col("prev"))
-          .count()
-        labels = next
+          .select(col("dst").as("doc_id"), col("lbl"), lit(false).as("own"))
+        // Tag each doc's current label through the aggregate: min(lbl) is
+        // the new label, min(lbl where own) is the unique previous label,
+        // and their inequality is the per-doc changed flag — summed from
+        // the checkpointed blocks without rejoining the previous snapshot.
+        val (next, nextIds) = trackedCheckpoint(
+          labels.select(col("doc_id"), col("lbl"), lit(true).as("own"))
+            .union(propagated)
+            .groupBy(col("doc_id"))
+            .agg(
+              min(col("lbl")).as("lbl"),
+              min(when(col("own"), col("lbl"))).as("prev"))
+            .select(
+              col("doc_id"), col("lbl"),
+              (col("lbl") =!= col("prev")).cast("long").as("chg")))
+        changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
+          .first().getLong(0)
+        unpersistIds(labelIds)
+        labels = next.select(col("doc_id"), col("lbl"))
+        labelIds = nextIds
         rounds += 1
       }
       val clusters = labels.select(col("doc_id"), col("lbl").as("cluster_id"))
@@ -470,10 +492,13 @@ object Dedup {
     * sub-quadratic method — label cells, MinHash, sign-LSH — returns a
     * different (approximate) top-100. The honest scalable operator is
     * therefore LSH-candidates-then-exact-rank, and the oracle mirrors the
-    * identical deterministic computation (the ±1 plane matrix, derived
-    * from md5("plane:dim"), is baked as literals into BOTH the Spark plan
-    * and the oracle SQL; both engines fold the dot product left-to-right
-    * over the same 64 elements, so signatures agree bit-for-bit).
+    * identical deterministic computation: both engines derive the ±1
+    * plane matrix from md5("plane:dim") — the Spark side computes the 16
+    * plane dots via the fused [[graft.functions.SignDots16]] codegen
+    * expression (IEEE-exact ±1 products, left-to-right accumulation),
+    * while the oracle bakes the same matrix as SQL literals and folds
+    * left-to-right over the same 64 elements, so signatures agree
+    * bit-for-bit.
     *
     * 100 TB posture: signature is map-only; candidates shuffle on 8-bit
     * band keys (widen bands for larger corpora); exact scoring touches
