@@ -34,6 +34,13 @@ object KinesisLikeLog {
   val ClosedMarker = "#CLOSED"
   val ReadyMarker  = "_LOG_READY"
 
+  /** In-stream exception record (S10 event/exception demux): a log line
+    * `#ERROR\t<class>` makes the reader raise the corresponding typed
+    * exception the first time it is reached — the stand-in for a
+    * SubscribeToShardEvent stream that carries an exception frame instead
+    * of records (subscribe_to_shard.ex:329-341). */
+  val ErrorMarker = "#ERROR"
+
   final case class Record(
       seq: Long,
       arrivalMicros: Long,
@@ -76,14 +83,44 @@ object KinesisLikeLog {
     } finally in.close()
   }
 
+  /** Driver-side shard metadata, cached by (mtime, length) so an
+    * unchanged shard file costs O(1) per microbatch — the analog of
+    * Kafka's O(1) listOffsets metadata — instead of a full driver-side
+    * rescan per latestOffset() call. The log is append-only, so any
+    * append changes the length and invalidates the entry. */
+  private final case class ShardMeta(
+      mtime: Long, length: Long, maxSeq: Long, closed: Boolean)
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ShardMeta]()
+
+  /** Number of full metadata scans performed (test observability: an
+    * unchanged file must not re-scan). */
+  private[sources] val metaScans = new java.util.concurrent.atomic.AtomicLong
+
+  private def shardMeta(f: File): ShardMeta = {
+    if (!f.exists()) return ShardMeta(0L, 0L, -1L, closed = false)
+    val key    = f.getAbsolutePath
+    val mtime  = f.lastModified()
+    val length = f.length()
+    val cached = metaCache.get(key)
+    if (cached != null && cached.mtime == mtime && cached.length == length) cached
+    else {
+      metaScans.incrementAndGet()
+      val (mx, cl) = foldLines(f, (-1L, false)) { case ((m, c), l) =>
+        (parseLine(l).map(_.seq.max(m)).getOrElse(m), c || l == ClosedMarker)
+      }
+      val fresh = ShardMeta(mtime, length, mx, cl)
+      metaCache.put(key, fresh)
+      fresh
+    }
+  }
+
   /** Highest sequence number present; -1 for an empty shard. */
-  def maxSeq(f: File): Long =
-    foldLines(f, -1L)((acc, l) => parseLine(l).map(_.seq.max(acc)).getOrElse(acc))
+  def maxSeq(f: File): Long = shardMeta(f).maxSeq
 
   /** Shard-closed ⇔ the nil-continuation marker has been written
     * (subscribe_to_shard.ex:356-363). */
-  def isClosed(f: File): Boolean =
-    foldLines(f, false)((acc, l) => acc || l == ClosedMarker)
+  def isClosed(f: File): Boolean = shardMeta(f).closed
 
   /** Resolve a starting position to the "after" cursor the offset model
     * uses: deliver every record with seq > cursor. Mirrors the wire

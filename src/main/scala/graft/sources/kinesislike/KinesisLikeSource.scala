@@ -41,6 +41,56 @@ object KinesisLikeErrors {
   @annotation.tailrec
   private def rootCause(t: Throwable): Throwable =
     if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+
+  /** Build the typed exception for an injection spec — the same
+    * vocabulary `classify` reads back, so fault-injection tests exercise
+    * every producer clause through the real read path:
+    * `resource_in_use` | `transport_closed` | `stream_closed` |
+    * `http_error:<status>` (subscribe_to_shard_test.exs:191-203,
+    * 249-281's initial-response and in-stream error matrix). */
+  def make(spec: String): RuntimeException = spec match {
+    case "resource_in_use" =>
+      new ResourceInUseException("injected: resource in use")
+    case "transport_closed" =>
+      new TransportClosedException("injected: transport closed")
+    case "stream_closed" =>
+      new StreamClosedException("injected: stream closed")
+    case s if s.startsWith("http_error:") =>
+      val status = s.stripPrefix("http_error:").toInt
+      new HttpErrorException(status, s"injected: http $status")
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown fault-injection class '$other' (want resource_in_use | " +
+          "transport_closed | stream_closed | http_error:<status>)")
+  }
+}
+
+/** Driver-side stream status: surfaces the reference's `:closed` result
+  * as a first-class, observable signal (subscribe_to_shard.ex:356-363
+  * returns `{:ok, :closed}` distinctly; producer.ex:116-123 has a
+  * dedicated error clause for it). A consumer watching only offsets
+  * cannot tell "every shard closed after a split/merge — act!" from "no
+  * new data right now"; this registry can. A log dir is marked closed
+  * when a committed microbatch has DELIVERED everything and every shard
+  * carries the nil-continuation marker — closure is terminal for a log
+  * (the marker is the final line), matching Kinesis shard lifecycle. */
+object KinesisLikeStatus {
+  sealed trait StreamStatus
+  /** Shards still open, or open shards merely idle. */
+  case object Open extends StreamStatus
+  /** Every shard closed AND every record delivered+committed. */
+  case object Closed extends StreamStatus
+
+  private val statuses =
+    new java.util.concurrent.ConcurrentHashMap[String, StreamStatus]()
+  private def key(logDir: String): String = new File(logDir).getAbsolutePath
+
+  def of(logDir: String): StreamStatus =
+    statuses.getOrDefault(key(logDir), Open)
+  private[kinesislike] def markClosed(logDir: String): Unit =
+    statuses.put(key(logDir), Closed)
+  /** Test hook: forget a dir (e.g. a reused temp path). */
+  def reset(logDir: String): Unit = statuses.remove(key(logDir))
 }
 
 /** KinesisLike — a Spark DSv2 source replaying a local ordered shard log
@@ -107,6 +157,8 @@ final case class KinesisLikeConfig(
     startingPosition: StartingPosition,
     maxRecordsPerBatch: Option[Long],
     failOnceAfter: Option[Long],
+    failAtOpen: Option[String] = None,
+    failAtOpenTimes: Int = 1,
 )
 
 object KinesisLikeConfig {
@@ -121,7 +173,39 @@ object KinesisLikeConfig {
       maxRecordsPerBatch =
         Option(options.get("maxRecordsPerBatch")).map(_.toLong),
       failOnceAfter = Option(options.get("failOnceAfter")).map(_.toLong),
+      // Initial-response fault injection: raise the typed error class at
+      // reader open, `failAtOpenTimes` times total — the 3xx/4xx/5xx
+      // initial-response matrix of subscribe_to_shard_test.exs:249-281.
+      // Two failures exceed local[N,2]'s task-attempt budget, so the
+      // QUERY fails and the producer's classify/retry loop is exercised
+      // end-to-end, not just the task retry.
+      failAtOpen = Option(options.get("failAtOpen"))
+        .map { spec => KinesisLikeErrors.make(spec); spec }, // validate early
+      failAtOpenTimes =
+        Option(options.get("failAtOpenTimes")).map(_.toInt).getOrElse(1),
     )
+  }
+}
+
+/** File-backed injection budget, shared across task retries AND query
+  * restarts in the same log dir (a JVM-local counter would reset when the
+  * producer restarts the query, so the retry could never succeed). One
+  * line is appended per raise; the fault fires while lines < times.
+  * Executor-side, but serialized per marker by the JVM-wide lock (local
+  * and test scale — injection is a test-only facility). */
+private[kinesislike] object Faults {
+  def shouldRaise(marker: File, times: Int): Boolean = synchronized {
+    val p = marker.toPath
+    val count =
+      if (marker.exists()) java.nio.file.Files.readAllLines(p).size else 0
+    if (count >= times) false
+    else {
+      java.nio.file.Files.write(
+        p, "raised\n".getBytes(UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      true
+    }
   }
 }
 
@@ -160,7 +244,8 @@ class KinesisLikeBatch(cfg: KinesisLikeConfig) extends Batch {
       KinesisLikePartition(
         KinesisLikeLog.shardId(f), f.getAbsolutePath,
         after = -1L, until = Long.MaxValue,
-        failOnceAfter = -1L, failMarker = "")
+        failOnceAfter = -1L, markerDir = cfg.logDir,
+        failAtOpen = "", failAtOpenTimes = 0)
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     KinesisLikeReaderFactory
@@ -230,6 +315,18 @@ class KinesisLikeMicroBatchStream(cfg: KinesisLikeConfig)
     * (subscribe_to_shard.ex:205-220). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[KinesisLikeOffset].positions
+    // `start` is the committed resume cursor. If it has already delivered
+    // everything and every shard carries the nil-continuation marker, the
+    // stream is CLOSED — surface the reference's distinct `:closed` result
+    // (subscribe_to_shard.ex:356-363) instead of presenting as idle. The
+    // engine polls here after the final batch (observed: AvailableNow runs
+    // one drained poll before stopping), and the shard-metadata cache
+    // makes the check O(1) per poll.
+    val closedAndDrained = shards.forall { f =>
+      KinesisLikeLog.isClosed(f) &&
+        from.getOrElse(KinesisLikeLog.shardId(f), -1L) >= KinesisLikeLog.maxSeq(f)
+    }
+    if (closedAndDrained) KinesisLikeStatus.markClosed(cfg.logDir)
     val cap = limit match {
       case r: ReadMaxRows => Some(r.maxRows())
       case _              => None
@@ -269,7 +366,9 @@ class KinesisLikeMicroBatchStream(cfg: KinesisLikeConfig)
       else Some(KinesisLikePartition(
         sh, f.getAbsolutePath, after, until,
         cfg.failOnceAfter.getOrElse(-1L),
-        new File(cfg.logDir, "_FAILED_ONCE").getAbsolutePath))
+        cfg.logDir,
+        cfg.failAtOpen.getOrElse(""),
+        cfg.failAtOpenTimes))
     }.toArray
   }
 
@@ -280,7 +379,10 @@ class KinesisLikeMicroBatchStream(cfg: KinesisLikeConfig)
     KinesisLikeOffset.fromJson(json)
 
   // The commit log IS the resume position store; nothing else to do
-  // (contrast producer.ex:136-139's explicit message).
+  // (contrast producer.ex:136-139's explicit message). Closed detection
+  // lives in latestOffset — the engine does not deliver a commit() for
+  // the final batch of an AvailableNow run, but it does poll latestOffset
+  // once more with the committed cursor.
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -291,7 +393,9 @@ final case class KinesisLikePartition(
     after: Long,
     until: Long,
     failOnceAfter: Long,
-    failMarker: String,
+    markerDir: String,
+    failAtOpen: String,
+    failAtOpenTimes: Int,
 ) extends InputPartition
 
 object KinesisLikeReaderFactory extends PartitionReaderFactory {
@@ -308,6 +412,13 @@ object KinesisLikeReaderFactory extends PartitionReaderFactory {
 class KinesisLikeReader(p: KinesisLikePartition)
     extends PartitionReader[InternalRow] {
 
+  // Initial-response fault injection: raising here is the analog of a
+  // 3xx/4xx/5xx on the subscribe call itself, before any event arrives
+  // (subscribe_to_shard_test.exs:249-281).
+  if (p.failAtOpen.nonEmpty && Faults.shouldRaise(
+      new File(p.markerDir, s"_FAILED_OPEN_${p.shardId}"), p.failAtOpenTimes))
+    throw KinesisLikeErrors.make(p.failAtOpen)
+
   private val in = new BufferedReader(
     new InputStreamReader(new FileInputStream(p.path), UTF_8))
   private var row: InternalRow = _
@@ -317,6 +428,7 @@ class KinesisLikeReader(p: KinesisLikePartition)
   override def next(): Boolean = {
     var line = in.readLine()
     while (line != null) {
+      if (line.startsWith(KinesisLikeLog.ErrorMarker)) maybeRaiseInstream(line)
       KinesisLikeLog.parseLine(line) match {
         case Some(r) if r.seq > p.until => return false // ordered: done
         case Some(r) if r.seq > p.after =>
@@ -343,11 +455,22 @@ class KinesisLikeReader(p: KinesisLikePartition)
     * (producer.ex:159-168) without wedging the query. */
   private def maybeFail(): Unit =
     if (p.failOnceAfter >= 0 && delivered == p.failOnceAfter) {
-      val marker = new File(p.failMarker)
+      val marker = new File(p.markerDir, "_FAILED_ONCE")
       if (marker.createNewFile())
         throw new KinesisLikeErrors.TransportClosedException(
           s"simulated transport close after $delivered records on ${p.shardId}")
     }
+
+  /** In-stream exception record: `#ERROR\t<class>` raises the typed
+    * class the first time any reader reaches it — the S10 exception-
+    * within-the-event-stream demux path (subscribe_to_shard.ex:329-341)
+    * exercised through a real read, not a hand-built instance. */
+  private def maybeRaiseInstream(line: String): Unit = {
+    val spec = line.split('\t').lift(1).getOrElse("transport_closed")
+    if (Faults.shouldRaise(
+        new File(p.markerDir, s"_INSTREAM_RAISED_${p.shardId}"), 1))
+      throw KinesisLikeErrors.make(spec)
+  }
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()

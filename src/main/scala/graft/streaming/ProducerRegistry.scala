@@ -68,20 +68,31 @@ object ProducerRegistry extends ProducerRegistry
 /** Feeds a registry from Structured Streaming lifecycle events — the
   * Spark-native replacement for the producer's explicit update_value
   * calls on every delivery/error (producer.ex:85, 90, 99, 108, 117, 126):
-  * progress ⇒ healthy, error termination ⇒ unhealthy, clean stop ⇒
-  * unregistered (the producer unregisters when disabled,
-  * producer.ex:72-75).
+  * progress ⇒ healthy, error termination ⇒ unhealthy (the producer's
+  * every-error-class-marks-unhealthy behavior, producer.ex:89-132), clean
+  * termination leaves the last health standing (unregistration is the
+  * producer's own disable-path duty, producer.ex:72-75, handled by
+  * ProducerRunner).
   *
   * The query is matched to its stream by query NAME
-  * (`writeStream.queryName(streamName)`).
+  * (`writeStream.queryName(streamName)`). QueryTerminatedEvent carries no
+  * name, so the id→name binding is captured at onQueryStarted — a query
+  * started WITHOUT the runner still gets error-path health transitions.
   */
 class RegistryListener(registry: ProducerRegistry)
     extends StreamingQueryListener {
+  private val names =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, String]()
+
   override def onQueryStarted(event: QueryStartedEvent): Unit =
-    Option(event.name).foreach(registry.register)
+    Option(event.name).foreach { n =>
+      names.put(event.id, n)
+      registry.register(n)
+    }
   override def onQueryProgress(event: QueryProgressEvent): Unit =
     Option(event.progress.name).foreach(registry.updateValue(_, value = true))
-  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
-  // Name is absent on QueryTerminatedEvent; error-path health updates are
-  // done by ProducerRunner, which knows the stream it supervises.
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+    Option(names.remove(event.id)).foreach { n =>
+      if (event.exception.isDefined) registry.updateValue(n, value = false)
+    }
 }

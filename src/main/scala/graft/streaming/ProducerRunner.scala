@@ -34,6 +34,11 @@ object ProducerRunner {
   case object Normal        extends ConnState
   case object Retry         extends ConnState
   case object Disabled      extends ConnState
+  /** Every shard closed and fully drained — the reference's distinct
+    * `:closed` outcome (subscribe_to_shard.ex:356-363; producer.ex:116-123
+    * keeps a dedicated clause for it). Distinguishable from Normal, which
+    * an idle-but-open stream also reaches. */
+  case object ShardsClosed  extends ConnState
 }
 
 final class ProducerRunner(
@@ -45,6 +50,9 @@ final class ProducerRunner(
     maxRetries: Int = Int.MaxValue,
     monitor: Option[Throwable => Boolean] = None,
     sleep: Long => Unit = Thread.sleep,
+    // The supervised source's log dir, when known: lets the runner surface
+    // the stream-closed signal ([[ShardsClosed]]) after a clean run.
+    logDir: Option[String] = None,
 ) {
   import ProducerRunner._
 
@@ -72,6 +80,13 @@ final class ProducerRunner(
           state = Normal
           q.awaitTermination()
           registry.updateValue(streamName, value = true)
+          // Surface `:closed` distinctly from idle (producer.ex:116-123):
+          // the source marks the dir once everything is delivered AND
+          // every shard carries the nil-continuation marker.
+          if (logDir.exists(d =>
+              graft.sources.kinesislike.KinesisLikeStatus.of(d) ==
+                graft.sources.kinesislike.KinesisLikeStatus.Closed))
+            state = ShardsClosed
           true
         } catch {
           case t: Throwable =>

@@ -283,4 +283,138 @@ class KinesisLikeSourceSpec extends SparkSpec {
     val off = KinesisLikeOffset(Map("shard-00000" -> 12L, "shard-00001" -> -1L))
     assert(KinesisLikeOffset.fromJson(off.json()) == off)
   }
+
+  // ----------------------- fault-injection matrix through the real path
+
+  /** Each initial-response error class, raised at reader open MORE times
+    * than the task-attempt budget so the QUERY fails, then supervised by
+    * a ProducerRunner whose classify/retry loop recovers — the
+    * producer-clause matrix of subscribe_to_shard_test.exs:249-281 run
+    * end-to-end instead of with hand-built exception instances. */
+  for ((spec, expectedClass) <- Seq(
+      "resource_in_use" -> "resource_in_use",
+      "http_error:503"  -> "http_error",
+      "stream_closed"   -> "closed",
+      "transport_closed" -> "transport_closed")) {
+    test(s"open-failure injection '$spec' fails the query, the runner " +
+      s"classifies it '$expectedClass' and recovers (producer.ex:89-132)") {
+      val dir  = tmpDir(s"kl_open_$expectedClass")
+      val ckpt = tmpDir(s"kl_open_${expectedClass}_ck")
+      val out  = tmpDir(s"kl_open_${expectedClass}_out")
+      writeShard(dir, 0, (0L until 6L).map(i => (i, i, "k", s"p$i")))
+      val registry = new graft.streaming.ProducerRegistry
+      val runner = new graft.streaming.ProducerRunner(
+        streamName = s"open_$expectedClass",
+        startQuery = () => spark.readStream
+          .format("kinesislike")
+          .option("path", dir.toString)
+          .option("startingPosition", "trim_horizon")
+          .option("failAtOpen", spec)
+          .option("failAtOpenTimes", "2") // > local[4,2]'s attempt budget
+          .load()
+          .writeStream
+          .format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start(),
+        registry = registry,
+        backoffMillis = 0L,
+        maxRetries = 3,
+        sleep = _ => ())
+      assert(runner.run(), "runner should recover once the budget is spent")
+      // The failure really traveled the read path and was classified.
+      assert(runner.errorLog.nonEmpty)
+      assert(runner.errorLog.head._1 == expectedClass)
+      // Delivered exactly once despite the retries.
+      val seqs = spark.read
+        .schema(graft.sources.kinesislike.KinesisLikeTable.schema)
+        .parquet(out.toString)
+        .select(col("sequenceNumber").cast("long"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(seqs == (0L until 6L))
+    }
+  }
+
+  test("an in-stream #ERROR record raises its class once mid-read; " +
+    "delivered records survive (S10, subscribe_to_shard.ex:329-341)") {
+    val dir = tmpDir("kl_instream")
+    // 4 records, an exception frame, 2 more records.
+    val recs = (0L until 4L).map(i => (i, i, "k", s"p$i"))
+    val b64 = (p: String) =>
+      java.util.Base64.getEncoder.encodeToString(p.getBytes(UTF_8))
+    val lines =
+      recs.map { case (s, us, k, p) => s"$s\t$us\t$k\t${b64(p)}" } ++
+        Seq(KinesisLikeLog.ErrorMarker + "\thttp_error:500") ++
+        (4L until 6L).map(i => s"$i\t$i\tk\t${b64(s"p$i")}") ++
+        Seq(KinesisLikeLog.ClosedMarker)
+    Files.write(
+      dir.resolve("shard-00000.log"),
+      (lines.mkString("\n") + "\n").getBytes(UTF_8))
+    val got = runStream(dir, "trim_horizon", tmpDir("kl_instream_ck"), "sink_instream")
+    // Raised exactly once (task retry skips it), everything delivered.
+    assert(Files.exists(dir.resolve("_INSTREAM_RAISED_shard-00000")))
+    assert(got.map(_._2).sorted == (0L until 6L))
+  }
+
+  // ------------------------------------ shard-closed as a visible signal
+
+  test("a drained CLOSED stream is observable distinctly from an idle " +
+    "OPEN one (subscribe_to_shard.ex:356-363, producer.ex:116-123)") {
+    import graft.sources.kinesislike.KinesisLikeStatus
+    // Closed log: every shard ends with the nil-continuation marker.
+    val closedDir = tmpDir("kl_status_closed")
+    writeShard(closedDir, 0, Seq((0L, 1L, "k", "a")), closed = true)
+    writeShard(closedDir, 1, Seq((1L, 2L, "k", "b")), closed = true)
+    // Open log: same content, no marker — merely idle after draining.
+    val openDir = tmpDir("kl_status_open")
+    writeShard(openDir, 0, Seq((0L, 1L, "k", "a")), closed = false)
+    runStream(closedDir, "trim_horizon", tmpDir("kl_status_c_ck"), "sink_status_c")
+    runStream(openDir, "trim_horizon", tmpDir("kl_status_o_ck"), "sink_status_o")
+    assert(KinesisLikeStatus.of(closedDir.toString) == KinesisLikeStatus.Closed)
+    assert(KinesisLikeStatus.of(openDir.toString) == KinesisLikeStatus.Open)
+  }
+
+  test("ProducerRunner surfaces ShardsClosed distinctly from Normal") {
+    import graft.streaming.{ProducerRegistry, ProducerRunner}
+    val dir  = tmpDir("kl_runner_closed")
+    val ckpt = tmpDir("kl_runner_closed_ck")
+    writeShard(dir, 0, Seq((0L, 1L, "k", "a")), closed = true)
+    val runner = new ProducerRunner(
+      streamName = "runner_closed",
+      startQuery = () => spark.readStream
+        .format("kinesislike")
+        .option("path", dir.toString)
+        .option("startingPosition", "trim_horizon")
+        .load()
+        .writeStream
+        .format("memory")
+        .queryName("sink_runner_closed")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start(),
+      registry = new ProducerRegistry,
+      logDir = Some(dir.toString))
+    assert(runner.run())
+    assert(runner.connState == ProducerRunner.ShardsClosed)
+  }
+
+  // --------------------------------------------- driver metadata caching
+
+  test("unchanged shard files do not re-scan for offset metadata " +
+    "(O(1) per microbatch, like Kafka listOffsets)") {
+    val dir = tmpDir("kl_meta")
+    writeShard(dir, 0, (0L until 5L).map(i => (i, i, "k", s"p$i")))
+    val f = KinesisLikeLog.shardFile(dir.toString, "shard-00000")
+    assert(KinesisLikeLog.maxSeq(f) == 4L) // may scan
+    val scansAfterFirst = graft.sources.kinesislike.KinesisLikeLog.metaScans.get()
+    assert(KinesisLikeLog.maxSeq(f) == 4L)
+    assert(KinesisLikeLog.isClosed(f))
+    assert(KinesisLikeLog.maxSeq(f) == 4L)
+    assert(KinesisLikeLog.metaScans.get() == scansAfterFirst,
+      "repeated metadata reads of an unchanged shard must hit the cache")
+    // An append invalidates (length changes) and the new record is seen.
+    appendShard(dir, 0, Seq((5L, 5L, "k", "p5")))
+    assert(KinesisLikeLog.maxSeq(f) == 5L)
+  }
 }

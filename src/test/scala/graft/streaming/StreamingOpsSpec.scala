@@ -74,4 +74,41 @@ class StreamingOpsSpec extends SparkSpec {
       assert(registry.snapshot.get("listener_stream") == Some(true))
     } finally spark.streams.removeListener(listener)
   }
+
+  test("RegistryListener alone marks a query unhealthy when it dies — no " +
+    "runner involved (producer.ex:89-132 error path)") {
+    val registry = new ProducerRegistry
+    val listener = new RegistryListener(registry)
+    spark.streams.addListener(listener)
+    try {
+      val dir  = java.nio.file.Files.createTempDirectory("kl_listener_err")
+      val ckpt = java.nio.file.Files.createTempDirectory("kl_listener_err_ck")
+      java.nio.file.Files.write(
+        dir.resolve("shard-00000.log"),
+        "0\t1\tk\tYQ==\n#CLOSED\n".getBytes("UTF-8"))
+      val q = spark.readStream
+        .format("kinesislike")
+        .option("path", dir.toString)
+        .option("startingPosition", "trim_horizon")
+        // Exhaust the task-attempt budget so the QUERY dies.
+        .option("failAtOpen", "http_error:500")
+        .option("failAtOpenTimes", "99")
+        .load()
+        .writeStream
+        .format("memory")
+        .queryName("listener_err_stream")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      intercept[Exception] { q.awaitTermination() }
+      // Registered at start (not-ready=false), still false after the
+      // error termination — and observably BOUND to the error path: wait
+      // for the terminate event to have been processed.
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      Thread.sleep(500) // listener bus drain
+      assert(registry.snapshot.get("listener_err_stream") == Some(false))
+    } finally spark.streams.removeListener(listener)
+  }
 }
