@@ -905,8 +905,76 @@ object Relational {
       ORDER BY c_custkey"""),
   )
 
+  /** Approximate percentile (t-digest class sketch; the quantile sibling
+    * of q26's HLL++). Sketch internals are engine-specific, so the
+    * oracle is the q26 bounds pattern: Spark emits the exact
+    * interpolated median plus "approx within 5% of exact"; the oracle
+    * emits the same exact value and literal TRUE. approx_percentile at
+    * accuracy 10000 bounds rank error to n/10000, far inside 5% of the
+    * value on this distribution — and at 100 TB the sketch is the ONLY
+    * viable plan (exact percentile is a per-group sort). */
+  private val q40 = Q(
+    "q40_agg_approx_quantile",
+    (s, d) =>
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4)
+            .as("p50_exact"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+            .cast("double").as("apx"))
+        .select(
+          col("l_returnflag"),
+          col("p50_exact"),
+          (abs(col("apx") - col("p50_exact")) <=
+            abs(col("p50_exact")) * 0.05).as("approx_in_tolerance"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+             TRUE AS approx_in_tolerance
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+  )
+
+  /** Skew-safe two-phase aggregate: a 3-value grouping key (event_type)
+    * hot-spots 3 reducers no matter how many executors exist — the
+    * classic 100 TB skew wall. Salting the key into 16 subkeys spreads
+    * phase 1 across 48 reducers; phase 2 re-aggregates the 48 partial
+    * rows. count/max/min decompose exactly (order-independent), so the
+    * result is identical to the single-phase plan the oracle runs.
+    * (Spark's own partial aggregation does this WITHIN a key on one
+    * node; salting does it ACROSS the shuffle, which is what saves a
+    * skewed key.) */
+  private val q41 = Q(
+    "q41_skew_twophase_agg",
+    (s, d) => {
+      val partial = T.events(s, d)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(
+          count(lit(1)).as("pn"),
+          max(col("value")).as("pmax"),
+          min(col("value")).as("pmin"))
+      partial
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("pn")).as("n"),
+          max(col("pmax")).as("max_value"),
+          min(col("pmin")).as("min_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             max(value) AS max_value, min(value) AS min_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q31, q32, q33, q34, q35)
+    q31, q32, q33, q34, q35, q40, q41)
 }

@@ -331,5 +331,112 @@ object Streaming {
       ORDER BY window_start, event_type"""),
   )
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q36, q37)
+  /** Stream-static broadcast join: the streaming event log enriched
+    * against the static customer dimension (user_id = c_custkey), the
+    * canonical "enrich a stream with a dim table" pattern. The static
+    * side is broadcast — stream-static joins keep NO join state (the
+    * static side is re-resolvable every microbatch), so this is
+    * stateless append-mode row flow; the rollup over the sink is batch.
+    * At 100 TB of stream the dim broadcast is still the right plan —
+    * customer metadata is orders of magnitude smaller than the fact
+    * stream. */
+  private val q38 = Q(
+    "q38_stream_static_join",
+    (s, d) => {
+      val log = ensureLog(s, d, copies = 1)
+      val stream = s.readStream
+        .format("kinesislike")
+        .option("path", log)
+        .option("startingPosition", "trim_horizon")
+        .load()
+      val cust = T.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = parsed(stream)
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("value"), col("c_mktsegment"))
+      runToMemory(s, enriched, "append")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n,
+             round(sum(value), 2) AS total_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""),
+  )
+
+  /** Custom per-key state machine via flatMapGroupsWithState — the
+    * arbitrary-stateful-processing tier below the built-in windows
+    * (window/session_window cover q28/q30; this is for state no built-in
+    * expresses). Per user it keeps (event count, max value, last event
+    * time) and emits ONCE, when the event-time timeout fires 1 h after
+    * the user's last event — i.e. the state machine decides its own
+    * emission, not a window boundary. The q30 sentinel advances the
+    * watermark 30 days past the last real event, so every real user's
+    * timeout fires during the run (AvailableNow's no-data flush batch);
+    * the sentinel user's own state never times out and is defensively
+    * filtered. Count and max are batch-slicing-invariant, so the drained
+    * result equals the batch per-user aggregate, which is the oracle.
+    *
+    * Scale posture: state is 3 numbers per active user, keyed-shuffled
+    * once, evicted at timeout — bounded by active users, not stream
+    * length. */
+  private val q39 = Q(
+    "q39_stream_custom_state",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val log = ensureLog(s, d, copies = 1, sentinel = true)
+      val stream = s.readStream
+        .format("kinesislike")
+        .option("path", log)
+        .option("startingPosition", "trim_horizon")
+        .load()
+      val ev = parsed(stream)
+        .withWatermark("ts", "1 second")
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)]
+      val out = ev
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Double, Long), (Long, Long, Double)](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (user, rows, state) =>
+            if (state.hasTimedOut) {
+              val (n, mx, _) = state.get
+              state.remove()
+              Iterator.single((user, n, mx))
+            } else {
+              var (n, mx, lastMs) = state.getOption
+                .getOrElse((0L, Double.MinValue, 0L))
+              rows.foreach { case (_, ts, v) =>
+                n += 1
+                if (v > mx) mx = v
+                val ms = ts.getTime
+                if (ms > lastMs) lastMs = ms
+              }
+              state.update((n, mx, lastMs))
+              // Close 1 h after the user's last event; never at-or-behind
+              // the current watermark (Spark rejects a stale timeout).
+              state.setTimeoutTimestamp(
+                math.max(lastMs + 3600L * 1000L, state.getCurrentWatermarkMs + 1))
+              Iterator.empty
+            }
+        }
+        .toDF("user_id", "n_events", "max_value")
+      runToMemory(s, out, "append")
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, count(*) AS n_events, max(value) AS max_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""),
+  )
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q36, q37, q38, q39)
 }

@@ -39,6 +39,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows(streaming) == rows(batch))
   }
 
+  test("q38 stream-static broadcast join ≡ batch join + rollup") {
+    val streaming = SparkEntry.queries("q38_stream_static_join")(spark, sf)
+    val batch = {
+      import org.apache.spark.sql.functions._
+      val c = graft.Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.Tables.events(spark, sf)
+        .join(c, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("c_mktsegment"))
+    }
+    assert(rows(streaming) == rows(batch))
+  }
+
+  test("q39 flatMapGroupsWithState custom state ≡ batch per-user aggregate") {
+    val streaming = SparkEntry.queries("q39_stream_custom_state")(spark, sf)
+    val batch = {
+      import org.apache.spark.sql.functions._
+      graft.Tables.events(spark, sf)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+        .orderBy(col("user_id"))
+    }
+    assert(rows(streaming) == rows(batch))
+  }
+
   test("q30 streaming session_window ≡ q24 batch sessionization") {
     val streaming = SparkEntry.queries("q30_stream_session")(spark, sf)
     val batch     = SparkEntry.queries("q24_sessionize")(spark, sf)
