@@ -973,8 +973,53 @@ object Relational {
       ORDER BY event_type"""),
   )
 
+  /** Bucketed co-located fact-fact join: orders and lineitem written once
+    * as bucketed tables on the join key (8 buckets, sorted), then joined
+    * WITHOUT any exchange — both sides already hash-agree on bucket
+    * layout, so EnsureRequirements plans no shuffle under the join
+    * (BucketedJoinSpec asserts the Exchange-free plan). This is the
+    * pay-the-shuffle-once posture for a 100 TB fact table that is joined
+    * on the same key by every downstream query: bucket it at ingest and
+    * every subsequent join is map-side. The MERGE hint keeps the plan a
+    * sort-merge join so the co-location (not a broadcast) is what's
+    * exercised; the write is idempotent per session+sf via tableExists. */
+  private val q42 = Q(
+    "q42_bucketed_join",
+    (s, d) => {
+      val tag = new java.io.File(d).getName.replace('.', '_')
+      val wh  = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_warehouse").getAbsolutePath
+      def ensureBucketed(name: String, df: DataFrame, key: String): Unit =
+        if (!s.catalog.tableExists(name))
+          df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", s"$wh/$name")
+            .saveAsTable(name)
+      val ordersB   = s"graft_orders_b_$tag"
+      val lineitemB = s"graft_lineitem_b_$tag"
+      ensureBucketed(ordersB, T.orders(s, d), "o_orderkey")
+      ensureBucketed(lineitemB, T.lineitem(s, d), "l_orderkey")
+      s.table(ordersB).hint("MERGE")
+        .join(
+          s.table(lineitemB),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_items,
+             round(sum(l_extendedprice), 2) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q31, q32, q33, q34, q35, q40, q41)
+    q31, q32, q33, q34, q35, q40, q41, q42)
 }

@@ -109,5 +109,54 @@ object Similarity {
       LIMIT 10"""),
   )
 
-  val all: Seq[Q] = Seq(s01, s02)
+  /** Batch ANN JOIN: top-5 corpus neighbors for EACH of a 20-vector query
+    * set — the retrieval/dedup-across-datasets primitive (every query
+    * vector of set A matched against corpus B). Plan: broadcast the small
+    * query side, score the corpus in one pass with the codegen'd vec_dot,
+    * then per-query top-k through the custom two-phase TopKPerGroup
+    * operator — map-side partial heaps shrink the shuffle to
+    * partitions·queries·k rows, so the corpus itself is never shuffled.
+    * At 100 TB that is exactly the viable shape: one corpus scan, k rows
+    * per query per map task over the wire. */
+  private val s03 = Q(
+    "s03_ann_join",
+    (s, d) => {
+      val e = T.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val corpus = e.filter(col("vec_id") >= 20)
+      val scored = corpus
+        .crossJoin(broadcast(queries))
+        .select(
+          col("query_id"),
+          col("vec_id"),
+          round(dot(s, col("embedding"), col("qv")), 6).as("cosine"))
+      graft.plans.TopK
+        .perGroup(
+          s,
+          scored,
+          Seq(col("query_id")),
+          Seq(col("cosine").desc, col("vec_id").asc),
+          5)
+        .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+    },
+    Some("""
+      SELECT query_id, vec_id, cosine
+      FROM (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+                 6) AS cosine,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, 65),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+                   6) DESC, e.vec_id ASC) AS rk
+        FROM embeddings e, embeddings q
+        WHERE q.vec_id < 20 AND e.vec_id >= 20)
+      WHERE rk <= 5
+      ORDER BY query_id, cosine DESC, vec_id"""),
+  )
+
+  val all: Seq[Q] = Seq(s01, s02, s03)
 }

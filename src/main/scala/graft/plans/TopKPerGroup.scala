@@ -25,10 +25,16 @@ import org.apache.spark.sql.graftbridge.Bridge
   * memory — the same asymptotic win TakeOrderedAndProject delivers for
   * global top-k (q11), generalized to grouped data.
   *
-  * Wiring: logical node → [[TopKPerGroupStrategy]] → [[TopKPerGroupExec]]
-  * whose `requiredChildDistribution` is `ClusteredDistribution(group)`,
-  * so EnsureRequirements plans exactly one hash shuffle on the group key
-  * — the same exchange the window plan needs, minus the sort.
+  * Wiring: logical node → [[TopKPerGroupStrategy]] → a PARTIAL
+  * [[TopKPerGroupExec]] (no distribution requirement: each input
+  * partition is reduced to ≤ k rows per group map-side, the top-k analog
+  * of partial aggregation — top-k of the union of per-partition top-ks
+  * IS the global top-k) feeding a FINAL exec whose
+  * `requiredChildDistribution` is `ClusteredDistribution(group)`, so
+  * EnsureRequirements plans exactly one hash shuffle — carrying at most
+  * partitions·groups·k rows instead of the full input (at 100 TB the
+  * difference between shuffling k rows per group per map task and
+  * shuffling the dataset).
   * Registered per session via `spark.experimental.extraStrategies` (works
   * on any session at runtime) or `spark.sql.extensions` +
   * [[graft.functions.GraftExtensions]].
@@ -49,15 +55,22 @@ final case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan,
 ) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  // One hash shuffle on the group key; no sort requirement — the heap
-  // replaces it.
+  // Final pass: one hash shuffle on the group key (no sort — the heap
+  // replaces it). Partial pass: runs in place on whatever partitioning
+  // the child has, shrinking each partition to ≤ k rows per group before
+  // the exchange.
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(groupExprs))
+    if (partial) super.requiredChildDistribution
+    else Seq(ClusteredDistribution(groupExprs))
+
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -98,7 +111,12 @@ final case class TopKPerGroupExec(
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(group, order, k, child) =>
-      TopKPerGroupExec(group, order, k, planLater(child)) :: Nil
+      // Two-phase: partial (map-side, pre-shuffle) then final (clustered)
+      // — selection is monotone, so top-k ∘ union ∘ per-partition-top-k
+      // equals global top-k exactly.
+      TopKPerGroupExec(group, order, k, partial = false,
+        TopKPerGroupExec(group, order, k, partial = true,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }

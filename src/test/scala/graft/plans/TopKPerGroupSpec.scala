@@ -44,11 +44,20 @@ class TopKPerGroupSpec extends SparkSpec {
     }
   }
 
-  test("plans a hash shuffle + TopKPerGroupExec with no Window/Sort") {
+  test("plans partial heaps below the hash shuffle and a final heap above " +
+    "it, with no Window/Sort") {
     val plan = customTopK(3).queryExecution.executedPlan.toString
-    // SparkPlan.nodeName strips the Exec suffix in plan strings.
+    // SparkPlan.nodeName strips the Exec suffix in plan strings. The tree
+    // prints top-down: final TopKPerGroup, then the exchange, then the
+    // map-side partial — the partial-aggregation shape for top-k.
     assert(plan.contains("TopKPerGroup "))
+    assert(plan.contains("TopKPerGroupPartial"))
     assert(plan.contains("hashpartitioning(c_nationkey"))
+    val iFinal    = plan.indexOf("TopKPerGroup ")
+    val iExchange = plan.indexOf("Exchange")
+    val iPartial  = plan.indexOf("TopKPerGroupPartial")
+    assert(iFinal < iExchange && iExchange < iPartial,
+      s"want final<exchange<partial, got $iFinal/$iExchange/$iPartial:\n$plan")
     assert(!plan.contains("Window"))
     assert(!plan.contains("Sort "))
   }
