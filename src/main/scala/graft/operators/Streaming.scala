@@ -66,6 +66,17 @@ object Streaming {
     }
   }
 
+  /** Build every log variant the streaming queries replay (base, doubled,
+    * sentinel) ahead of time — Bench calls this during warmup so the
+    * one-time fixture construction (a driver-side scan of the events
+    * table) isn't attributed to whichever streaming query runs first.
+    * Idempotent: each variant is guarded by its ready marker. */
+  def prewarmLogs(s: SparkSession, d: String): Unit = {
+    ensureLog(s, d, copies = 1)
+    ensureLog(s, d, copies = 2)
+    ensureLog(s, d, copies = 1, sentinel = true)
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
     * sink; returns the sink table. */
   private def runToMemory(
