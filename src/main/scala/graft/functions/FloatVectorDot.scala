@@ -104,6 +104,15 @@ object GraftFunctions {
         SignDots16(exprs.head)
       },
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash8",
+      exprs => {
+        require(
+          exprs.length == 1,
+          s"minhash8 requires exactly 1 argument (an ARRAY<STRING> column), got ${exprs.length}")
+        MinHash8(exprs.head)
+      },
+      "built-in")
   }
 
   /** Column-level API over the registered function. */
@@ -122,6 +131,12 @@ object GraftFunctions {
   def signDots16(spark: SparkSession, embedding: Column): Column = {
     register(spark)
     call_function("sign_dots16", embedding)
+  }
+
+  /** Column-level API: 8 MinHash quarter-minima of an ARRAY<STRING>. */
+  def minHash8(spark: SparkSession, shingles: Column): Column = {
+    register(spark)
+    call_function("minhash8", shingles)
   }
 }
 
@@ -145,6 +160,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sign_dots16"),
       new ExpressionInfo(classOf[SignDots16].getName, "sign_dots16"),
       (children: Seq[Expression]) => SignDots16(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash8"),
+      new ExpressionInfo(classOf[MinHash8].getName, "minhash8"),
+      (children: Seq[Expression]) => MinHash8(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -97,13 +97,14 @@ object Dedup {
     // bigram transform up to 4× across the band/verify self-joins — at
     // 100 TB you'd write signatures to storage once, never recompute.
     val base = shingled(s, d).localCheckpoint(true)
-    val sigInput = base
-      .withColumn("ha", expr("transform(sh, x -> md5('a:' || x))"))
-      .withColumn("hb", expr("transform(sh, x -> md5('b:' || x))"))
+    // All 8 minhashes in one fused pass over the shingles
+    // ([[graft.functions.MinHash8]]): same values as the built-in
+    // transform(md5)+substring+array_min chain the oracle mirrors, minus
+    // ten interpreted array passes per row.
+    val sigInput = base.withColumn(
+      "mh", graft.functions.GraftFunctions.minHash8(s, col("sh")))
     val hashCols: Seq[Column] = (0 until NumHashes).map { i =>
-      val src = if (i < 4) "ha" else "hb"
-      val off = (i % 4) * 8 + 1
-      array_min(transform(col(src), x => substring(x, off, 8))).as(s"h$i")
+      element_at(col("mh"), i + 1).as(s"h$i")
     }
     val sig = sigInput.select(col("doc_id") +: hashCols: _*)
     val bandCols = (0 until NumHashes / BandSize).map { b =>
