@@ -38,7 +38,11 @@ object Tables {
     * as TIMESTAMP_NS) sees identical instants.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Set once per session (idempotent, so concurrent readers never see a
+    // conf flip mid-plan; the flag only affects how the scan infers the
+    // nanos column, and every events reader wants the same inference).
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

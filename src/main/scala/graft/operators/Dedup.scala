@@ -223,8 +223,16 @@ object Dedup {
       def unpersistIds(ids: Set[Int]): Unit =
         for (id <- ids; rdd <- sc.getPersistentRDDs.get(id))
           rdd.unpersist(blocking = false)
-      val pairs = lshPairs(s, d).select(col("id1"), col("id2"))
+      // lshPairs eagerly checkpoints its shingle + band subtrees while
+      // building the pair list; once the pairs themselves are
+      // checkpointed those inputs are dead weight for the whole
+      // iteration — drop them before the loop starts.
+      val beforeLsh = sc.getPersistentRDDs.keySet.toSet
+      val pairsSrc  = lshPairs(s, d).select(col("id1"), col("id2"))
+      val lshIds    = sc.getPersistentRDDs.keySet.toSet -- beforeLsh
+      val pairs = pairsSrc
         .localCheckpoint(true) // computed once, not once per iteration
+      unpersistIds(lshIds)
       val edges = pairs
         .select(col("id1").as("src"), col("id2").as("dst"))
         .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))

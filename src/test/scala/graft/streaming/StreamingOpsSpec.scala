@@ -72,6 +72,112 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows(streaming) == rows(batch))
   }
 
+  test("flatMapGroupsWithState state survives a query restart: counts " +
+    "accumulated before the stop are emitted after it") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    import java.nio.file.Files
+    val dir  = Files.createTempDirectory("kl_state_resume")
+    val ckpt = Files.createTempDirectory("kl_state_resume_ck")
+    val out  = Files.createTempDirectory("kl_state_resume_out")
+    def writeLines(lines: Seq[String], append: Boolean): Unit = {
+      val p = dir.resolve("shard-00000.log")
+      val bytes = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+      if (append)
+        Files.write(p, bytes, java.nio.file.StandardOpenOption.APPEND)
+      else Files.write(p, bytes)
+    }
+    def rec(seq: Long, us: Long, user: Long, v: Double): String = {
+      val payload =
+        s"""{"event_id":$seq,"ts":"${java.time.Instant.EPOCH.plus(us,
+          java.time.temporal.ChronoUnit.MICROS)}","user_id":$user,""" +
+          s""""event_type":"e","value":$v,"props":"{}"}"""
+      val b64 = java.util.Base64.getEncoder.encodeToString(payload.getBytes("UTF-8"))
+      s"$seq\t$us\t$user\t$b64"
+    }
+    val eventSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    def runOnce(): Unit = {
+      import spark.implicits._
+      val ev = spark.readStream
+        .format("kinesislike")
+        .option("path", dir.toString)
+        .option("startingPosition", "trim_horizon")
+        .load()
+        .select(from_json(col("data").cast("string"), eventSchema).as("e"))
+        .select(col("e.user_id"), col("e.ts"), col("e.value"))
+        .withWatermark("ts", "1 second")
+        .as[(Long, java.sql.Timestamp, Double)]
+      val q = ev.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Double, Long), (Long, Long, Double)](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (user, rows, state) =>
+            if (state.hasTimedOut) {
+              val (n, mx, _) = state.get
+              state.remove()
+              Iterator.single((user, n, mx))
+            } else {
+              var (n, mx, lastMs) = state.getOption
+                .getOrElse((0L, Double.MinValue, 0L))
+              rows.foreach { case (_, ts, v) =>
+                n += 1; if (v > mx) mx = v
+                if (ts.getTime > lastMs) lastMs = ts.getTime
+              }
+              state.update((n, mx, lastMs))
+              state.setTimeoutTimestamp(
+                math.max(lastMs + 3600L * 1000L, state.getCurrentWatermarkMs + 1))
+              Iterator.empty
+            }
+        }
+        .toDF("user_id", "n_events", "max_value")
+        .writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // Run 1: two users' events, all within one hour — no timeout fires,
+    // nothing is emitted, but the state lands in the checkpoint.
+    writeLines(
+      Seq(rec(0, 1000000L, 1, 1.0), rec(1, 2000000L, 2, 5.0),
+        rec(2, 3000000L, 1, 3.0)),
+      append = false)
+    runOnce()
+    val afterFirst = spark.read.schema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_events",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("max_value",
+          org.apache.spark.sql.types.DoubleType))))
+      .parquet(out.toString)
+    assert(afterFirst.count() == 0, "no state should have timed out yet")
+    // Run 2: only a far-future record arrives; the recovered state (from
+    // run 1's checkpoint) must time out and emit run-1's accumulations.
+    writeLines(
+      Seq(rec(3, 30L * 24 * 3600 * 1000000L, 99, 0.0)),
+      append = true)
+    runOnce()
+    val rows2 = spark.read.schema(afterFirst.schema).parquet(out.toString)
+      .filter(col("user_id") < 99)
+      .orderBy(col("user_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(rows2 == Seq((1L, 2L, 3.0), (2L, 1L, 5.0)),
+      s"state must survive the restart: $rows2")
+  }
+
   test("RegistryListener marks a named query healthy on progress") {
     val registry = new ProducerRegistry
     val listener = new RegistryListener(registry)
