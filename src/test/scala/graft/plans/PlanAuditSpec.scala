@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Automated plan-quality guards: the properties that make these
+  * operators scale are asserted, not just observed once in a bench run —
+  * filter/column pushdown reaching the parquet scan, dimension joins
+  * broadcasting, global top-k planning as TakeOrderedAndProject, and a
+  * blanket "no O(n²) join anywhere" sweep over the whole registered
+  * batch surface. A regression that silently re-plans one of these into
+  * a scan-everything or nested-loop shape fails the suite, not the next
+  * 100 TB run. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.toString
+
+  test("q02: filter and projection push into the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), s"no filters pushed:\n$p")
+    // Column pruning: the scan must not read the full 16-column lineitem.
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_comment"), s"pruned column still read:\n$p")
+  }
+
+  test("q03 and entry: dimension joins broadcast") {
+    assert(plan("q03_join_broadcast").contains("BroadcastHashJoin"))
+    assert(SparkEntry.entry(spark).queryExecution.sparkPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("q04: fact-fact join shuffles on the join key once broadcast is " +
+    "off the table") {
+    // At sf0.001 the filtered orders side fits the broadcast threshold
+    // and Spark rightly broadcasts — the correct adaptive choice at tiny
+    // scale. The at-scale question is what the plan degrades to when
+    // neither side fits: it must be a key-shuffled equi-join, never a
+    // nested loop.
+    val key  = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("q04_join_factfact")
+      assert(
+        p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("q11: global top-k is TakeOrderedAndProject, not sort-then-limit") {
+    assert(plan("q11_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("q42: bucketed join carries the bucket spec into the scan") {
+    // (The zero-Exchange property itself is asserted in BucketedJoinSpec
+    // on the executed plan; here just confirm the scan is bucket-aware.)
+    val p = plan("q42_bucketed_join")
+    assert(p.contains("Bucketed: true") || p.contains("SelectedBucketsCount"), p)
+  }
+
+  test("no batch operator plans a CartesianProduct or an unbounded " +
+    "BroadcastNestedLoopJoin") {
+    // These queries intentionally cross-join against a BROADCAST side of
+    // bounded size — a query-vector set of ≤ 20 rows (s01-s03) or a
+    // 1-row corpus-size scalar (t06) — the bounded scalar-product
+    // pattern, not an n² join. Everything else must plan equi-joins.
+    val boundedBroadcastCross = Set(
+      "s01_ann_brute_topk", "s02_ann_ivf", "s03_ann_join", "t06_tfidf")
+    val streaming = Set(
+      "q28_stream_window", "q29_stream_dedup", "q30_stream_session",
+      "q36_stream_join", "q37_stream_sliding", "q38_stream_static_join",
+      "q39_stream_custom_state")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(boundedBroadcastCross)
+      .filterNot(streaming) // streaming plans are audited via their specs
+      .flatMap { name =>
+        val p = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.sparkPlan.toString
+        if (p.contains("CartesianProduct") ||
+          p.contains("BroadcastNestedLoopJoin")) Some(name)
+        else None
+      }
+    assert(offenders.isEmpty, s"O(n²) join shapes in: $offenders")
+  }
+}
