@@ -63,6 +63,14 @@ object MinHash8 {
   private val SeedA = "a:".getBytes("UTF-8")
   private val SeedB = "b:".getBytes("UTF-8")
 
+  // One digest per executor thread, reset per update cycle — a
+  // per-ROW getInstance would pay a JCA provider lookup and allocation
+  // inside the hot kernel this expression exists to streamline.
+  private val localMd = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
   /** One pass: per shingle, md5("a:"||x) and md5("b:"||x); minima of the
     * four big-endian 32-bit quarters of each digest (8 mins total),
     * formatted as the lowercase 8-hex-char strings the built-in
@@ -70,7 +78,7 @@ object MinHash8 {
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
-    val md   = MessageDigest.getInstance("MD5")
+    val md   = localMd.get()
     val mins = Array.fill(8)(-1) // 0xffffffff = unsigned max
     var i = 0
     while (i < n) {

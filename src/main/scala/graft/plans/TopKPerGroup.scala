@@ -69,6 +69,14 @@ final case class TopKPerGroupExec(
     if (partial) super.requiredChildDistribution
     else Seq(ClusteredDistribution(groupExprs))
 
+  // The heap filter drops rows but never moves them, so the child's
+  // partitioning survives (doExecute's preservesPartitioning at the RDD
+  // level). Without this override the partial node would report
+  // UnknownPartitioning and force a redundant Exchange even when the
+  // input is already hash-partitioned on the group key.
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override def nodeName: String =
     if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
 

@@ -71,9 +71,12 @@ object KinesisLikeErrors {
   * dedicated error clause for it). A consumer watching only offsets
   * cannot tell "every shard closed after a split/merge — act!" from "no
   * new data right now"; this registry can. A log dir is marked closed
-  * when a committed microbatch has DELIVERED everything and every shard
-  * carries the nil-continuation marker — closure is terminal for a log
-  * (the marker is the final line), matching Kinesis shard lifecycle. */
+  * when the committed cursor has DELIVERED everything and every shard
+  * carries the nil-continuation marker. The status tracks the LATEST
+  * poll, not a write-once flag: if a path is reused for a fresh open log
+  * (tmp-dir recycling), the first poll over the new log flips it back to
+  * Open — a stale Closed from a previous log's lifetime cannot leak into
+  * a new stream's report. */
 object KinesisLikeStatus {
   sealed trait StreamStatus
   /** Shards still open, or open shards merely idle. */
@@ -87,8 +90,8 @@ object KinesisLikeStatus {
 
   def of(logDir: String): StreamStatus =
     statuses.getOrDefault(key(logDir), Open)
-  private[kinesislike] def markClosed(logDir: String): Unit =
-    statuses.put(key(logDir), Closed)
+  private[kinesislike] def update(logDir: String, closed: Boolean): Unit =
+    statuses.put(key(logDir), if (closed) Closed else Open)
   /** Test hook: forget a dir (e.g. a reused temp path). */
   def reset(logDir: String): Unit = statuses.remove(key(logDir))
 }
@@ -241,11 +244,15 @@ class KinesisLikeScan(cfg: KinesisLikeConfig) extends Scan {
 class KinesisLikeBatch(cfg: KinesisLikeConfig) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     KinesisLikeLog.shardFiles(cfg.logDir).map { f =>
+      // Fault-injection options apply to batch reads too — an option the
+      // config layer accepted must not be silently inert on this path.
       KinesisLikePartition(
         KinesisLikeLog.shardId(f), f.getAbsolutePath,
         after = -1L, until = Long.MaxValue,
-        failOnceAfter = -1L, markerDir = cfg.logDir,
-        failAtOpen = "", failAtOpenTimes = 0)
+        failOnceAfter = cfg.failOnceAfter.getOrElse(-1L),
+        markerDir = cfg.logDir,
+        failAtOpen = cfg.failAtOpen.getOrElse(""),
+        failAtOpenTimes = cfg.failAtOpenTimes)
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     KinesisLikeReaderFactory
@@ -326,7 +333,7 @@ class KinesisLikeMicroBatchStream(cfg: KinesisLikeConfig)
       KinesisLikeLog.isClosed(f) &&
         from.getOrElse(KinesisLikeLog.shardId(f), -1L) >= KinesisLikeLog.maxSeq(f)
     }
-    if (closedAndDrained) KinesisLikeStatus.markClosed(cfg.logDir)
+    KinesisLikeStatus.update(cfg.logDir, closed = closedAndDrained)
     val cap = limit match {
       case r: ReadMaxRows => Some(r.maxRows())
       case _              => None

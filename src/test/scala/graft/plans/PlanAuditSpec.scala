@@ -83,6 +83,12 @@ class PlanAuditSpec extends SparkSpec {
       .flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf)
           .queryExecution.sparkPlan.toString
+        // The dedup builders eagerly checkpoint their shared subtrees at
+        // DataFrame-construction time; drop those blocks per query so
+        // this sweep doesn't inflate the shared session's storage for
+        // every suite that runs after it.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         if (p.contains("CartesianProduct") ||
           p.contains("BroadcastNestedLoopJoin")) Some(name)
         else None
