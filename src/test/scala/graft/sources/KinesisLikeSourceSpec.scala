@@ -357,6 +357,22 @@ class KinesisLikeSourceSpec extends SparkSpec {
     assert(got.map(_._2).sorted == (0L until 6L))
   }
 
+  test("batch reads honor fault injection too: one open failure, task " +
+    "retry recovers, rows intact") {
+    val dir = tmpDir("kl_batch_fault")
+    writeShard(dir, 0, (0L until 5L).map(i => (i, i, "k", s"p$i")))
+    val rows = spark.read
+      .format("kinesislike")
+      .option("path", dir.toString)
+      .option("failAtOpen", "resource_in_use")
+      .option("failAtOpenTimes", "1") // within local[4,2]'s retry budget
+      .load()
+      .select(col("sequenceNumber").cast("long"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(Files.exists(dir.resolve("_FAILED_OPEN_shard-00000")))
+    assert(rows == (0L until 5L))
+  }
+
   // ------------------------------------ shard-closed as a visible signal
 
   test("a drained CLOSED stream is observable distinctly from an idle " +
