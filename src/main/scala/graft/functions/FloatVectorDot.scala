@@ -138,6 +138,13 @@ object GraftFunctions {
     register(spark)
     call_function("minhash8", shingles)
   }
+
+  /** Column-level API: distinct word n-grams of a STRING in one pass.
+    * (Built on Column.expr directly — the n parameter is a literal of the
+    * expression, not a child, so no registry indirection is needed.) */
+  def wordNgrams(spark: SparkSession, text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      spark, e => WordNgrams(e, n), text)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` registration

@@ -34,17 +34,18 @@ object Dedup {
   private def docs(s: SparkSession, d: String): DataFrame =
     T.documents(s, d).repartition(s.sparkContext.defaultParallelism)
 
-  /** doc_id + distinct word-bigram shingle array, map-only. */
+  /** doc_id + distinct word-bigram shingle array, map-only. One fused
+    * pass ([[graft.functions.WordNgrams]]) instead of the interpreted
+    * split → transform → array_distinct chain (same strings, same order
+    * — the oracle's mirrored chain is untouched); `size >= 1` keeps
+    * exactly the documents the old pre-split `size(ws) >= 2` guard kept,
+    * since ≥2 tokens ⇔ ≥1 bigram. */
   private def shingled(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 2)
       .select(
         col("doc_id"),
-        array_distinct(expr(
-          "transform(sequence(1, size(ws)-1), " +
-            "i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"))
-          .as("sh"))
+        graft.functions.GraftFunctions.wordNgrams(s, col("text"), 2).as("sh"))
+      .filter(size(col("sh")) >= 1)
 
   private val shingledSql =
     """base AS (
@@ -437,15 +438,14 @@ object Dedup {
       // Both sides of the block self-join read the trigram table:
       // materialize it once instead of re-running the split + trigram
       // transform per side.
+      // Fused trigram pass (WordNgrams) — same strings as the split →
+      // transform(concat_ws) → array_distinct chain the oracle mirrors;
+      // ≥3 tokens ⇔ ≥1 trigram, so the size guard keeps the same docs.
       val tri = docs(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
         .select(
           col("doc_id"),
-          array_distinct(expr(
-            "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', " +
-              "element_at(ws, i), element_at(ws, i+1), element_at(ws, i+2)))"))
-            .as("tg"))
+          graft.functions.GraftFunctions.wordNgrams(s, col("text"), 3).as("tg"))
+        .filter(size(col("tg")) >= 1)
         .localCheckpoint(true)
       val a = tri
         .select(col("doc_id").as("id1"), col("tg").as("tg1"))

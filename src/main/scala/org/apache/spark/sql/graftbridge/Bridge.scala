@@ -22,4 +22,14 @@ object Bridge {
   def expr(spark: SparkSession, c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.catalyst.expressions.Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** Wrap a custom Expression built from a Column's expression back into
+    * a Column — for expressions with non-child parameters (e.g. an n-gram
+    * width), which can't go through the function-registry path. */
+  def column(
+      spark: SparkSession,
+      f: org.apache.spark.sql.catalyst.expressions.Expression =>
+        org.apache.spark.sql.catalyst.expressions.Expression,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(f(expr(spark, c)))
 }
