@@ -178,6 +178,96 @@ class StreamingOpsSpec extends SparkSpec {
       s"state must survive the restart: $rows2")
   }
 
+  test("flatMapGroupsWithState results are microbatch-slicing invariant: " +
+    "any maxRecordsPerBatch yields the same per-user aggregates") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("kl_state_inv")
+    val recs = (0L until 20L).map { i =>
+      val us = (i + 1) * 1000000L
+      val payload =
+        s"""{"event_id":$i,"ts":"${java.time.Instant.EPOCH.plus(us,
+          java.time.temporal.ChronoUnit.MICROS)}","user_id":${i % 3},""" +
+          s""""event_type":"e","value":${i * 1.5},"props":"{}"}"""
+      val b64 = java.util.Base64.getEncoder.encodeToString(payload.getBytes("UTF-8"))
+      s"$i\t$us\t${i % 3}\t$b64"
+    }
+    val sentinelUs = 40L * 24 * 3600 * 1000000L
+    val sentinel = {
+      val payload =
+        s"""{"event_id":99,"ts":"${java.time.Instant.EPOCH.plus(sentinelUs,
+          java.time.temporal.ChronoUnit.MICROS)}","user_id":-1,""" +
+          """"event_type":"sentinel","value":0.0,"props":"{}"}"""
+      val b64 = java.util.Base64.getEncoder.encodeToString(payload.getBytes("UTF-8"))
+      s"99\t$sentinelUs\t-1\t$b64"
+    }
+    Files.write(
+      dir.resolve("shard-00000.log"),
+      ((recs :+ sentinel).mkString("\n") + "\n#CLOSED\n").getBytes("UTF-8"))
+    val eventSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    def run(cap: String, tag: String): Seq[(Long, Long, Double)] = {
+      import spark.implicits._
+      val ckpt = Files.createTempDirectory(s"kl_state_inv_ck_$tag")
+      val sink = s"state_inv_sink_$tag"
+      val ev = spark.readStream
+        .format("kinesislike")
+        .option("path", dir.toString)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap)
+        .load()
+        .select(from_json(col("data").cast("string"), eventSchema).as("e"))
+        .select(col("e.user_id"), col("e.ts"), col("e.value"))
+        .withWatermark("ts", "1 second")
+        .as[(Long, java.sql.Timestamp, Double)]
+      val q = ev.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Double, Long), (Long, Long, Double)](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (user, rows, state) =>
+            if (state.hasTimedOut) {
+              val (n, mx, _) = state.get
+              state.remove()
+              Iterator.single((user, n, mx))
+            } else {
+              var (n, mx, lastMs) = state.getOption
+                .getOrElse((0L, Double.MinValue, 0L))
+              rows.foreach { case (_, ts, v) =>
+                n += 1; if (v > mx) mx = v
+                if (ts.getTime > lastMs) lastMs = ts.getTime
+              }
+              state.update((n, mx, lastMs))
+              state.setTimeoutTimestamp(
+                math.max(lastMs + 3600L * 1000L, state.getCurrentWatermarkMs + 1))
+              Iterator.empty
+            }
+        }
+        .toDF("user_id", "n_events", "max_value")
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sink)
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    }
+    val results = Seq("1", "3", "7", "1000").map(c => run(c, s"c$c"))
+    assert(results.head.nonEmpty, "expected per-user aggregates to emit")
+    assert(results.distinct.size == 1,
+      s"custom state must not depend on batch slicing: $results")
+  }
+
   test("RegistryListener marks a named query healthy on progress") {
     val registry = new ProducerRegistry
     val listener = new RegistryListener(registry)
