@@ -88,10 +88,10 @@ object Dedup {
     * ≈ 12M digests at sf0.1; hashing dominates signature cost). The min
     * over equal-length hex strings is the min over the 32-bit values —
     * ample headroom against min-collisions at fixture scale. */
-  /** Verified near-dup pairs (id1, id2, jacc) through the banded-LSH
-    * pipeline — shared by d02 (the pair listing) and d07 (cluster
-    * assignment over these edges). */
-  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+  /** Banded-LSH candidate pairs with their exact shingle-overlap scores
+    * (id1, id2, inter, n1, n2) — the shared verify stage behind d02's
+    * Jaccard pairs, d07's cluster edges, and d08's containment pairs. */
+  private def lshScored(s: SparkSession, d: String): DataFrame = {
     // The shingle arrays feed the signature derivation AND both sides of
     // the verify join: materialize them ONCE (eager localCheckpoint, the
     // d07 iterate-checkpoint pattern) instead of re-deriving the split +
@@ -142,12 +142,18 @@ object Dedup {
       .withColumn(
         "inter",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
-      .withColumn(
-        "jacc",
-        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .withColumn("n1", size(col("sh1")).cast("double"))
+      .withColumn("n2", size(col("sh2")).cast("double"))
+      .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"))
+  }
+
+  /** Verified near-dup pairs: symmetric Jaccard over the scored
+    * candidates (d02's listing, d07's edge set). */
+  private def lshPairs(s: SparkSession, d: String): DataFrame =
+    lshScored(s, d)
+      .withColumn("jacc", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jacc") >= 0.2)
       .select(col("id1"), col("id2"), col("jacc"))
-  }
 
   /** The d02 pipeline as DuckDB CTEs ending in `pairs(id1, id2, jacc)`. */
   private def lshPairsSql: String = {
@@ -170,12 +176,13 @@ object Dedup {
                  ON b1.band_idx = b2.band_idx AND b1.band_val = b2.band_val
                 AND b1.doc_id < b2.doc_id),
       scored AS (SELECT c.id1, c.id2,
-                        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-                          AS jacc
+                        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+                        CAST(len(a.sh) AS DOUBLE) AS n1,
+                        CAST(len(b.sh) AS DOUBLE) AS n2
                  FROM cand c JOIN base a ON a.doc_id = c.id1
                              JOIN base b ON b.doc_id = c.id2),
-      pairs AS (SELECT id1, id2, jacc FROM scored WHERE jacc >= 0.2)"""
+      pairs AS (SELECT id1, id2, inter / (n1 + n2 - inter) AS jacc
+                FROM scored WHERE inter / (n1 + n2 - inter) >= 0.2)"""
   }
 
   private val d02 = Q(
@@ -188,6 +195,33 @@ object Dedup {
       WITH $lshPairsSql
       SELECT id1, id2, round(jacc, 6) AS jaccard
       FROM pairs
+      ORDER BY id1, id2"""),
+  )
+
+  /** Containment (asymmetric) near-dup: pairs where the smaller
+    * document's shingle set is mostly INSIDE the larger one's —
+    * |A ∩ B| / min(|A|, |B|) ≥ 0.6. Jaccard misses these (a short doc
+    * quoted inside a long one scores low symmetric overlap); containment
+    * is the boilerplate/quotation/subset-duplicate detector a training
+    * pipeline runs alongside it. Candidates come from the same banded
+    * MinHash-LSH stage as d02 (at scale: one candidate generation pass,
+    * many scoring policies over it); the oracle mirrors the identical
+    * candidates-then-containment computation. */
+  private val d08 = Q(
+    "d08_dedup_containment",
+    (s, d) =>
+      lshScored(s, d)
+        .withColumn("cont", col("inter") / least(col("n1"), col("n2")))
+        .filter(col("cont") >= 0.6)
+        .select(
+          col("id1"), col("id2"),
+          round(col("cont"), 6).as("containment"))
+        .orderBy(col("id1"), col("id2")),
+    Some(s"""
+      WITH $lshPairsSql
+      SELECT id1, id2, round(inter / least(n1, n2), 6) AS containment
+      FROM scored
+      WHERE inter / least(n1, n2) >= 0.6
       ORDER BY id1, id2"""),
   )
 
@@ -606,5 +640,5 @@ object Dedup {
     )
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07)
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
 }
