@@ -280,5 +280,46 @@ object TextAnalysis {
       ORDER BY doc_id, rk"""),
   )
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06)
+  /** Intra-document repetition: 1 − distinct/total trigram ratio — high
+    * values flag boilerplate loops, keyword stuffing, and degenerate
+    * generations (a standard pre-training quality filter alongside t02's
+    * surface stats). Total trigrams come straight from the token count;
+    * distinct ones from the fused WordNgrams kernel (d05's trigram
+    * shingler reused as a quality signal). Map-only. */
+  private val t07 = Q(
+    "t07_text_repetition",
+    (s, d) =>
+      T.documents(s, d)
+        .select(
+          col("doc_id"),
+          (size(split(col("text"), " ")) - 2).as("total_tg"),
+          size(graft.functions.GraftFunctions.wordNgrams(s, col("text"), 3))
+            .as("distinct_tg"))
+        .filter(col("total_tg") >= 1)
+        .select(
+          col("doc_id"),
+          col("total_tg"),
+          col("distinct_tg"),
+          round(
+            lit(1.0) - col("distinct_tg") / col("total_tg").cast("double"),
+            6).as("repetition"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, total_tg, distinct_tg,
+             round(1.0 - distinct_tg / CAST(total_tg AS DOUBLE), 6)
+               AS repetition
+      FROM (
+        SELECT doc_id,
+               len(string_split(text, ' ')) - 2 AS total_tg,
+               len(list_distinct(list_transform(
+                 range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2]))) AS distinct_tg
+        FROM documents)
+      WHERE total_tg >= 1
+      ORDER BY doc_id"""),
+  )
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07)
 }
