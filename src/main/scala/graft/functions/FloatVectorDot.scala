@@ -12,7 +12,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 /** Native codegen'd dot product over two float-array columns — the
   * custom-Expression tier of the operator preference order (SURVEY §4.2:
   * built-ins first, then a Catalyst `Expression` with `doGenCode`, and
-  * only then anything slower). The built-in HOF formulation
+  * only then anything slower). Siblings in this package follow the same
+  * pattern for the other hot per-row kernels: [[SimHash60]],
+  * [[SignDots16]], [[MinHash8]], [[WordNgrams]]. The built-in HOF
+  * formulation
   * (`aggregate(zip_with(a, b, (x, y) -> x*y), 0D, (acc, z) -> acc+z)`)
   * allocates an intermediate product array per row and evaluates two
   * lambda closures per element; this expression is a single fused loop
