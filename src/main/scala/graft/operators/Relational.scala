@@ -973,22 +973,12 @@ object Relational {
       ORDER BY event_type"""),
   )
 
-  /** Bucketed co-located fact-fact join: orders and lineitem written once
-    * as bucketed tables on the join key (8 buckets, sorted), then joined
-    * WITHOUT any exchange — both sides already hash-agree on bucket
-    * layout, so EnsureRequirements plans no shuffle under the join
-    * (BucketedJoinSpec asserts the Exchange-free plan). This is the
-    * pay-the-shuffle-once posture for a 100 TB fact table that is joined
-    * on the same key by every downstream query: bucket it at ingest and
-    * every subsequent join is map-side. The MERGE hint keeps the plan a
-    * sort-merge join so the co-location (not a broadcast) is what's
-    * exercised; the write is idempotent per session+sf via tableExists. */
   /** Create the bucketed orders/lineitem tables q42 joins (idempotent per
-    * session). Public so Bench can run it during warmup: the writes are
-    * one-time fixture setup (a fresh JVM's catalog is empty, so leaving
-    * them inside the timed query would bill the bucketing write — the
-    * pattern's amortized-away cost — to every measured run). Returns the
-    * two table names. */
+    * session via tableExists). Public so Bench can run it during warmup:
+    * the writes are one-time fixture setup (a fresh JVM's catalog is
+    * empty, so leaving them inside the timed query would bill the
+    * bucketing write — the pattern's amortized-away cost — to every
+    * measured run). Returns the two table names. */
   def prewarmBucketedTables(s: SparkSession, d: String): (String, String) = {
     val tag = new java.io.File(d).getName.replace('.', '_')
     val wh  = new java.io.File(
@@ -1007,6 +997,16 @@ object Relational {
     (ordersB, lineitemB)
   }
 
+  /** Bucketed co-located fact-fact join: orders and lineitem written once
+    * as bucketed tables on the join key (8 buckets, sorted), then joined
+    * WITHOUT any exchange — both sides already hash-agree on bucket
+    * layout, so EnsureRequirements plans no shuffle under the join
+    * (BucketedJoinSpec asserts the Exchange-free plan). This is the
+    * pay-the-shuffle-once posture for a 100 TB fact table that is joined
+    * on the same key by every downstream query: bucket it at ingest and
+    * every subsequent join is map-side. The MERGE hint keeps the plan a
+    * sort-merge join so the co-location (not a broadcast) is what's
+    * exercised. */
   private val q42 = Q(
     "q42_bucketed_join",
     (s, d) => {

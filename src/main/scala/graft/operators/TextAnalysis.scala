@@ -304,8 +304,13 @@ object TextAnalysis {
             lit(1.0) - col("distinct_tg") / col("total_tg").cast("double"),
             6).as("repetition"))
         .orderBy(col("doc_id")),
+    // CAST(... AS INT): DuckDB len() yields BIGINT where Spark size()
+    // yields INT — the driver's schema gate compares types (same reason
+    // t02/t03/t06 cast).
     Some("""
-      SELECT doc_id, total_tg, distinct_tg,
+      SELECT doc_id,
+             CAST(total_tg AS INT) AS total_tg,
+             CAST(distinct_tg AS INT) AS distinct_tg,
              round(1.0 - distinct_tg / CAST(total_tg AS DOUBLE), 6)
                AS repetition
       FROM (

@@ -72,11 +72,13 @@ object KinesisLikeErrors {
   * cannot tell "every shard closed after a split/merge — act!" from "no
   * new data right now"; this registry can. A log dir is marked closed
   * when the committed cursor has DELIVERED everything and every shard
-  * carries the nil-continuation marker. The status tracks the LATEST
-  * poll, not a write-once flag: if a path is reused for a fresh open log
-  * (tmp-dir recycling), the first poll over the new log flips it back to
-  * Open — a stale Closed from a previous log's lifetime cannot leak into
-  * a new stream's report. */
+  * carries the nil-continuation marker. Lifecycle: Closed is STICKY
+  * within a stream's lifetime (a drained poll can't be overwritten back
+  * to Open by a later poll racing it), and each NEW stream over the dir
+  * resets the entry at construction — so a recycled path starts Open
+  * instead of inheriting a previous log's Closed. If several streams
+  * consume one dir concurrently, the registry reports the union ("some
+  * consumer has drained it to closure since the last stream started"). */
 object KinesisLikeStatus {
   sealed trait StreamStatus
   /** Shards still open, or open shards merely idle. */
@@ -90,9 +92,10 @@ object KinesisLikeStatus {
 
   def of(logDir: String): StreamStatus =
     statuses.getOrDefault(key(logDir), Open)
-  private[kinesislike] def update(logDir: String, closed: Boolean): Unit =
-    statuses.put(key(logDir), if (closed) Closed else Open)
-  /** Test hook: forget a dir (e.g. a reused temp path). */
+  private[kinesislike] def markClosed(logDir: String): Unit =
+    statuses.put(key(logDir), Closed)
+  /** Forget a dir: called when a new stream starts over it (and by
+    * tests reusing temp paths). */
   def reset(logDir: String): Unit = statuses.remove(key(logDir))
 }
 
@@ -283,6 +286,10 @@ class KinesisLikeMicroBatchStream(cfg: KinesisLikeConfig)
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
+  // A new stream = a new lifetime for this log dir: drop any Closed mark
+  // a previous log at the same path earned, so recycled paths start Open.
+  KinesisLikeStatus.reset(cfg.logDir)
+
   // Shard set is fixed at stream start, matching the reference's
   // single-DescribeStream shard discovery (producer.ex:171-188); shard
   // splits/merges surface as closed shards, never as new partitions
@@ -333,7 +340,7 @@ class KinesisLikeMicroBatchStream(cfg: KinesisLikeConfig)
       KinesisLikeLog.isClosed(f) &&
         from.getOrElse(KinesisLikeLog.shardId(f), -1L) >= KinesisLikeLog.maxSeq(f)
     }
-    KinesisLikeStatus.update(cfg.logDir, closed = closedAndDrained)
+    if (closedAndDrained) KinesisLikeStatus.markClosed(cfg.logDir)
     val cap = limit match {
       case r: ReadMaxRows => Some(r.maxRows())
       case _              => None

@@ -72,10 +72,74 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows(streaming) == rows(batch))
   }
 
+  // ---- shared fixtures for the flatMapGroupsWithState tests ----------
+
+  /** One shard-log line carrying a JSON event payload. */
+  private def stateRec(seq: Long, us: Long, user: Long, v: Double): String = {
+    val payload =
+      s"""{"event_id":$seq,"ts":"${java.time.Instant.EPOCH.plus(us,
+        java.time.temporal.ChronoUnit.MICROS)}","user_id":$user,""" +
+        s""""event_type":"e","value":$v,"props":"{}"}"""
+    val b64 = java.util.Base64.getEncoder.encodeToString(payload.getBytes("UTF-8"))
+    s"$seq\t$us\t$user\t$b64"
+  }
+
+  private val stateEventSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType)))
+
+  /** The per-user (count, max, last-seen) state machine under test —
+    * identical shape to q39's operator: accumulate until the event-time
+    * timeout fires 1 h after the user's last event, then emit once.
+    * Extracted so the restart and slicing-invariance tests exercise the
+    * SAME lambda (a fix applied to one cannot silently skip the other). */
+  private def userStateAgg(logDir: String, extraReadOptions: Map[String, String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    var reader = spark.readStream
+      .format("kinesislike")
+      .option("path", logDir)
+      .option("startingPosition", "trim_horizon")
+    extraReadOptions.foreach { case (k, v) => reader = reader.option(k, v) }
+    val ev = reader.load()
+      .select(from_json(col("data").cast("string"), stateEventSchema).as("e"))
+      .select(col("e.user_id"), col("e.ts"), col("e.value"))
+      .withWatermark("ts", "1 second")
+      .as[(Long, java.sql.Timestamp, Double)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double, Long), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state) =>
+          if (state.hasTimedOut) {
+            val (n, mx, _) = state.get
+            state.remove()
+            Iterator.single((user, n, mx))
+          } else {
+            var (n, mx, lastMs) = state.getOption
+              .getOrElse((0L, Double.MinValue, 0L))
+            rows.foreach { case (_, ts, v) =>
+              n += 1; if (v > mx) mx = v
+              if (ts.getTime > lastMs) lastMs = ts.getTime
+            }
+            state.update((n, mx, lastMs))
+            state.setTimeoutTimestamp(
+              math.max(lastMs + 3600L * 1000L, state.getCurrentWatermarkMs + 1))
+            Iterator.empty
+          }
+      }
+      .toDF("user_id", "n_events", "max_value")
+  }
+
   test("flatMapGroupsWithState state survives a query restart: counts " +
     "accumulated before the stop are emitted after it") {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.Files
     val dir  = Files.createTempDirectory("kl_state_resume")
     val ckpt = Files.createTempDirectory("kl_state_resume_ck")
@@ -87,56 +151,8 @@ class StreamingOpsSpec extends SparkSpec {
         Files.write(p, bytes, java.nio.file.StandardOpenOption.APPEND)
       else Files.write(p, bytes)
     }
-    def rec(seq: Long, us: Long, user: Long, v: Double): String = {
-      val payload =
-        s"""{"event_id":$seq,"ts":"${java.time.Instant.EPOCH.plus(us,
-          java.time.temporal.ChronoUnit.MICROS)}","user_id":$user,""" +
-          s""""event_type":"e","value":$v,"props":"{}"}"""
-      val b64 = java.util.Base64.getEncoder.encodeToString(payload.getBytes("UTF-8"))
-      s"$seq\t$us\t$user\t$b64"
-    }
-    val eventSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType)))
     def runOnce(): Unit = {
-      import spark.implicits._
-      val ev = spark.readStream
-        .format("kinesislike")
-        .option("path", dir.toString)
-        .option("startingPosition", "trim_horizon")
-        .load()
-        .select(from_json(col("data").cast("string"), eventSchema).as("e"))
-        .select(col("e.user_id"), col("e.ts"), col("e.value"))
-        .withWatermark("ts", "1 second")
-        .as[(Long, java.sql.Timestamp, Double)]
-      val q = ev.groupByKey(_._1)
-        .flatMapGroupsWithState[(Long, Double, Long), (Long, Long, Double)](
-          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-          (user, rows, state) =>
-            if (state.hasTimedOut) {
-              val (n, mx, _) = state.get
-              state.remove()
-              Iterator.single((user, n, mx))
-            } else {
-              var (n, mx, lastMs) = state.getOption
-                .getOrElse((0L, Double.MinValue, 0L))
-              rows.foreach { case (_, ts, v) =>
-                n += 1; if (v > mx) mx = v
-                if (ts.getTime > lastMs) lastMs = ts.getTime
-              }
-              state.update((n, mx, lastMs))
-              state.setTimeoutTimestamp(
-                math.max(lastMs + 3600L * 1000L, state.getCurrentWatermarkMs + 1))
-              Iterator.empty
-            }
-        }
-        .toDF("user_id", "n_events", "max_value")
+      val q = userStateAgg(dir.toString, Map.empty)
         .writeStream
         .format("parquet")
         .option("path", out.toString)
@@ -145,30 +161,29 @@ class StreamingOpsSpec extends SparkSpec {
         .start()
       q.awaitTermination()
     }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_events",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("max_value",
+        org.apache.spark.sql.types.DoubleType)))
     // Run 1: two users' events, all within one hour — no timeout fires,
     // nothing is emitted, but the state lands in the checkpoint.
     writeLines(
-      Seq(rec(0, 1000000L, 1, 1.0), rec(1, 2000000L, 2, 5.0),
-        rec(2, 3000000L, 1, 3.0)),
+      Seq(stateRec(0, 1000000L, 1, 1.0), stateRec(1, 2000000L, 2, 5.0),
+        stateRec(2, 3000000L, 1, 3.0)),
       append = false)
     runOnce()
-    val afterFirst = spark.read.schema(
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("n_events",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("max_value",
-          org.apache.spark.sql.types.DoubleType))))
-      .parquet(out.toString)
-    assert(afterFirst.count() == 0, "no state should have timed out yet")
+    assert(spark.read.schema(outSchema).parquet(out.toString).count() == 0,
+      "no state should have timed out yet")
     // Run 2: only a far-future record arrives; the recovered state (from
     // run 1's checkpoint) must time out and emit run-1's accumulations.
     writeLines(
-      Seq(rec(3, 30L * 24 * 3600 * 1000000L, 99, 0.0)),
+      Seq(stateRec(3, 30L * 24 * 3600 * 1000000L, 99, 0.0)),
       append = true)
     runOnce()
-    val rows2 = spark.read.schema(afterFirst.schema).parquet(out.toString)
+    val rows2 = spark.read.schema(outSchema).parquet(out.toString)
       .filter(col("user_id") < 99)
       .orderBy(col("user_id"))
       .collect()
@@ -181,73 +196,19 @@ class StreamingOpsSpec extends SparkSpec {
   test("flatMapGroupsWithState results are microbatch-slicing invariant: " +
     "any maxRecordsPerBatch yields the same per-user aggregates") {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.Files
     val dir = Files.createTempDirectory("kl_state_inv")
-    val recs = (0L until 20L).map { i =>
-      val us = (i + 1) * 1000000L
-      val payload =
-        s"""{"event_id":$i,"ts":"${java.time.Instant.EPOCH.plus(us,
-          java.time.temporal.ChronoUnit.MICROS)}","user_id":${i % 3},""" +
-          s""""event_type":"e","value":${i * 1.5},"props":"{}"}"""
-      val b64 = java.util.Base64.getEncoder.encodeToString(payload.getBytes("UTF-8"))
-      s"$i\t$us\t${i % 3}\t$b64"
-    }
-    val sentinelUs = 40L * 24 * 3600 * 1000000L
-    val sentinel = {
-      val payload =
-        s"""{"event_id":99,"ts":"${java.time.Instant.EPOCH.plus(sentinelUs,
-          java.time.temporal.ChronoUnit.MICROS)}","user_id":-1,""" +
-          """"event_type":"sentinel","value":0.0,"props":"{}"}"""
-      val b64 = java.util.Base64.getEncoder.encodeToString(payload.getBytes("UTF-8"))
-      s"99\t$sentinelUs\t-1\t$b64"
-    }
+    val recs = (0L until 20L).map(i =>
+      stateRec(i, (i + 1) * 1000000L, i % 3, i * 1.5))
+    val sentinel = stateRec(99, 40L * 24 * 3600 * 1000000L, -1, 0.0)
     Files.write(
       dir.resolve("shard-00000.log"),
       ((recs :+ sentinel).mkString("\n") + "\n#CLOSED\n").getBytes("UTF-8"))
-    val eventSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType)))
     def run(cap: String, tag: String): Seq[(Long, Long, Double)] = {
-      import spark.implicits._
       val ckpt = Files.createTempDirectory(s"kl_state_inv_ck_$tag")
       val sink = s"state_inv_sink_$tag"
-      val ev = spark.readStream
-        .format("kinesislike")
-        .option("path", dir.toString)
-        .option("startingPosition", "trim_horizon")
-        .option("maxRecordsPerBatch", cap)
-        .load()
-        .select(from_json(col("data").cast("string"), eventSchema).as("e"))
-        .select(col("e.user_id"), col("e.ts"), col("e.value"))
-        .withWatermark("ts", "1 second")
-        .as[(Long, java.sql.Timestamp, Double)]
-      val q = ev.groupByKey(_._1)
-        .flatMapGroupsWithState[(Long, Double, Long), (Long, Long, Double)](
-          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-          (user, rows, state) =>
-            if (state.hasTimedOut) {
-              val (n, mx, _) = state.get
-              state.remove()
-              Iterator.single((user, n, mx))
-            } else {
-              var (n, mx, lastMs) = state.getOption
-                .getOrElse((0L, Double.MinValue, 0L))
-              rows.foreach { case (_, ts, v) =>
-                n += 1; if (v > mx) mx = v
-                if (ts.getTime > lastMs) lastMs = ts.getTime
-              }
-              state.update((n, mx, lastMs))
-              state.setTimeoutTimestamp(
-                math.max(lastMs + 3600L * 1000L, state.getCurrentWatermarkMs + 1))
-              Iterator.empty
-            }
-        }
-        .toDF("user_id", "n_events", "max_value")
+      val q = userStateAgg(dir.toString, Map("maxRecordsPerBatch" -> cap))
         .writeStream
         .format("memory")
         .queryName(sink)
