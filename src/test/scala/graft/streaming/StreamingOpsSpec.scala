@@ -229,6 +229,51 @@ class StreamingOpsSpec extends SparkSpec {
       s"custom state must not depend on batch slicing: $results")
   }
 
+  test("stateful operators run unchanged on the RocksDB state store — " +
+    "the bounded-memory backend a 100 TB deployment uses") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("kl_rocksdb")
+    val recs = (0L until 20L).map(i =>
+      stateRec(i, (i + 1) * 1000000L, i % 3, i * 1.5))
+    val sentinel = stateRec(99, 40L * 24 * 3600 * 1000000L, -1, 0.0)
+    Files.write(
+      dir.resolve("shard-00000.log"),
+      ((recs :+ sentinel).mkString("\n") + "\n#CLOSED\n").getBytes("UTF-8"))
+    def run(tag: String): Seq[(Long, Long, Double)] = {
+      val ckpt = Files.createTempDirectory(s"kl_rocksdb_ck_$tag")
+      val sink = s"rocksdb_sink_$tag"
+      val q = userStateAgg(dir.toString, Map.empty)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sink)
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    }
+    val key  = "spark.sql.streaming.stateStore.providerClass"
+    val dflt = run("default")
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val rocks = run("rocks")
+      assert(rocks == dflt && rocks.nonEmpty,
+        s"state backend must not change results: default=$dflt rocksdb=$rocks")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("RegistryListener marks a named query healthy on progress") {
     val registry = new ProducerRegistry
     val listener = new RegistryListener(registry)
