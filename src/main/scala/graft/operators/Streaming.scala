@@ -45,6 +45,12 @@ object Streaming {
   /** Build (once per sf dir + copies) the shard log replayed by these
     * queries. Lives under java.io.tmpdir; idempotent via the log's ready
     * marker. */
+  // One shard = one read task: a 4-shard fixture capped source
+  // parallelism at 4 of local[32]'s cores (and real Kinesis streams run
+  // many shards); 16 keeps per-user ordering (user % shards) while
+  // letting the read+decode actually parallelize.
+  private val NumShards = 16
+
   private def ensureLog(
       s: SparkSession,
       d: String,
@@ -53,14 +59,18 @@ object Streaming {
     val base = new java.io.File(d).getName
     val root = new java.io.File(
       sys.props("java.io.tmpdir"), "graft_kinesislike")
-    val baseDir = new java.io.File(root, s"${base}_c1").getAbsolutePath
-    KinesisLikeLog.writeFromEvents(s, d, baseDir, numShards = 4)
+    // Shard count is part of the dir name so a layout change can never
+    // silently reuse a stale fixture via its ready marker.
+    val baseDir =
+      new java.io.File(root, s"${base}_s${NumShards}_c1").getAbsolutePath
+    KinesisLikeLog.writeFromEvents(s, d, baseDir, numShards = NumShards)
     if (copies == 1 && !sentinel) baseDir
     else {
       // Variants derive from the base by line transformation — the Spark
       // read of events.parquet happens once per sf dir, not per variant.
       val suffix = if (sentinel) "_sent" else ""
-      val dir = new java.io.File(root, s"${base}_c$copies$suffix").getAbsolutePath
+      val dir = new java.io.File(
+        root, s"${base}_s${NumShards}_c$copies$suffix").getAbsolutePath
       KinesisLikeLog.derive(baseDir, dir, copies, sentinel)
       dir
     }
