@@ -161,5 +161,77 @@ object Multimodal {
       ORDER BY doc_id, frame_idx"""),
   )
 
-  val all: Seq[Q] = Seq(m01, m02, m03)
+  /** Resize/downsample over "image" payloads (doc_id % 3 = 0): a
+    * nearest-neighbor resample of the blob to a fixed 64-sample thumbnail
+    * — sample i reads byte position `i*(n-1)/63` (integer math, monotone
+    * spread over the payload), the exact index arithmetic a real
+    * nearest-neighbor resize runs per output pixel, with the codec's
+    * pixel access STUBBED as byte access (no codecs in the container).
+    * The plumbing is the real thing: partition-parallel mapPartitions
+    * batch iteration, source dims carried as typed metadata, per-thumb
+    * checksum + exact integer sample sum.
+    *
+    * Oracle: same ASCII trick as m02/m03 — DuckDB recomputes the sampled
+    * bytes character-wise and md5s the same 64-byte string. */
+  private val m04 = Q(
+    "m04_media_resize",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      T.documents(s, d)
+        .filter("doc_id % 3 = 0 AND length(CAST(text AS BINARY)) >= 64")
+        .selectExpr(
+          "doc_id",
+          "CAST(text AS BINARY) AS payload",
+          "CAST(n_chars % 640 + 16 AS INT) AS src_w",
+          "CAST(n_chars % 360 + 16 AS INT) AS src_h")
+        .as[(Long, Array[Byte], Int, Int)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { case (docId, bytes, w, h) =>
+            // --- STUB: codec pixel access stands on raw byte access ---
+            val n       = bytes.length.toLong
+            val sampled = new Array[Byte](64)
+            var sum     = 0L
+            var i       = 0
+            while (i < 64) {
+              val b = bytes(((i * (n - 1)) / 63).toInt)
+              sampled(i) = b
+              sum += (b & 0xff)
+              i += 1
+            }
+            md.reset()
+            val hash = md.digest(sampled)
+              .map(b => f"${b & 0xff}%02x").mkString
+            (docId, w, h, hash, sum)
+          }
+        }
+        .toDF("doc_id", "src_w", "src_h", "thumb_hash", "sample_sum")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH img AS (
+        SELECT doc_id, text,
+               octet_length(CAST(text AS BLOB)) AS n,
+               CAST(n_chars % 640 + 16 AS INT) AS src_w,
+               CAST(n_chars % 360 + 16 AS INT) AS src_h
+        FROM documents
+        WHERE doc_id % 3 = 0 AND octet_length(CAST(text AS BLOB)) >= 64),
+      sampled AS (
+        SELECT doc_id, src_w, src_h,
+               list_transform(range(0, 64),
+                 i -> substr(text, CAST((i * (n - 1)) // 63 AS BIGINT) + 1, 1))
+                 AS chars,
+               list_transform(range(0, 64),
+                 i -> ascii(substr(text, CAST((i * (n - 1)) // 63 AS BIGINT) + 1, 1)))
+                 AS vals
+        FROM img)
+      SELECT doc_id, src_w, src_h,
+             md5(list_aggregate(chars, 'string_agg', '')) AS thumb_hash,
+             CAST(list_sum(vals) AS BIGINT) AS sample_sum
+      FROM sampled
+      ORDER BY doc_id"""),
+  )
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04)
 }
