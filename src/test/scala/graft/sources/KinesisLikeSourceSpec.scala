@@ -391,6 +391,22 @@ class KinesisLikeSourceSpec extends SparkSpec {
     assert(KinesisLikeStatus.of(openDir.toString) == KinesisLikeStatus.Open)
   }
 
+  test("a recycled log path does not inherit the previous log's Closed " +
+    "status: a new stream resets it at construction") {
+    import graft.sources.kinesislike.{KinesisLikeConfig, KinesisLikeMicroBatchStream, KinesisLikeStatus}
+    val dir = tmpDir("kl_status_recycle")
+    writeShard(dir, 0, Seq((0L, 1L, "k", "a")), closed = true)
+    runStream(dir, "trim_horizon", tmpDir("kl_recycle_ck1"), "sink_recycle_1")
+    assert(KinesisLikeStatus.of(dir.toString) == KinesisLikeStatus.Closed)
+    // Recycle the path: replace with a fresh OPEN log.
+    Files.delete(dir.resolve("shard-00000.log"))
+    writeShard(dir, 0, Seq((1L, 2L, "k", "b")), closed = false)
+    // Constructing a stream over the recycled path starts a new lifetime.
+    new KinesisLikeMicroBatchStream(
+      KinesisLikeConfig(dir.toString, StartingPosition.TrimHorizon, None, None))
+    assert(KinesisLikeStatus.of(dir.toString) == KinesisLikeStatus.Open)
+  }
+
   test("ProducerRunner surfaces ShardsClosed distinctly from Normal") {
     import graft.streaming.{ProducerRegistry, ProducerRunner}
     val dir  = tmpDir("kl_runner_closed")
