@@ -1,0 +1,54 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+
+/** Exactly-once delivery to an EXTERNAL store via `foreachBatch` — the
+  * delivery tier Spark's own file/Kafka sinks don't cover (they keep
+  * their own commit logs; an external table, API, or key-value store
+  * does not). Structured Streaming guarantees `foreachBatch` sees each
+  * (batchId, data) pair deterministically under replay: after a crash
+  * between "data written" and "checkpoint committed", the SAME batchId
+  * is re-delivered with the SAME rows. Idempotence therefore only needs
+  * a transactional `(batchId → already applied?)` check on the store
+  * side, which is exactly what this sink provides for a directory-backed
+  * store:
+  *
+  *  - each batch lands under `store/batch=<id>/` via write-then-rename
+  *    (a temp dir renamed into place — the rename is the atomic commit);
+  *  - a replayed batchId finds its directory already present and
+  *    SKIPS — no duplicates, no partial rewrites;
+  *  - readers see only committed batch dirs (the temp suffix is never
+  *    listed as a batch).
+  *
+  * At 100 TB the same shape holds against object stores with
+  * atomic-commit primitives (multipart-complete, conditional put) or a
+  * database transaction holding the batchId ledger; the reference's
+  * analog is the producer's at-least-once delivery + the consumer-side
+  * dedup this sink makes unnecessary (producer.ex:159-168 redelivery).
+  */
+final class IdempotentSink(storeDir: String) extends Serializable {
+
+  /** The foreachBatch handler: `stream.writeStream.foreachBatch(sink.apply _)`. */
+  def apply(batch: DataFrame, batchId: Long): Unit = {
+    val target = Paths.get(storeDir, s"batch=$batchId")
+    if (Files.exists(target)) return // replayed batch: already committed
+    val tmp = Paths.get(storeDir, s".inprogress-$batchId")
+    // A dead temp dir from a crashed attempt is overwritten wholesale.
+    batch.write.mode("overwrite").parquet(tmp.toString)
+    try Files.move(tmp, target) // atomic on a posix fs: the commit point
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => () // lost race: other attempt committed
+    }
+  }
+
+  /** Batches applied so far (committed dirs only). */
+  def committedBatchIds: Seq[Long] = {
+    val d = new java.io.File(storeDir)
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName.stripPrefix("batch=").toLong)
+      .sorted
+  }
+}

@@ -274,6 +274,59 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch idempotent sink: a replayed batch is skipped, " +
+    "delivery to the external store is exactly-once") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    val dir   = Files.createTempDirectory("kl_sink")
+    val ckpt  = Files.createTempDirectory("kl_sink_ck")
+    val store = Files.createTempDirectory("kl_sink_store")
+    Files.write(
+      dir.resolve("shard-00000.log"),
+      ((0L until 10L).map(i => stateRec(i, (i + 1) * 1000L, i % 2, i * 1.0))
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    val sink = new IdempotentSink(store.toString)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format("kinesislike")
+        .option("path", dir.toString)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "3") // several batches per run
+        .load()
+        .select(col("sequenceNumber").cast("long").as("seq"))
+        .writeStream
+        .foreachBatch(sink.apply _)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val idsAfterFirst = sink.committedBatchIds
+    assert(idsAfterFirst.size >= 3, s"expected several batches: $idsAfterFirst")
+    // Simulate redelivery of the LAST batch: Spark re-runs a batch whose
+    // data was written but whose checkpoint commit was lost. Deleting the
+    // commit-log entry makes the restart replay that batchId exactly.
+    val commits = ckpt.resolve("commits")
+    val last = java.nio.file.Files.list(commits).toArray.map(_.toString)
+      .filter(n => !n.endsWith(".tmp") && !n.endsWith(".crc")).sorted.last
+    Files.delete(java.nio.file.Paths.get(last))
+    // Hadoop's local FS keeps a .crc sidecar per commit file; a stale one
+    // blocks the replayed commit's rename.
+    val lastFile = java.nio.file.Paths.get(last)
+    val crc = lastFile.resolveSibling("." + lastFile.getFileName + ".crc")
+    Files.deleteIfExists(crc)
+    runOnce() // replays the last batch (and drains nothing new)
+    assert(sink.committedBatchIds == idsAfterFirst,
+      "replayed batch must be skipped, not duplicated")
+    // The store holds each record exactly once.
+    val seqs = spark.read.parquet(
+      sink.committedBatchIds.map(i => s"$store/batch=$i"): _*)
+      .select(col("seq")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(seqs == (0L until 10L), s"exactly-once delivery violated: $seqs")
+  }
+
   test("RegistryListener marks a named query healthy on progress") {
     val registry = new ProducerRegistry
     val listener = new RegistryListener(registry)
