@@ -279,6 +279,46 @@ class KinesisLikeSourceSpec extends SparkSpec {
     assert(got.map(_._2).sorted == (0L until 12L))
   }
 
+  test("rate-limited runs report backlog through StreamingQueryProgress: " +
+    "latestOffset runs ahead of endOffset until the stream drains") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val dir = tmpDir("kl_lag")
+    writeShard(dir, 0, (0L until 12L).map(i => (i, i, "k", s"p$i")))
+    val progresses =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        e.progress.sources.foreach { s =>
+          progresses.add((s.endOffset, s.latestOffset))
+        }
+    }
+    spark.streams.addListener(listener)
+    try {
+      runStream(
+        dir, "trim_horizon", tmpDir("kl_lag_ck"), "sink_lag",
+        Map("maxRecordsPerBatch" -> "3"))
+      val deadline = System.currentTimeMillis() + 30000
+      while (progresses.size() < 4 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      val events = progresses.asScala.toSeq
+      def seqOf(off: String): Long =
+        off.stripPrefix("shard-00000=").toLong
+      // Early batches: the reported latest (11) is ahead of the capped
+      // end offset — the consumer-visible backlog signal.
+      assert(events.exists { case (end, latest) =>
+        seqOf(latest) > seqOf(end)
+      }, s"expected a lagging batch in: $events")
+      // Drained: the last progress shows the gap closed.
+      val (finalEnd, finalLatest) = events.last
+      assert(seqOf(finalEnd) == 11L && seqOf(finalLatest) == 11L,
+        s"expected drained offsets, got end=$finalEnd latest=$finalLatest")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("offset json round-trips") {
     val off = KinesisLikeOffset(Map("shard-00000" -> 12L, "shard-00001" -> -1L))
     assert(KinesisLikeOffset.fromJson(off.json()) == off)
