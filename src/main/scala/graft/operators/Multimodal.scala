@@ -17,6 +17,12 @@ import graft.{Q, Tables => T}
   */
 object Multimodal {
 
+  // The stub "decoded dimensions" derivation, shared by m01 (metadata)
+  // and m04 (resize): one definition per engine dialect so the two
+  // operators (and their oracles) cannot drift apart.
+  private val WidthExpr  = "CAST(n_chars % 640 + 16 AS INT)"
+  private val HeightExpr = "CAST(n_chars % 360 + 16 AS INT)"
+
   /** Typed metadata over fake media blobs (text bytes stand in for the
     * payload): type tag, byte length, checksum, derived dimensions. */
   private val m01 = Q(
@@ -29,18 +35,18 @@ object Multimodal {
                   WHEN 1 THEN 'audio' ELSE 'video' END AS media_type""",
           "length(CAST(text AS BINARY)) AS n_bytes",
           "md5(text) AS checksum",
-          "CAST(n_chars % 640 + 16 AS INT) AS width",
-          "CAST(n_chars % 360 + 16 AS INT) AS height",
+          s"$WidthExpr AS width",
+          s"$HeightExpr AS height",
           "CAST(n_chars * 7 AS BIGINT) AS duration_ms")
         .orderBy(col("doc_id")),
-    Some("""
+    Some(s"""
       SELECT doc_id,
              CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                   WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
              CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
              md5(text) AS checksum,
-             CAST(n_chars % 640 + 16 AS INT) AS width,
-             CAST(n_chars % 360 + 16 AS INT) AS height,
+             $WidthExpr AS width,
+             $HeightExpr AS height,
              CAST(n_chars * 7 AS BIGINT) AS duration_ms
       FROM documents
       ORDER BY doc_id"""),
@@ -183,8 +189,8 @@ object Multimodal {
         .selectExpr(
           "doc_id",
           "CAST(text AS BINARY) AS payload",
-          "CAST(n_chars % 640 + 16 AS INT) AS src_w",
-          "CAST(n_chars % 360 + 16 AS INT) AS src_h")
+          s"$WidthExpr AS src_w",
+          s"$HeightExpr AS src_h")
         .as[(Long, Array[Byte], Int, Int)]
         .mapPartitions { it =>
           val md = java.security.MessageDigest.getInstance("MD5")
@@ -209,12 +215,12 @@ object Multimodal {
         .toDF("doc_id", "src_w", "src_h", "thumb_hash", "sample_sum")
         .orderBy(col("doc_id"))
     },
-    Some("""
+    Some(s"""
       WITH img AS (
         SELECT doc_id, text,
                octet_length(CAST(text AS BLOB)) AS n,
-               CAST(n_chars % 640 + 16 AS INT) AS src_w,
-               CAST(n_chars % 360 + 16 AS INT) AS src_h
+               $WidthExpr AS src_w,
+               $HeightExpr AS src_h
         FROM documents
         WHERE doc_id % 3 = 0 AND octet_length(CAST(text AS BLOB)) >= 64),
       sampled AS (

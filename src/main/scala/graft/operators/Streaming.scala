@@ -42,15 +42,15 @@ object Streaming {
 
   private val sinkCounter = new AtomicLong(0)
 
+  // One shard = one read task: a 4-shard fixture capped source read
+  // parallelism at 4 cores no matter how many the session has (and real
+  // Kinesis streams run many shards); 16 keeps per-user ordering
+  // (user % shards) while letting the read+decode actually parallelize.
+  private val NumShards = 16
+
   /** Build (once per sf dir + copies) the shard log replayed by these
     * queries. Lives under java.io.tmpdir; idempotent via the log's ready
     * marker. */
-  // One shard = one read task: a 4-shard fixture capped source
-  // parallelism at 4 of local[32]'s cores (and real Kinesis streams run
-  // many shards); 16 keeps per-user ordering (user % shards) while
-  // letting the read+decode actually parallelize.
-  private val NumShards = 16
-
   private def ensureLog(
       s: SparkSession,
       d: String,
@@ -60,7 +60,21 @@ object Streaming {
     val root = new java.io.File(
       sys.props("java.io.tmpdir"), "graft_kinesislike")
     // Shard count is part of the dir name so a layout change can never
-    // silently reuse a stale fixture via its ready marker.
+    // silently reuse a stale fixture via its ready marker; fixtures of
+    // the same sf dir with an OLD layout are deleted rather than left to
+    // pile up a full event-log copy per obsolete shard count.
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        f.getName.startsWith(s"${base}_s") &&
+          !f.getName.startsWith(s"${base}_s${NumShards}_")
+      }
+      .foreach { stale =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(stale)
+      }
     val baseDir =
       new java.io.File(root, s"${base}_s${NumShards}_c1").getAbsolutePath
     KinesisLikeLog.writeFromEvents(s, d, baseDir, numShards = NumShards)

@@ -34,13 +34,28 @@ final class IdempotentSink(storeDir: String) extends Serializable {
   def apply(batch: DataFrame, batchId: Long): Unit = {
     val target = Paths.get(storeDir, s"batch=$batchId")
     if (Files.exists(target)) return // replayed batch: already committed
-    val tmp = Paths.get(storeDir, s".inprogress-$batchId")
-    // A dead temp dir from a crashed attempt is overwritten wholesale.
+    // Scratch is unique PER ATTEMPT: two concurrent deliveries of the
+    // same batchId (zombie driver during failover) must never share a
+    // temp dir, or the loser's still-open writers would bleed into the
+    // winner's committed directory.
+    val tmp = Paths.get(
+      storeDir, s".inprogress-$batchId-${java.util.UUID.randomUUID()}")
     batch.write.mode("overwrite").parquet(tmp.toString)
-    try Files.move(tmp, target) // atomic on a posix fs: the commit point
+    // ATOMIC_MOVE: if the store's filesystem cannot rename atomically,
+    // fail loudly rather than let Files.move degrade to copy+delete —
+    // a half-copied batch dir would read as committed forever.
+    try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException => () // lost race: other attempt committed
+      case _: java.nio.file.FileAlreadyExistsException =>
+        deleteRecursively(tmp) // lost the race: other attempt committed
     }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val f = p.toFile
+    Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(c => deleteRecursively(c.toPath))
+    Files.deleteIfExists(p)
   }
 
   /** Batches applied so far (committed dirs only). */

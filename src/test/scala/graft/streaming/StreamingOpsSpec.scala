@@ -309,8 +309,14 @@ class StreamingOpsSpec extends SparkSpec {
     // data was written but whose checkpoint commit was lost. Deleting the
     // commit-log entry makes the restart replay that batchId exactly.
     val commits = ckpt.resolve("commits")
-    val last = java.nio.file.Files.list(commits).toArray.map(_.toString)
-      .filter(n => !n.endsWith(".tmp") && !n.endsWith(".crc")).sorted.last
+    val stream = java.nio.file.Files.list(commits)
+    val last =
+      try stream.toArray.map(_.toString)
+        .filter(n => !n.endsWith(".tmp") && !n.endsWith(".crc"))
+        // Numeric max: batchIds are plain numbers, so a lexicographic
+        // sort would pick "9" over "10" and quietly stop replaying.
+        .maxBy(n => new java.io.File(n).getName.toLong)
+      finally stream.close()
     Files.delete(java.nio.file.Paths.get(last))
     // Hadoop's local FS keeps a .crc sidecar per commit file; a stale one
     // blocks the replayed commit's rename.
