@@ -65,6 +65,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Bucketed: true") || p.contains("SelectedBucketsCount"), p)
   }
 
+  test("AQE splits a skewed join partition at runtime (the runtime half " +
+    "of the skew story; q41's salting is the static half)") {
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // Fixture-size thresholds so a deliberately skewed key qualifies.
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      // 50k rows of key 0 vs ~100 rows per other key: one hot partition.
+      val fact = spark.range(0, 60000)
+        .select(
+          when(col("id") < 50000, 0L).otherwise(col("id") % 100).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = fact.join(dim, "k")
+      // Materialize through THIS Dataset's queryExecution so the adaptive
+      // final plan is what we read (count() would spawn a separate one).
+      assert(joined.collect().length == 60000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the hot partition skewed:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
