@@ -62,19 +62,18 @@ object Streaming {
     // Shard count is part of the dir name so a layout change can never
     // silently reuse a stale fixture via its ready marker; fixtures of
     // the same sf dir with an OLD layout are deleted rather than left to
-    // pile up a full event-log copy per obsolete shard count.
+    // pile up a full event-log copy per obsolete shard count. The match
+    // is on the exact layout pattern (base + _s<digits>_...), never a raw
+    // string prefix — a sibling dataset named "<base>_something" must not
+    // have its live fixtures swept.
+    val staleLayout =
+      (java.util.regex.Pattern.quote(base) + "_s\\d+_.*").r
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter { f =>
-        f.getName.startsWith(s"${base}_s") &&
+        staleLayout.matches(f.getName) &&
           !f.getName.startsWith(s"${base}_s${NumShards}_")
       }
-      .foreach { stale =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(stale)
-      }
+      .foreach(graft.Fs.deleteRecursively)
     val baseDir =
       new java.io.File(root, s"${base}_s${NumShards}_c1").getAbsolutePath
     KinesisLikeLog.writeFromEvents(s, d, baseDir, numShards = NumShards)

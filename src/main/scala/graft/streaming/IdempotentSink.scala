@@ -46,16 +46,22 @@ final class IdempotentSink(storeDir: String) extends Serializable {
     // a half-copied batch dir would read as committed forever.
     try Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        deleteRecursively(tmp) // lost the race: other attempt committed
+      // Losing the race surfaces as FileAlreadyExists on some
+      // filesystems but as a generic ENOTEMPTY FileSystemException on
+      // Linux rename(2) (the target is a non-empty committed dir) —
+      // treat either as "other attempt committed" IF the target really
+      // exists; anything else is a genuine failure and propagates.
+      case e: java.nio.file.FileSystemException if Files.exists(target) =>
+        graft.Fs.deleteRecursively(tmp.toFile)
     }
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    val f = p.toFile
-    Option(f.listFiles()).getOrElse(Array.empty)
-      .foreach(c => deleteRecursively(c.toPath))
-    Files.deleteIfExists(p)
+    // Reclaim scratch left by attempts that crashed between write and
+    // rename (their UUID dirs would otherwise accumulate a full batch
+    // copy per crash): this batchId is committed, so every remaining
+    // .inprogress dir for it is dead.
+    val d = new java.io.File(storeDir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(s".inprogress-$batchId-"))
+      .foreach(graft.Fs.deleteRecursively)
   }
 
   /** Batches applied so far (committed dirs only). */
