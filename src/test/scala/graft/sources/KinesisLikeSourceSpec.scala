@@ -324,6 +324,37 @@ class KinesisLikeSourceSpec extends SparkSpec {
     assert(KinesisLikeOffset.fromJson(off.json()) == off)
   }
 
+  test("fuzzed logs round-trip exactly through the batch read: arbitrary " +
+    "shard counts, sequence gaps, and binary payloads") {
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic CI
+    for (trial <- 0 until 5) {
+      val dir      = tmpDir(s"kl_fuzz$trial")
+      val nShards  = 1 + rnd.nextInt(5)
+      var seq      = rnd.nextInt(10).toLong
+      val expected = scala.collection.mutable.Map.empty[Long, Seq[Byte]]
+      for (sh <- 0 until nShards) {
+        val recs = (0 until rnd.nextInt(40)).map { _ =>
+          seq += 1 + rnd.nextInt(7) // gaps are legal; order is per shard
+          val payload = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+          expected(seq) = payload.toSeq
+          val b64 = java.util.Base64.getEncoder.encodeToString(payload)
+          s"$seq\t${rnd.nextInt(1000000)}\tk${rnd.nextInt(3)}\t$b64"
+        }
+        Files.write(
+          dir.resolve(f"shard-$sh%05d.log"),
+          (recs.mkString("\n") + "\n" +
+            (if (rnd.nextBoolean()) KinesisLikeLog.ClosedMarker + "\n" else ""))
+            .getBytes(UTF_8))
+      }
+      val got = readBatch(dir)
+        .select(col("sequenceNumber").cast("long"), col("data"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq)
+        .toMap
+      assert(got == expected.toMap, s"trial $trial mismatch")
+    }
+  }
+
   // ----------------------- fault-injection matrix through the real path
 
   /** Each initial-response error class, raised at reader open MORE times
