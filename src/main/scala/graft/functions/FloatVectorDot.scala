@@ -73,49 +73,40 @@ case class FloatVectorDot(left: Expression, right: Expression)
 object GraftFunctions {
   /** Idempotent per-session registration (queries receive an arbitrary
     * session from the driver, so they self-register rather than assume
-    * `spark.sql.extensions` was configured). The existence check keeps
-    * re-invocation from emitting a "replaced a previously registered
-    * function" WARN per query run — the three functions register
-    * together, so probing one suffices. */
+    * `spark.sql.extensions` was configured). Each function is probed and
+    * registered independently: a session where some other party already
+    * registered one name (say a user's own `vec_dot`) must still get the
+    * rest of the family, and re-invocation stays WARN-free because an
+    * existing name is never re-registered. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (reg.functionExists(FunctionIdentifier("vec_dot"))) return
-    reg.createOrReplaceTempFunction(
-      "vec_dot",
-      exprs => {
-        require(
-          exprs.length == 2,
-          s"vec_dot requires exactly 2 arguments (two ARRAY<FLOAT> columns), got ${exprs.length}")
-        FloatVectorDot(exprs(0), exprs(1))
-      },
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "simhash60",
-      exprs => {
-        require(
-          exprs.length == 1,
-          s"simhash60 requires exactly 1 argument (an ARRAY<BIGINT> column), got ${exprs.length}")
-        SimHash60(exprs.head)
-      },
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "sign_dots16",
-      exprs => {
-        require(
-          exprs.length == 1,
-          s"sign_dots16 requires exactly 1 argument (an ARRAY<FLOAT> column), got ${exprs.length}")
-        SignDots16(exprs.head)
-      },
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "minhash8",
-      exprs => {
-        require(
-          exprs.length == 1,
-          s"minhash8 requires exactly 1 argument (an ARRAY<STRING> column), got ${exprs.length}")
-        MinHash8(exprs.head)
-      },
-      "built-in")
+    def ensure(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    ensure("vec_dot") { exprs =>
+      require(
+        exprs.length == 2,
+        s"vec_dot requires exactly 2 arguments (two ARRAY<FLOAT> columns), got ${exprs.length}")
+      FloatVectorDot(exprs(0), exprs(1))
+    }
+    ensure("simhash60") { exprs =>
+      require(
+        exprs.length == 1,
+        s"simhash60 requires exactly 1 argument (an ARRAY<BIGINT> column), got ${exprs.length}")
+      SimHash60(exprs.head)
+    }
+    ensure("sign_dots16") { exprs =>
+      require(
+        exprs.length == 1,
+        s"sign_dots16 requires exactly 1 argument (an ARRAY<FLOAT> column), got ${exprs.length}")
+      SignDots16(exprs.head)
+    }
+    ensure("minhash8") { exprs =>
+      require(
+        exprs.length == 1,
+        s"minhash8 requires exactly 1 argument (an ARRAY<STRING> column), got ${exprs.length}")
+      MinHash8(exprs.head)
+    }
   }
 
   /** Column-level API over the registered function. */

@@ -62,15 +62,18 @@ object Streaming {
     // Shard count is part of the dir name so a layout change can never
     // silently reuse a stale fixture via its ready marker; fixtures of
     // the same sf dir with an OLD layout are deleted rather than left to
-    // pile up a full event-log copy per obsolete shard count. The match
-    // is on the exact layout pattern (base + _s<digits>_...), never a raw
-    // string prefix — a sibling dataset named "<base>_something" must not
+    // pile up a full event-log copy per obsolete shard count. Matched
+    // layouts: the current `_s<digits>_...` naming plus the pre-shard-
+    // count `_c<digits>[_sent]` naming — both exact patterns, never a raw
+    // string prefix, so a sibling dataset named "<base>_something" can't
     // have its live fixtures swept.
-    val staleLayout =
-      (java.util.regex.Pattern.quote(base) + "_s\\d+_.*").r
+    val quoted = java.util.regex.Pattern.quote(base)
+    val staleLayouts = Seq(
+      (quoted + "_s\\d+_.*").r,
+      (quoted + "_c\\d+(_sent)?").r)
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter { f =>
-        staleLayout.matches(f.getName) &&
+        staleLayouts.exists(_.matches(f.getName)) &&
           !f.getName.startsWith(s"${base}_s${NumShards}_")
       }
       .foreach(graft.Fs.deleteRecursively)
@@ -111,11 +114,20 @@ object Streaming {
     * at sf0.1: 3.9 s at 8 partitions, 10.8 s at 32, 23 s at 64 — pure
     * store overhead, identical results). A 1000-shard deployment raises
     * it with the shard count; the batch queries keep the session
-    * default, restored after the stream drains. */
+    * default, restored after the stream drains.
+    *
+    * The conf flip is SESSION-GLOBAL for the duration of the stream (SQL
+    * confs have no narrower scope), so any batch query planned on the
+    * same session during that window would silently get `NumShards`
+    * shuffle partitions. `confLock` makes the single-planner-at-a-time
+    * assumption enforced rather than implicit: concurrent callers
+    * serialize here, and a caller that wants concurrency must isolate
+    * with `s.newSession()` (own conf, shared catalog/state). */
+  private val confLock = new Object
   private def runToMemory(
       s: SparkSession,
       df: DataFrame,
-      outputMode: String): DataFrame = {
+      outputMode: String): DataFrame = confLock.synchronized {
     val name = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
     val partsKey = "spark.sql.shuffle.partitions"
@@ -471,7 +483,7 @@ object Streaming {
               // Close 1 h after the user's last event; never at-or-behind
               // the current watermark (Spark rejects a stale timeout).
               state.setTimeoutTimestamp(
-                math.max(lastMs + 3600L * 1000L, state.getCurrentWatermarkMs + 1))
+                math.max(lastMs + 3600L * 1000L, state.getCurrentWatermarkMs() + 1))
               Iterator.empty
             }
         }

@@ -115,6 +115,18 @@ object KinesisLikeLog {
     }
   }
 
+  /** Drop cached shard metadata for every file under `logDir`. The
+    * (mtime, length) cache key cannot see a shard file replaced with
+    * different content of identical length within the filesystem's mtime
+    * granularity — exactly the recycled-log-path scenario that
+    * `KinesisLikeStatus.reset` exists for — so stream construction
+    * invalidates here alongside that reset and each new stream lifetime
+    * re-scans once. */
+  def invalidateMeta(logDir: String): Unit = {
+    val prefix = new File(logDir).getAbsolutePath + File.separator
+    metaCache.keySet().removeIf(k => k.startsWith(prefix))
+  }
+
   /** Highest sequence number present; -1 for an empty shard. */
   def maxSeq(f: File): Long = shardMeta(f).maxSeq
 

@@ -165,6 +165,7 @@ final case class KinesisLikeConfig(
     failOnceAfter: Option[Long],
     failAtOpen: Option[String] = None,
     failAtOpenTimes: Int = 1,
+    faultRunId: Option[String] = None,
 )
 
 object KinesisLikeConfig {
@@ -189,6 +190,11 @@ object KinesisLikeConfig {
         .map { spec => KinesisLikeErrors.make(spec); spec }, // validate early
       failAtOpenTimes =
         Option(options.get("failAtOpenTimes")).map(_.toInt).getOrElse(1),
+      // Budget markers are keyed by this id: a second injection-enabled
+      // run over the same persistent fixture dir passes a fresh id (or
+      // calls Faults.clearMarkers) rather than silently inheriting the
+      // spent budget of the previous run.
+      faultRunId = Option(options.get("faultRunId")),
     )
   }
 }
@@ -199,7 +205,24 @@ object KinesisLikeConfig {
   * line is appended per raise; the fault fires while lines < times.
   * Executor-side, but serialized per marker by the JVM-wide lock (local
   * and test scale — injection is a test-only facility). */
-private[kinesislike] object Faults {
+private[sources] object Faults {
+  /** Marker-file prefix shared by every injection budget. */
+  private val MarkerPrefixes = Seq("_FAILED_", "_INSTREAM_")
+
+  /** Budget marker for `name`, scoped by the config's faultRunId when one
+    * was given — distinct run ids never share a budget, so re-running an
+    * injection scenario over a persistent fixture dir actually injects. */
+  def marker(dir: String, name: String, scope: String): File =
+    new File(dir, if (scope.isEmpty) name else s"${name}_$scope")
+
+  /** Delete every injection budget marker in `logDir` — the explicit
+    * reset for fixtures that reuse a dir without changing faultRunId. */
+  def clearMarkers(logDir: String): Unit = synchronized {
+    Option(new File(logDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => MarkerPrefixes.exists(f.getName.startsWith))
+      .foreach(_.delete())
+  }
+
   def shouldRaise(marker: File, times: Int): Boolean = synchronized {
     val p = marker.toPath
     val count =
@@ -255,7 +278,8 @@ class KinesisLikeBatch(cfg: KinesisLikeConfig) extends Batch {
         failOnceAfter = cfg.failOnceAfter.getOrElse(-1L),
         markerDir = cfg.logDir,
         failAtOpen = cfg.failAtOpen.getOrElse(""),
-        failAtOpenTimes = cfg.failAtOpenTimes)
+        failAtOpenTimes = cfg.failAtOpenTimes,
+        faultScope = cfg.faultRunId.getOrElse(""))
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     KinesisLikeReaderFactory
@@ -287,8 +311,11 @@ class KinesisLikeMicroBatchStream(cfg: KinesisLikeConfig)
     with SupportsTriggerAvailableNow {
 
   // A new stream = a new lifetime for this log dir: drop any Closed mark
-  // a previous log at the same path earned, so recycled paths start Open.
+  // a previous log at the same path earned, so recycled paths start Open,
+  // and drop cached shard metadata so a replaced same-length file within
+  // mtime granularity cannot serve a stale maxSeq/closed.
   KinesisLikeStatus.reset(cfg.logDir)
+  KinesisLikeLog.invalidateMeta(cfg.logDir)
 
   // Shard set is fixed at stream start, matching the reference's
   // single-DescribeStream shard discovery (producer.ex:171-188); shard
@@ -382,7 +409,8 @@ class KinesisLikeMicroBatchStream(cfg: KinesisLikeConfig)
         cfg.failOnceAfter.getOrElse(-1L),
         cfg.logDir,
         cfg.failAtOpen.getOrElse(""),
-        cfg.failAtOpenTimes))
+        cfg.failAtOpenTimes,
+        cfg.faultRunId.getOrElse("")))
     }.toArray
   }
 
@@ -410,6 +438,7 @@ final case class KinesisLikePartition(
     markerDir: String,
     failAtOpen: String,
     failAtOpenTimes: Int,
+    faultScope: String = "",
 ) extends InputPartition
 
 object KinesisLikeReaderFactory extends PartitionReaderFactory {
@@ -430,7 +459,8 @@ class KinesisLikeReader(p: KinesisLikePartition)
   // 3xx/4xx/5xx on the subscribe call itself, before any event arrives
   // (subscribe_to_shard_test.exs:249-281).
   if (p.failAtOpen.nonEmpty && Faults.shouldRaise(
-      new File(p.markerDir, s"_FAILED_OPEN_${p.shardId}"), p.failAtOpenTimes))
+      Faults.marker(p.markerDir, s"_FAILED_OPEN_${p.shardId}", p.faultScope),
+      p.failAtOpenTimes))
     throw KinesisLikeErrors.make(p.failAtOpen)
 
   private val in = new BufferedReader(
@@ -469,7 +499,7 @@ class KinesisLikeReader(p: KinesisLikePartition)
     * (producer.ex:159-168) without wedging the query. */
   private def maybeFail(): Unit =
     if (p.failOnceAfter >= 0 && delivered == p.failOnceAfter) {
-      val marker = new File(p.markerDir, "_FAILED_ONCE")
+      val marker = Faults.marker(p.markerDir, "_FAILED_ONCE", p.faultScope)
       if (marker.createNewFile())
         throw new KinesisLikeErrors.TransportClosedException(
           s"simulated transport close after $delivered records on ${p.shardId}")
@@ -482,7 +512,7 @@ class KinesisLikeReader(p: KinesisLikePartition)
   private def maybeRaiseInstream(line: String): Unit = {
     val spec = line.split('\t').lift(1).getOrElse("transport_closed")
     if (Faults.shouldRaise(
-        new File(p.markerDir, s"_INSTREAM_RAISED_${p.shardId}"), 1))
+        Faults.marker(p.markerDir, s"_INSTREAM_RAISED_${p.shardId}", p.faultScope), 1))
       throw KinesisLikeErrors.make(spec)
   }
 

@@ -444,6 +444,31 @@ class KinesisLikeSourceSpec extends SparkSpec {
     assert(rows == (0L until 5L))
   }
 
+  test("injection budgets are scoped by faultRunId: a second run with a " +
+    "fresh id injects again, and clearMarkers resets a shared fixture dir") {
+    val dir = tmpDir("kl_fault_scope")
+    writeShard(dir, 0, (0L until 5L).map(i => (i, i, "k", s"p$i")))
+    def read(runId: String): Seq[Long] = spark.read
+      .format("kinesislike")
+      .option("path", dir.toString)
+      .option("failAtOpen", "resource_in_use")
+      .option("failAtOpenTimes", "1")
+      .option("faultRunId", runId)
+      .load()
+      .select(col("sequenceNumber").cast("long"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(read("r1") == (0L until 5L))
+    assert(Files.exists(dir.resolve("_FAILED_OPEN_shard-00000_r1")))
+    // A distinct run id starts a fresh budget: the fault fires again
+    // (marker of its own) instead of silently no-opping on the spent one.
+    assert(read("r2") == (0L until 5L))
+    assert(Files.exists(dir.resolve("_FAILED_OPEN_shard-00000_r2")))
+    // The explicit reset reclaims every budget marker in the dir.
+    graft.sources.kinesislike.Faults.clearMarkers(dir.toString)
+    assert(!Files.exists(dir.resolve("_FAILED_OPEN_shard-00000_r1")))
+    assert(!Files.exists(dir.resolve("_FAILED_OPEN_shard-00000_r2")))
+  }
+
   // ------------------------------------ shard-closed as a visible signal
 
   test("a drained CLOSED stream is observable distinctly from an idle " +
@@ -519,5 +544,25 @@ class KinesisLikeSourceSpec extends SparkSpec {
     // An append invalidates (length changes) and the new record is seen.
     appendShard(dir, 0, Seq((5L, 5L, "k", "p5")))
     assert(KinesisLikeLog.maxSeq(f) == 5L)
+  }
+
+  test("stream construction invalidates cached shard metadata: a recycled " +
+    "path with same-length content within mtime granularity is re-scanned") {
+    val dir = tmpDir("kl_meta_recycle")
+    writeShard(dir, 0, Seq((3L, 1L, "k", "a")), closed = false)
+    val f = KinesisLikeLog.shardFile(dir.toString, "shard-00000")
+    assert(KinesisLikeLog.maxSeq(f) == 3L)
+    val mtime = f.lastModified()
+    // Replace with a same-length line holding a different max seq, and
+    // pin the mtime so the (mtime, length) cache key is provably blind.
+    writeShard(dir, 0, Seq((7L, 1L, "k", "a")), closed = false)
+    assert(f.setLastModified(mtime))
+    assert(KinesisLikeLog.maxSeq(f) == 3L,
+      "precondition: the cache key alone cannot see this replacement")
+    // A new stream lifetime at the same path re-scans.
+    new graft.sources.kinesislike.KinesisLikeMicroBatchStream(
+      graft.sources.kinesislike.KinesisLikeConfig(
+        dir.toString, StartingPosition.TrimHorizon, None, None))
+    assert(KinesisLikeLog.maxSeq(f) == 7L)
   }
 }
