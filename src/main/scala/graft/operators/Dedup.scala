@@ -547,31 +547,11 @@ object Dedup {
     * band keys (widen bands for larger corpora); exact scoring touches
     * ~n/256 × n pairs, not n². */
   private val d06 = {
-    import graft.functions.SignDots16.{NumPlanes, planeSign}
-    val Dim = 64
-    // The ±1 plane matrix is SignDots16's md5("p:i") top-bit construction;
-    // the oracle bakes the same matrix as literals.
-    val planes: Seq[Seq[Boolean]] =
-      (0 until NumPlanes).map(p => (0 until Dim).map(i => planeSign(p, i)))
-    // Spark side: the 16 raw plane dots come from ONE fused codegen pass
-    // ([[graft.functions.SignDots16]]) instead of 16 interpreted
-    // zip_with+aggregate folds; the round(_,9)>0 bit logic stays on
-    // built-ins so the values the oracle mirrors are unchanged.
-    def bitSpark(p: Int): String =
-      s"(CASE WHEN round(element_at(dots, ${p + 1}), 9) > 0" +
-        s" THEN ${1 << (p % 8)} ELSE 0 END)"
-    def bitDuck(p: Int): String = {
-      val lst = planes(p).map(v => if (v) "1.0" else "-1.0")
-        .mkString("[", ", ", "]")
-      s"""(CASE WHEN round(list_sum(list_transform(range(1, 65),
-         | i -> CAST(embedding[i] AS DOUBLE) * CAST(($lst)[i] AS DOUBLE))), 9) > 0
-         | THEN ${1 << (p % 8)} ELSE 0 END)""".stripMargin
-        .replaceAll("\n", " ")
-    }
-    val band0S = (0 until 8).map(bitSpark).mkString(" + ")
-    val band1S = (8 until 16).map(bitSpark).mkString(" + ")
-    val band0D = (0 until 8).map(bitDuck).mkString(" + ")
-    val band1D = (8 until 16).map(bitDuck).mkString(" + ")
+    import SignBands.{bandSpark, bandDuck}
+    val band0S = bandSpark(0, 8)
+    val band1S = bandSpark(1, 8)
+    val band0D = bandDuck(0, 8)
+    val band1D = bandDuck(1, 8)
     Q(
       "d06_dedup_cosine",
       (s, d) => {
@@ -641,4 +621,42 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
+}
+
+/** Shared sign-LSH band SQL builders over [[graft.functions.SignDots16]]'s
+  * 16 deterministic ±1 hyperplane dots, mirrored bit-for-bit on the
+  * DuckDB side (the same md5("p:i") plane matrix baked as literals).
+  * Used by d06 (2×8-bit bands over pairs) and s04 (4×4-bit bands for
+  * single-query bucket probing — narrower bands ⇒ higher collision rate
+  * ⇒ a denser candidate set for one probe point).
+  *
+  * Spark side assumes a `dots` column (the fused codegen pass); the
+  * round(_,9)>0 bit logic stays on built-ins so the values the oracle
+  * mirrors are unchanged. */
+private[operators] object SignBands {
+  import graft.functions.SignDots16.{NumPlanes, planeSign}
+  private val Dim = 64
+  private val planes: Seq[Seq[Boolean]] =
+    (0 until NumPlanes).map(p => (0 until Dim).map(i => planeSign(p, i)))
+
+  private def bitSpark(p: Int, width: Int): String =
+    s"(CASE WHEN round(element_at(dots, ${p + 1}), 9) > 0" +
+      s" THEN ${1 << (p % width)} ELSE 0 END)"
+
+  private def bitDuck(p: Int, width: Int): String = {
+    val lst = planes(p).map(v => if (v) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+    s"""(CASE WHEN round(list_sum(list_transform(range(1, 65),
+       | i -> CAST(embedding[i] AS DOUBLE) * CAST(($lst)[i] AS DOUBLE))), 9) > 0
+       | THEN ${1 << (p % width)} ELSE 0 END)""".stripMargin
+      .replaceAll("\n", " ")
+  }
+
+  /** Sum-of-bit-terms SQL for band `b` of `width` planes (Spark side). */
+  def bandSpark(b: Int, width: Int): String =
+    (b * width until (b + 1) * width).map(bitSpark(_, width)).mkString(" + ")
+
+  /** The DuckDB mirror of [[bandSpark]] over an `embedding` column. */
+  def bandDuck(b: Int, width: Int): String =
+    (b * width until (b + 1) * width).map(bitDuck(_, width)).mkString(" + ")
 }

@@ -1029,8 +1029,87 @@ object Relational {
       ORDER BY o_orderpriority"""),
   )
 
+  /** Correlated subqueries — EXISTS, NOT EXISTS, and a correlated scalar
+    * subquery in one statement, expressed in SQL because correlation is a
+    * SQL-surface feature. The point is Catalyst's decorrelation: EXISTS
+    * plans as a left-semi join, NOT EXISTS as left-anti, and
+    * RewriteCorrelatedScalarSubquery turns the per-order sum into an
+    * aggregate + left-outer join — so at 100 TB this is three shuffle-key
+    * joins against lineitem (the same shapes as q04/q05/q06), never a
+    * per-row subquery execution. */
+  private val q43 = Q(
+    "q43_subquery_decorrelate",
+    (s, d) => {
+      T.orders(s, d).createOrReplaceTempView("g43_orders")
+      T.lineitem(s, d).createOrReplaceTempView("g43_lineitem")
+      s.sql("""
+        SELECT o.o_orderkey,
+               round(o.o_totalprice, 2) AS total_price,
+               (SELECT round(sum(l.l_extendedprice), 2)
+                FROM g43_lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS items_total
+        FROM g43_orders o
+        WHERE EXISTS (SELECT 1 FROM g43_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity > 45)
+          AND NOT EXISTS (SELECT 1 FROM g43_lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+        ORDER BY o.o_orderkey""")
+    },
+    Some("""
+      SELECT o.o_orderkey,
+             round(o.o_totalprice, 2) AS total_price,
+             (SELECT round(sum(l.l_extendedprice), 2)
+              FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS items_total
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey
+                          AND l.l_returnflag = 'R')
+      ORDER BY o.o_orderkey"""),
+  )
+
+  /** Distribution-rank window family — ntile / dense_rank / percent_rank /
+    * cume_dist over one window. The window ORDER BY is made unique with
+    * the key column so tie order (and therefore ntile bucket assignment)
+    * is engine-independent; percent_rank and cume_dist are exact rational
+    * values computed with the same IEEE division in both engines, emitted
+    * as floor-scaled parts-per-million — floor has no tie-breaking mode,
+    * while round(double, n) diverges between Spark (HALF_UP) and DuckDB
+    * (nearbyint) exactly at representable half-ties, which k/n rationals
+    * do hit (observed on cume_dist at sf0.1). Partitioned by nation key:
+    * at scale one shuffle on the partition key, per-partition sort, no
+    * global sort until the final (small) ORDER BY. */
+  private val q44 = Q(
+    "q44_window_rank_family",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      T.customer(s, d)
+        .select(
+          col("c_custkey"),
+          col("c_nationkey"),
+          ntile(4).over(w).as("quartile"),
+          dense_rank().over(w).as("drank"),
+          floor(percent_rank().over(w) * 1000000).cast("long").as("prank_ppm"),
+          floor(cume_dist().over(w) * 1000000).cast("long").as("cdist_ppm"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_nationkey,
+             ntile(4) OVER w AS quartile,
+             dense_rank() OVER w AS drank,
+             CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS prank_ppm,
+             CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cdist_ppm
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_custkey"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q31, q32, q33, q34, q35, q40, q41, q42)
+    q31, q32, q33, q34, q35, q40, q41, q42, q43, q44)
 }

@@ -158,5 +158,73 @@ object Similarity {
       ORDER BY query_id, cosine DESC, vec_id"""),
   )
 
-  val all: Seq[Q] = Seq(s01, s02, s03)
+  /** LSH-bucketed ANN — the hash-partitioned scale path alongside s02's
+    * IVF: 16 sign-LSH plane bits ([[graft.functions.SignDots16]], the
+    * same deterministic ±1 hyperplanes d06 uses) banded 4×4 bits; a
+    * vector is a candidate iff it shares at least one band value with
+    * the query vector. 4-bit bands collide at rate ~1/16 per band, so
+    * one probe point keeps a dense-enough candidate set (~1/4 of the
+    * corpus across 4 bands) to rank top-10 from — an explicit
+    * recall/cost knob: widen bands for less scoring at lower recall.
+    *
+    * 100 TB posture: the signature is one map-only codegen pass; at
+    * scale the corpus is stored bucketed by band value so a probe reads
+    * only the query's 4 buckets (partition pruning), and the exact
+    * scoring touches ~n/16 per band, never all pairs. Like d06/s02, the
+    * oracle mirrors the identical deterministic computation (plane
+    * matrix baked as literals), so results hash-match exactly. */
+  private val s04 = {
+    import graft.operators.SignBands.{bandSpark, bandDuck}
+    val bandsS = (0 until 4).map(b => s"(${bandSpark(b, 4)}) AS band$b")
+    val bandsD = (0 until 4).map(b => s"(${bandDuck(b, 4)}) AS band$b")
+    Q(
+      "s04_ann_lsh",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = T.embeddings(s, d)
+        val sig = e
+          .selectExpr(
+            Seq("vec_id", "label", "embedding",
+              "sign_dots16(embedding) AS dots"): _*)
+          .selectExpr(
+            Seq("vec_id", "label", "embedding") ++ bandsS: _*)
+        val q = sig.filter(col("vec_id") === 0)
+          .select(
+            col("embedding").as("qv"),
+            col("band0").as("qb0"), col("band1").as("qb1"),
+            col("band2").as("qb2"), col("band3").as("qb3"))
+        sig.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .filter(
+            col("band0") === col("qb0") || col("band1") === col("qb1") ||
+              col("band2") === col("qb2") || col("band3") === col("qb3"))
+          .select(
+            col("vec_id"),
+            col("label"),
+            round(dot(s, col("embedding"), col("qv")), 6).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""
+      WITH sig AS (
+        SELECT vec_id, label, embedding, ${bandsD.mkString(", ")}
+        FROM embeddings),
+      q AS (
+        SELECT embedding AS qv, band0 AS qb0, band1 AS qb1,
+               band2 AS qb2, band3 AS qb3
+        FROM sig WHERE vec_id = 0)
+      SELECT e.vec_id, e.label,
+             round(list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))),
+               6) AS cosine
+      FROM sig e, q
+      WHERE e.vec_id <> 0
+        AND (e.band0 = q.qb0 OR e.band1 = q.qb1 OR
+             e.band2 = q.qb2 OR e.band3 = q.qb3)
+      ORDER BY cosine DESC, vec_id
+      LIMIT 10"""),
+    )
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04)
 }

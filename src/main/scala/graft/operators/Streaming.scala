@@ -499,5 +499,46 @@ object Streaming {
       ORDER BY user_id"""),
   )
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q36, q37, q38, q39)
+  /** Bounded-state streaming dedup: dropDuplicatesWithinWatermark on the
+    * doubled (at-least-once) log. q29's plain dropDuplicates keeps every
+    * event_id seen FOREVER when the event-time column is not part of the
+    * key — unbounded state on an unbounded stream. This variant is the
+    * scale-safe contract: dedup on event_id alone while the watermark
+    * evicts any key once it falls behind `ts` by more than the delay, so
+    * state is bounded by (arrival rate × delay). Correct here because the
+    * at-least-once duplicates in the log are seq-adjacent copies of the
+    * same record — redelivery happens within the horizon, which is
+    * exactly the real-world guarantee this operator encodes. The drained
+    * result equals a batch DISTINCT, so the oracle aggregates the clean
+    * events table. */
+  private val q45 = Q(
+    "q45_stream_dedup_bounded",
+    (s, d) => {
+      val log = ensureLog(s, d, copies = 2)
+      val stream = s.readStream
+        .format("kinesislike")
+        .option("path", log)
+        .option("startingPosition", "trim_horizon")
+        .load()
+      val deduped = parsed(stream)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      runToMemory(s, deduped, "append")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             count(DISTINCT user_id) AS users,
+             round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q36, q37, q38, q39, q45)
 }

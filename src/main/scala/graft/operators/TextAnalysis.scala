@@ -326,5 +326,44 @@ object TextAnalysis {
       ORDER BY doc_id"""),
   )
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07)
+  /** BPE-ish subword unit counting: each word contributes ceil(len/4)
+    * units — fixed 4-char chunking as the deterministic stand-in for a
+    * BPE merge table (real BPE's table is corpus-trained; the pipeline
+    * metrics of interest — total unit count and units-per-token
+    * "fertility", the standard tokenizer-cost measures for LLM data
+    * budgeting — are the same computation over any segmenter).
+    * Map-only per-row arithmetic; the HOF lambdas are interpreted, which
+    * is fine off the hot path (one short array per document — contrast
+    * the fused codegen kernels used where per-row work dominates,
+    * [[graft.functions.WordNgrams]]). */
+  private val t08 = Q(
+    "t08_token_bpe",
+    (s, d) =>
+      T.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn(
+          "units",
+          expr("aggregate(transform(ws, w -> CAST(ceil(length(w) / 4.0) AS BIGINT)), 0L, (a, x) -> a + x)"))
+        .selectExpr(
+          "doc_id",
+          "size(ws) AS n_tokens",
+          "units AS n_units",
+          "round(CAST(units AS DOUBLE) / size(ws), 6) AS fertility",
+          "CAST(array_max(transform(ws, w -> length(w))) AS INT) AS max_word_len")
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(ws) AS INT) AS n_tokens,
+             CAST(units AS BIGINT) AS n_units,
+             round(CAST(units AS DOUBLE) / len(ws), 6) AS fertility,
+             CAST(list_max(list_transform(ws, w -> len(w))) AS INT) AS max_word_len
+      FROM (
+        SELECT doc_id, ws,
+               list_sum(list_transform(ws,
+                 w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS units
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+      ORDER BY doc_id"""),
+  )
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
 }

@@ -104,11 +104,12 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row corpus-size scalar (t06) — the bounded scalar-product
     // pattern, not an n² join. Everything else must plan equi-joins.
     val boundedBroadcastCross = Set(
-      "s01_ann_brute_topk", "s02_ann_ivf", "s03_ann_join", "t06_tfidf")
+      "s01_ann_brute_topk", "s02_ann_ivf", "s03_ann_join", "s04_ann_lsh",
+      "t06_tfidf")
     val streaming = Set(
       "q28_stream_window", "q29_stream_dedup", "q30_stream_session",
       "q36_stream_join", "q37_stream_sliding", "q38_stream_static_join",
-      "q39_stream_custom_state")
+      "q39_stream_custom_state", "q45_stream_dedup_bounded")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(boundedBroadcastCross)
       .filterNot(streaming) // streaming plans are audited via their specs
