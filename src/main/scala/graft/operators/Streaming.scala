@@ -540,5 +540,56 @@ object Streaming {
       ORDER BY event_type"""),
   )
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q36, q37, q38, q39, q45)
+  /** Exactly-once delivery to an EXTERNAL store through `foreachBatch` +
+    * [[graft.streaming.IdempotentSink]] — the sink tier of the surface
+    * (Spark's own sinks keep internal commit logs; an external table or
+    * object store does not, so delivery must be made idempotent by the
+    * batchId ledger the sink maintains). The query streams the log into
+    * the store (one committed `batch=<id>` parquet dir per microbatch,
+    * write-then-atomic-rename), then aggregates what the STORE holds —
+    * so the oracle checks end-to-end delivery, not just the stream: any
+    * lost, duplicated, or partially-committed batch changes the counts.
+    * IdempotentSinkSpec separately proves replayed batchIds are skipped;
+    * here the drained store must equal the clean events table exactly. */
+  private val q46 = Q(
+    "q46_stream_sink_exactly_once",
+    (s, d) => {
+      val log   = ensureLog(s, d, copies = 1)
+      val store = Files.createTempDirectory("graft_store").toString
+      val sink  = new graft.streaming.IdempotentSink(store)
+      val stream = s.readStream
+        .format("kinesislike")
+        .option("path", log)
+        .option("startingPosition", "trim_horizon")
+        .load()
+      val rows = parsed(stream)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val q = rows.writeStream
+        .foreachBatch((b: DataFrame, id: Long) => sink(b, id))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // `batch=<id>` reads back as a partition column; drop it — the
+      // store's content, not its batch layout, is the delivered data.
+      s.read.parquet(store)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             min(event_id) AS min_event, max(event_id) AS max_event,
+             round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q36, q37, q38, q39, q45, q46)
 }

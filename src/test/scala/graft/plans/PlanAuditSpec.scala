@@ -109,7 +109,8 @@ class PlanAuditSpec extends SparkSpec {
     val streaming = Set(
       "q28_stream_window", "q29_stream_dedup", "q30_stream_session",
       "q36_stream_join", "q37_stream_sliding", "q38_stream_static_join",
-      "q39_stream_custom_state", "q45_stream_dedup_bounded")
+      "q39_stream_custom_state", "q45_stream_dedup_bounded",
+      "q46_stream_sink_exactly_once")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(boundedBroadcastCross)
       .filterNot(streaming) // streaming plans are audited via their specs
