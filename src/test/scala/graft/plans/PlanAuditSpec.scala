@@ -97,6 +97,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q43: all three correlated subqueries decorrelate into joins " +
+    "(semi, anti, aggregate+outer) — no per-row subquery execution") {
+    val p = plan("q43_subquery_decorrelate")
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not plan as an anti join:\n$p")
+    assert(p.contains("LeftOuter"),
+      s"scalar subquery did not plan as aggregate + outer join:\n$p")
+    // The rewritten scalar subquery pre-aggregates lineitem BELOW its
+    // join (one shuffle on the key), rather than evaluating per order.
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
