@@ -239,5 +239,80 @@ object Multimodal {
       ORDER BY doc_id"""),
   )
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04)
+  /** Audio frame analysis over "audio" payloads (doc_id % 3 = 1): the
+    * payload is read as PCM16 little-endian samples, windowed into
+    * 16-sample (32-byte) frames, and each frame emits exact integer
+    * energy (Σ v²) and peak (max |v|) — the waveform-statistics plumbing
+    * an audio pipeline needs (sample decode, framing, per-frame
+    * aggregate rows), with the codec STUBBED as raw PCM interpretation
+    * (no audio libs in the container; a real deployment decodes
+    * compressed audio to PCM in exactly this mapPartitions seam).
+    * All-integer arithmetic, so the oracle recomputes the identical
+    * values character-wise (the m02/m03 ASCII trick) with zero
+    * floating-point divergence risk. */
+  private val m05 = Q(
+    "m05_audio_frames",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      T.documents(s, d)
+        .filter("doc_id % 3 = 1 AND length(CAST(text AS BINARY)) >= 32")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (docId, bytes) =>
+            // --- STUB: codec decode stands on raw PCM16-LE access ---
+            val nFrames = bytes.length / 32
+            (0 until nFrames).iterator.map { f =>
+              var energy = 0L
+              var peak   = 0
+              var k      = 0
+              while (k < 16) {
+                val off = f * 32 + 2 * k
+                val u   = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+                val v   = if (u >= 32768) u - 65536 else u
+                energy += v.toLong * v
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                k += 1
+              }
+              (docId, f, energy, peak)
+            }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "energy", "peak")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+        FROM documents
+        WHERE doc_id % 3 = 1 AND octet_length(CAST(text AS BLOB)) >= 32),
+      smp AS (
+        SELECT doc_id,
+               list_transform(range(0, (n // 32) * 16), j ->
+                 CASE WHEN ascii(substr(text, CAST(2*j + 2 AS BIGINT), 1)) * 256
+                           + ascii(substr(text, CAST(2*j + 1 AS BIGINT), 1)) >= 32768
+                      THEN ascii(substr(text, CAST(2*j + 2 AS BIGINT), 1)) * 256
+                           + ascii(substr(text, CAST(2*j + 1 AS BIGINT), 1)) - 65536
+                      ELSE ascii(substr(text, CAST(2*j + 2 AS BIGINT), 1)) * 256
+                           + ascii(substr(text, CAST(2*j + 1 AS BIGINT), 1))
+                 END) AS v
+        FROM a),
+      frames AS (
+        SELECT doc_id, v,
+               unnest(generate_series(0, CAST(len(v) // 16 - 1 AS INT))) AS fi
+        FROM smp)
+      SELECT doc_id,
+             CAST(fi AS INT) AS frame_idx,
+             CAST(list_sum(list_transform(range(1, 17),
+               k -> CAST(v[fi*16 + k] AS BIGINT) * v[fi*16 + k])) AS BIGINT)
+               AS energy,
+             CAST(list_max(list_transform(range(1, 17),
+               k -> abs(v[fi*16 + k]))) AS INT) AS peak
+      FROM frames
+      ORDER BY doc_id, frame_idx"""),
+  )
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05)
 }
