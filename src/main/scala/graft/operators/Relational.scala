@@ -1108,8 +1108,34 @@ object Relational {
       ORDER BY c_custkey"""),
   )
 
+  /** Exact distinct via a custom typed Aggregator
+    * ([[graft.functions.BitmapDistinct]]): per-group user bitmaps OR'd
+    * map-side, one fixed-size buffer per group over the shuffle —
+    * contrast q17 (count(DISTINCT …): every distinct value shuffles) and
+    * q26 (HLL: approximate). The oracle is the plain distinct count,
+    * which the bitmap must reproduce exactly. */
+  private val q47 = Q(
+    "q47_agg_bitmap_distinct",
+    (s, d) => {
+      val bitmapDistinct = udaf(graft.functions.BitmapDistinct)
+      T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          bitmapDistinct(col("user_id")).as("distinct_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+             count(DISTINCT user_id) AS distinct_users,
+             count(*) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q31, q32, q33, q34, q35, q40, q41, q42, q43, q44)
+    q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47)
 }
