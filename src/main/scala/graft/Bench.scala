@@ -33,6 +33,11 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] bucketed prewarm failed: ${e.getMessage}")
     }
+    // And q48's date-partitioned events lake (one-time partitioned write).
+    try graft.operators.Relational.prewarmPartitionedEvents(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] partitioned prewarm failed: ${e.getMessage}")
+    }
     // Streaming machinery warmup: run every streaming query once,
     // unbilled. A streaming plan's first execution pays a large one-time
     // JVM cost — whole-stage codegen compilation of each microbatch plan

@@ -111,6 +111,14 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q48: the date-range filter binds as a partition filter — the " +
+    "scan lists one week of directories, never the whole lake") {
+    val p = plan("q48_partition_prune")
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(!p.contains("PartitionFilters: []"),
+      s"date filter did not reach the partition layer:\n$p")
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
