@@ -1160,6 +1160,43 @@ object Relational {
       ORDER BY 1, 2"""),
   )
 
+  /** Dynamic partition pruning: the fact side is the date-partitioned
+    * lake, but the date predicate lives on a DIMENSION (a calendar dim
+    * keeping only weekends), so no static partition filter exists at
+    * plan time. Catalyst inserts a `dynamicpruningexpression` on the
+    * fact scan's partition column, fed by the broadcast dim at runtime —
+    * the fact side still reads only the 8 weekend directories of 30.
+    * This is the join-shaped sibling of q48's static pruning and the
+    * second core scan-elimination mechanism of a partitioned 100 TB
+    * lake (star-schema queries rarely filter the fact directly). The
+    * weekday classification uses `dayofweek` in both engines (numeric,
+    * locale-independent); the oracle applies the same weekend predicate
+    * directly to raw events, so pruning must be lossless. */
+  private val q49 = Q(
+    "q49_dpp_join",
+    (s, d) => {
+      val t = prewarmPartitionedEvents(s, d)
+      // Calendar dim: all of January 2024, filtered to weekends
+      // (Spark dayofweek: 1 = Sunday … 7 = Saturday).
+      val dim = s
+        .sql("SELECT explode(sequence(DATE'2024-01-01', DATE'2024-01-30')) AS d")
+        .filter(dayofweek(col("d")).isin(1, 7))
+      s.table(t)
+        .join(broadcast(dim), col("event_date") === col("d"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events
+      WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   /** Exact distinct via a custom typed Aggregator
     * ([[graft.functions.BitmapDistinct]]): per-group user bitmaps OR'd
     * map-side, one fixed-size buffer per group over the shuffle —
@@ -1189,5 +1226,5 @@ object Relational {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48)
+    q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49)
 }

@@ -119,6 +119,14 @@ class PlanAuditSpec extends SparkSpec {
       s"date filter did not reach the partition layer:\n$p")
   }
 
+  test("q49: the dim-side predicate prunes fact partitions at runtime " +
+    "(dynamicpruningexpression on the partitioned scan)") {
+    val p = SparkEntry.queries("q49_dpp_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"dynamic partition pruning did not engage:\n$p")
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
