@@ -1160,6 +1160,36 @@ object Relational {
       ORDER BY 1, 2"""),
   )
 
+  /** Ordered collection aggregate: per user, the sorted distinct set of
+    * event types as one delimited string — collect_set + sort_array +
+    * concat_ws on the Spark side, string_agg(DISTINCT … ORDER BY) in
+    * DuckDB. Collection aggregates are only cross-engine-deterministic
+    * when an explicit total order is imposed before serialization (bare
+    * collect_list order is partition-arrival order — never comparable);
+    * array output itself is serialized to a scalar string because the
+    * driver's comparator cannot hash array columns. One hash aggregate
+    * on a high-cardinality key at scale; per-group state is bounded by
+    * the tiny type vocabulary. */
+  private val q50 = Q(
+    "q50_agg_collect",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("event_type"))))
+            .as("types_csv"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id,
+             string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+               AS types_csv,
+             count(DISTINCT event_type) AS n_types
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""),
+  )
+
   /** Dynamic partition pruning: the fact side is the date-partitioned
     * lake, but the date predicate lives on a DIMENSION (a calendar dim
     * keeping only weekends), so no static partition filter exists at
@@ -1226,5 +1256,5 @@ object Relational {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49)
+    q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50)
 }
