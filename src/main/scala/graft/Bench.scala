@@ -48,6 +48,15 @@ object Bench {
     // checkpoint — only JVM compilation is excluded, which is the
     // steady-state behavior a long-running cluster actually sees.
     val streamNames = graft.operators.Streaming.all.map(_.name).toSet
+    // Memory-sink tables hold their full result set in driver memory for
+    // the life of the session (clearCache only drops cached plans, not
+    // the sink's temp-view buffer) — with every streaming query running
+    // twice (warmup + billed), drop the sinks once a run is consumed.
+    def dropStreamSinks(): Unit = spark.catalog
+      .listTables().collect()
+      .map(_.name)
+      .filter(_.startsWith("graft_stream_sink_"))
+      .foreach(spark.catalog.dropTempView)
     for (name <- streamNames.toSeq.sorted) {
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -57,6 +66,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
+      dropStreamSinks()
     }
     // Sorted name order (stable attribution across rounds); noop-format
     // write fully materializes every result row — count() would let
@@ -76,6 +86,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
+      dropStreamSinks()
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

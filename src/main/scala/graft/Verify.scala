@@ -25,10 +25,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Drop any blocks an operator checkpointed for its own self-joins so
-      // a 56-query run doesn't accumulate every query's materializations.
+      // a 56-query run doesn't accumulate every query's materializations,
+      // and drop consumed memory-sink tables (their buffers hold the full
+      // streaming result in driver memory; clearCache doesn't touch them).
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
+      spark.catalog.listTables().collect()
+        .map(_.name)
+        .filter(_.startsWith("graft_stream_sink_"))
+        .foreach(spark.catalog.dropTempView)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

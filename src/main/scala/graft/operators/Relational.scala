@@ -979,10 +979,16 @@ object Relational {
     * empty, so leaving them inside the timed query would bill the
     * bucketing write — the pattern's amortized-away cost — to every
     * measured run). Returns the two table names. */
+  /** Fixture tag (sf dir name, dots escaped) and warehouse root shared by
+    * every prewarmed table — one derivation so a layout change can never
+    * leave one prewarm writing to an old location. */
+  private def fixtureLoc(d: String): (String, String) = (
+    new java.io.File(d).getName.replace('.', '_'),
+    new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_warehouse").getAbsolutePath)
+
   def prewarmBucketedTables(s: SparkSession, d: String): (String, String) = {
-    val tag = new java.io.File(d).getName.replace('.', '_')
-    val wh  = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_warehouse").getAbsolutePath
+    val (tag, wh) = fixtureLoc(d)
     def ensureBucketed(name: String, df: DataFrame, key: String): Unit =
       if (!s.catalog.tableExists(name))
         df.write.mode("overwrite")
@@ -1114,10 +1120,8 @@ object Relational {
     * actually has, and the one-time partitioned write is fixture setup,
     * not operator cost. */
   def prewarmPartitionedEvents(s: SparkSession, d: String): String = {
-    val tag  = new java.io.File(d).getName.replace('.', '_')
-    val wh   = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_warehouse").getAbsolutePath
-    val name = s"graft_events_p_$tag"
+    val (tag, wh) = fixtureLoc(d)
+    val name      = s"graft_events_p_$tag"
     if (!s.catalog.tableExists(name))
       T.events(s, d)
         .withColumn("event_date", to_date(col("ts")))

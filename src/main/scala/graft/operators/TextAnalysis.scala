@@ -348,14 +348,18 @@ object TextAnalysis {
           "doc_id",
           "size(ws) AS n_tokens",
           "units AS n_units",
-          "round(CAST(units AS DOUBLE) / size(ws), 6) AS fertility",
+          // floor-scaled ppm, not round(double, 6): units/n_tokens is a
+          // ratio of small integers, exactly the class of double that CAN
+          // land on a representable half-tie (odd/128), where Spark's
+          // HALF_UP and DuckDB's ties-to-even disagree — the q44 lesson.
+          "CAST(floor(CAST(units AS DOUBLE) / size(ws) * 1000000) AS BIGINT) AS fertility_ppm",
           "CAST(array_max(transform(ws, w -> length(w))) AS INT) AS max_word_len")
         .orderBy(col("doc_id")),
     Some("""
       SELECT doc_id,
              CAST(len(ws) AS INT) AS n_tokens,
              CAST(units AS BIGINT) AS n_units,
-             round(CAST(units AS DOUBLE) / len(ws), 6) AS fertility,
+             CAST(floor(CAST(units AS DOUBLE) / len(ws) * 1000000) AS BIGINT) AS fertility_ppm,
              CAST(list_max(list_transform(ws, w -> len(w))) AS INT) AS max_word_len
       FROM (
         SELECT doc_id, ws,
