@@ -1164,6 +1164,68 @@ object Relational {
       ORDER BY 1, 2"""),
   )
 
+  /** RANGE-frame window: trailing 1-hour sum/count per user, the frame
+    * bounded by the ORDER-BY VALUE (epoch seconds), not by row offsets —
+    * q09's rows-frame sibling and the time-decay analytics shape
+    * (rolling rates, sliding quotas). RANGE frames include all peers of
+    * the current row, so ties in epoch_s are well-defined identically in
+    * both engines; the final output order is made unique with event_id.
+    * Same one-shuffle-per-partition-key posture as every window op. */
+  private val q51 = Q(
+    "q51_window_range_frame",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-3600L, Window.currentRow)
+      T.events(s, d)
+        .withColumn("epoch_s", col("ts").cast("long"))
+        .select(
+          col("user_id"),
+          col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value")).over(w), 2).as("sum_1h"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             count(*) OVER w AS n_1h,
+             round(sum(value) OVER w, 2) AS sum_1h
+      FROM (SELECT user_id, event_id, value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""),
+  )
+
+  /** Multi-distinct aggregation: several count(DISTINCT …) over different
+    * columns in ONE aggregate — Catalyst plans this with an Expand node
+    * (one duplicated input stream per distinct set) feeding a two-level
+    * aggregate, the standard engine treatment; naive per-distinct
+    * subqueries would scan the fact N times. */
+  private val q52 = Q(
+    "q52_agg_multi_distinct",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("d_users"),
+          countDistinct(col("event_id")).as("d_events"),
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             count(DISTINCT user_id) AS d_users,
+             count(DISTINCT event_id) AS d_events,
+             count(*) AS n,
+             round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   /** Ordered collection aggregate: per user, the sorted distinct set of
     * event types as one delimited string — collect_set + sort_array +
     * concat_ws on the Spark side, string_agg(DISTINCT … ORDER BY) in
@@ -1260,5 +1322,6 @@ object Relational {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
-    q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50)
+    q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
+    q51, q52)
 }
