@@ -42,6 +42,24 @@ object Streaming {
 
   private val sinkCounter = new AtomicLong(0)
 
+  /** Per-JVM scratch root for stream checkpoints and q46's external
+    * store. Bare `Files.createTempDirectory` scratch is never reclaimed
+    * — every bench/verify JVM would leave its checkpoints (and a full
+    * delivered-event copy for q46) in java.io.tmpdir forever. Scoping
+    * them under one root that each NEW JVM wipes at first use bounds the
+    * accumulation to a single run's worth while keeping live dirs
+    * untouchable by the run that owns them. */
+  private lazy val scratchRoot: java.io.File = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_stream_scratch")
+    graft.Fs.deleteRecursively(root)
+    root.mkdirs()
+    root
+  }
+
+  private def scratchDir(prefix: String): String =
+    Files.createTempDirectory(scratchRoot.toPath, prefix).toString
+
   // One shard = one read task: a 4-shard fixture capped source read
   // parallelism at 4 cores no matter how many the session has (and real
   // Kinesis streams run many shards); 16 keeps per-user ordering
@@ -129,7 +147,7 @@ object Streaming {
       df: DataFrame,
       outputMode: String): DataFrame = confLock.synchronized {
     val name = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
-    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = scratchDir("graft_ckpt")
     val partsKey = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(partsKey)
     s.conf.set(partsKey, NumShards.toString)
@@ -555,7 +573,7 @@ object Streaming {
     "q46_stream_sink_exactly_once",
     (s, d) => {
       val log   = ensureLog(s, d, copies = 1)
-      val store = Files.createTempDirectory("graft_store").toString
+      val store = scratchDir("graft_store")
       val sink  = new graft.streaming.IdempotentSink(store)
       val stream = s.readStream
         .format("kinesislike")
@@ -564,7 +582,7 @@ object Streaming {
         .load()
       val rows = parsed(stream)
         .select(col("event_id"), col("event_type"), col("value"))
-      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val ckpt = scratchDir("graft_ckpt")
       val q = rows.writeStream
         .foreachBatch((b: DataFrame, id: Long) => sink(b, id))
         .option("checkpointLocation", ckpt)
