@@ -48,15 +48,11 @@ object Bench {
     // checkpoint — only JVM compilation is excluded, which is the
     // steady-state behavior a long-running cluster actually sees.
     val streamNames = graft.operators.Streaming.all.map(_.name).toSet
-    // Memory-sink tables hold their full result set in driver memory for
-    // the life of the session (clearCache only drops cached plans, not
-    // the sink's temp-view buffer) — with every streaming query running
-    // twice (warmup + billed), drop the sinks once a run is consumed.
-    def dropStreamSinks(): Unit = spark.catalog
-      .listTables().collect()
-      .map(_.name)
-      .filter(_.startsWith("graft_stream_sink_"))
-      .foreach(spark.catalog.dropTempView)
+    // With every streaming query running twice (warmup + billed), drop
+    // the memory sinks once a run is consumed — see
+    // Streaming.dropConsumedSinks for why clearCache is not enough.
+    def dropStreamSinks(): Unit =
+      graft.operators.Streaming.dropConsumedSinks(spark)
     for (name <- streamNames.toSeq.sorted) {
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

@@ -31,10 +31,7 @@ object Verify {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
-      spark.catalog.listTables().collect()
-        .map(_.name)
-        .filter(_.startsWith("graft_stream_sink_"))
-        .foreach(spark.catalog.dropTempView)
+      graft.operators.Streaming.dropConsumedSinks(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

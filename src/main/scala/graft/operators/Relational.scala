@@ -973,12 +973,6 @@ object Relational {
       ORDER BY event_type"""),
   )
 
-  /** Create the bucketed orders/lineitem tables q42 joins (idempotent per
-    * session via tableExists). Public so Bench can run it during warmup:
-    * the writes are one-time fixture setup (a fresh JVM's catalog is
-    * empty, so leaving them inside the timed query would bill the
-    * bucketing write — the pattern's amortized-away cost — to every
-    * measured run). Returns the two table names. */
   /** Fixture tag (sf dir name, dots escaped) and warehouse root shared by
     * every prewarmed table — one derivation so a layout change can never
     * leave one prewarm writing to an old location. */
@@ -987,6 +981,12 @@ object Relational {
     new java.io.File(
       sys.props("java.io.tmpdir"), "graft_warehouse").getAbsolutePath)
 
+  /** Create the bucketed orders/lineitem tables q42 joins (idempotent per
+    * session via tableExists). Public so Bench can run it during warmup:
+    * the writes are one-time fixture setup (a fresh JVM's catalog is
+    * empty, so leaving them inside the timed query would bill the
+    * bucketing write — the pattern's amortized-away cost — to every
+    * measured run). Returns the two table names. */
   def prewarmBucketedTables(s: SparkSession, d: String): (String, String) = {
     val (tag, wh) = fixtureLoc(d)
     def ensureBucketed(name: String, df: DataFrame, key: String): Unit =
@@ -1203,7 +1203,10 @@ object Relational {
     * columns in ONE aggregate — Catalyst plans this with an Expand node
     * (one duplicated input stream per distinct set) feeding a two-level
     * aggregate, the standard engine treatment; naive per-distinct
-    * subqueries would scan the fact N times. */
+    * subqueries would scan the fact N times. Both distinct columns are
+    * genuinely non-unique per group (users repeat, so do days), so each
+    * Expand branch discriminates — a unique column's distinct count
+    * would degenerate to count(*) and mask a broken branch. */
   private val q52 = Q(
     "q52_agg_multi_distinct",
     (s, d) =>
@@ -1211,14 +1214,14 @@ object Relational {
         .groupBy(col("event_type"))
         .agg(
           countDistinct(col("user_id")).as("d_users"),
-          countDistinct(col("event_id")).as("d_events"),
+          countDistinct(to_date(col("ts"))).as("d_days"),
           count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("event_type")),
     Some("""
       SELECT event_type,
              count(DISTINCT user_id) AS d_users,
-             count(DISTINCT event_id) AS d_events,
+             count(DISTINCT CAST(ts AS DATE)) AS d_days,
              count(*) AS n,
              round(sum(value), 2) AS total_value
       FROM events

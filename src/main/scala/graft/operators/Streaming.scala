@@ -45,20 +45,48 @@ object Streaming {
   /** Per-JVM scratch root for stream checkpoints and q46's external
     * store. Bare `Files.createTempDirectory` scratch is never reclaimed
     * — every bench/verify JVM would leave its checkpoints (and a full
-    * delivered-event copy for q46) in java.io.tmpdir forever. Scoping
-    * them under one root that each NEW JVM wipes at first use bounds the
-    * accumulation to a single run's worth while keeping live dirs
-    * untouchable by the run that owns them. */
+    * delivered-event copy for q46) in java.io.tmpdir forever. Each JVM
+    * owns a pid-named subdir, and at first use reclaims siblings whose
+    * owning process is gone — so a concurrently running bench, verify,
+    * or spark-shell session can never have its LIVE checkpoints deleted
+    * (a blanket wipe of a shared root would fail an in-flight stream's
+    * next state-store commit and break the other JVM's scratch forever),
+    * while dead runs' scratch is still bounded. */
   private lazy val scratchRoot: java.io.File = {
-    val root = new java.io.File(
+    val base = new java.io.File(
       sys.props("java.io.tmpdir"), "graft_stream_scratch")
-    graft.Fs.deleteRecursively(root)
-    root.mkdirs()
-    root
+    base.mkdirs()
+    val self = ProcessHandle.current().pid()
+    Option(base.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val pid = f.getName.takeWhile(_.isDigit)
+      if (pid.nonEmpty && pid.length <= 18 && pid.toLong != self) {
+        val owner = ProcessHandle.of(pid.toLong)
+        if (!owner.isPresent || !owner.get().isAlive)
+          graft.Fs.deleteRecursively(f)
+      }
+    }
+    val mine = new java.io.File(base, s"${self}_scratch")
+    mine.mkdirs()
+    mine
   }
 
   private def scratchDir(prefix: String): String =
     Files.createTempDirectory(scratchRoot.toPath, prefix).toString
+
+  /** Prefix of every memory-sink table [[runToMemory]] registers. */
+  val SinkPrefix = "graft_stream_sink_"
+
+  /** Drop every consumed memory-sink temp view. The memory sink holds
+    * its full result set in driver memory for the life of the session
+    * (catalog clearCache drops cached plans, not sink buffers), so
+    * Bench/Verify call this once a streaming query's result has been
+    * written out. Lives next to the sink naming so the producer and the
+    * reclaim can't drift apart. */
+  def dropConsumedSinks(s: SparkSession): Unit = s.catalog
+    .listTables().collect()
+    .map(_.name)
+    .filter(_.startsWith(SinkPrefix))
+    .foreach(s.catalog.dropTempView)
 
   // One shard = one read task: a 4-shard fixture capped source read
   // parallelism at 4 cores no matter how many the session has (and real
@@ -146,7 +174,7 @@ object Streaming {
       s: SparkSession,
       df: DataFrame,
       outputMode: String): DataFrame = confLock.synchronized {
-    val name = s"graft_stream_sink_${sinkCounter.incrementAndGet()}"
+    val name = s"$SinkPrefix${sinkCounter.incrementAndGet()}"
     val ckpt = scratchDir("graft_ckpt")
     val partsKey = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(partsKey)
