@@ -107,6 +107,12 @@ object GraftFunctions {
         s"minhash8 requires exactly 1 argument (an ARRAY<STRING> column), got ${exprs.length}")
       MinHash8(exprs.head)
     }
+    ensure("pos_ngrams") { exprs =>
+      require(
+        exprs.length == 2,
+        s"pos_ngrams requires exactly 2 arguments (a STRING column, an INT width), got ${exprs.length}")
+      PosNgramExplode(exprs(0), exprs(1))
+    }
   }
 
   /** Column-level API over the registered function. */
@@ -165,6 +171,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash8"),
       new ExpressionInfo(classOf[MinHash8].getName, "minhash8"),
       (children: Seq[Expression]) => MinHash8(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("pos_ngrams"),
+      new ExpressionInfo(classOf[PosNgramExplode].getName, "pos_ngrams"),
+      (children: Seq[Expression]) => PosNgramExplode(children.head, children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -53,10 +53,12 @@ case class WordNgrams(child: Expression, n: Int)
 }
 
 object WordNgrams {
-  def compute(text: UTF8String, n: Int): GenericArrayData = {
-    // Split on every single space, keeping empty tokens (Spark's
-    // split(text, " ") semantics with its -1 limit).
-    val s      = text.toString
+  /** Split on every single space, keeping empty tokens (Spark's
+    * `split(text, " ")` semantics with its -1 limit) — the one
+    * tokenization contract shared by every n-gram kernel (this
+    * expression and [[PosNgramExplode]]), so their outputs always
+    * chain-match the built-in `split` the DuckDB oracles mirror. */
+  private[functions] def tokenize(s: String): mutable.ArrayBuffer[String] = {
     val tokens = mutable.ArrayBuffer.empty[String]
     var start  = 0
     var i      = 0
@@ -65,7 +67,12 @@ object WordNgrams {
       i += 1
     }
     tokens += s.substring(start)
-    val m = tokens.length - n + 1
+    tokens
+  }
+
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    val tokens = tokenize(text.toString)
+    val m      = tokens.length - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
     val seen = mutable.LinkedHashSet.empty[String]
     var j = 0

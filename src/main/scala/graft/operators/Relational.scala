@@ -1322,9 +1322,148 @@ object Relational {
       ORDER BY event_type"""),
   )
 
+  /** Variant-typed JSON path (SURVEY §1.3's payload mapping, honoring the
+    * reference's JSON decode — subscribe_to_shard.ex:365-366): the props
+    * payload is parsed ONCE into Spark 4's `variant` binary encoding and
+    * every field access is a typed `variant_get` on that encoding —
+    * contrast q20, where each `get_json_object` re-parses the JSON text.
+    * At 100 TB this is the difference between parse-per-access and
+    * parse-once-query-many for semi-structured columns (and the encoding
+    * is what parquet variant shredding stores, so the parse can
+    * eventually move into the scan itself). `try_variant_get` on an
+    * absent path is the graceful-miss probe (NULL, never an error);
+    * its count must be zero on every row. The plan keeps parse +
+    * both extractions in the single pre-aggregate projection —
+    * PlanAuditSpec asserts one scan and no re-parse join. */
+  private val q53 = Q(
+    "q53_variant_json",
+    (s, d) => {
+      val v = parse_json(col("props"))
+      T.events(s, d)
+        .select(
+          col("event_type"),
+          variant_get(v, "$.k", "bigint").as("k"),
+          try_variant_get(v, "$.missing", "string").as("miss"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k") * col("k")).as("sum_k2"),
+          min(col("k")).as("min_k"),
+          count(col("miss")).as("n_miss"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(k * k) AS BIGINT) AS sum_k2,
+             min(k) AS min_k,
+             count(miss) AS n_miss
+      FROM (SELECT event_type,
+                   CAST(props->>'$.k' AS BIGINT) AS k,
+                   props->>'$.missing' AS miss
+            FROM events)
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
+  /** Write (once) the sort-clustered events copy q54 scans: rows
+    * range-partitioned then sorted by (event_type, ts), split into small
+    * files — so every parquet file covers a narrow (event_type, ts)
+    * rectangle and its footer min/max stats make selective filters skip
+    * whole files/row-groups without listing tricks or a catalog. This is
+    * the third scan-eliminator of a 100 TB lake after q48's static and
+    * q49's dynamic partition pruning: directories prune coarsely, file
+    * and row-group stats prune inside a partition, and they only work
+    * when the data is CLUSTERED on the filter columns — the whole point
+    * of the write shape here. FileStatsClusteringSpec reads the footers
+    * back and asserts a selective predicate admits a strict subset of
+    * files. */
+  def prewarmClusteredEvents(s: SparkSession, d: String): String = {
+    val (tag, wh) = fixtureLoc(d)
+    val path = new java.io.File(wh, s"graft_events_clustered_$tag")
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      T.events(s, d)
+        .repartitionByRange(8, col("event_type"), col("ts"))
+        .sortWithinPartitions(col("event_type"), col("ts"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 2000)
+        .parquet(path.getAbsolutePath)
+    path.getAbsolutePath
+  }
+
+  /** Selective scan over the sort-clustered lake copy: the predicate
+    * binds to the clustering columns, so parquet row-group stats (and at
+    * scale, file-level stats in a table format's manifest) eliminate
+    * nearly all I/O — `PushedFilters` carries the predicate into the
+    * reader, and because the layout is clustered the stats actually
+    * discriminate (on an unclustered layout every file's min/max spans
+    * the whole domain and pruning is a no-op). The oracle runs the same
+    * predicate over the raw events, so the clustered rewrite must be
+    * lossless. */
+  private val q54 = Q(
+    "q54_file_stats_prune",
+    (s, d) => {
+      val path = prewarmClusteredEvents(s, d)
+      s.read.parquet(path)
+        .filter(
+          col("event_type") === "purchase" &&
+            col("ts") >= lit("2024-01-10 00:00:00") &&
+            col("ts") < lit("2024-01-13 00:00:00"))
+        .groupBy(to_date(col("ts")).cast("string").as("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events
+      WHERE event_type = 'purchase'
+        AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+      GROUP BY 1
+      ORDER BY day"""),
+  )
+
+  /** Deterministic hash-sampling: keep a row iff the first hex nibble of
+    * md5(key) is '0' — an exact 1/16 sample whose membership is a pure
+    * function of the key. This, not Bernoulli/TABLESAMPLE, is the
+    * restartable-at-scale sampling contract a training-data budget needs:
+    * membership survives retries, repartitioning, engine changes, and
+    * incremental reruns (a failed stage re-samples identically; rand()
+    * would not), the same key set is selected in every table sampled on
+    * the same key (sampled joins stay consistent), and widening the
+    * budget (nibble IN ('0','1') = 2/16) keeps every previously selected
+    * row — monotone growth, no resample churn. md5 is the same
+    * byte-for-byte function in every engine, so the oracle is exact, the
+    * same cross-engine-determinism argument as the d-pack's md5 keys.
+    * Plan shape: the filter is a cheap map-side predicate evaluated in
+    * the scan's projection — no shuffle added to whatever runs
+    * downstream. */
+  private val q55 = Q(
+    "q55_sample_hash",
+    (s, d) =>
+      T.events(s, d)
+        .filter(substring(md5(col("event_id").cast("string")), 1, 1) === "0")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          countDistinct(col("user_id")).as("d_users"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type, count(*) AS n_sampled,
+             count(DISTINCT user_id) AS d_users,
+             round(sum(value), 2) AS total_value
+      FROM events
+      WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
-    q51, q52)
+    q51, q52, q53, q54, q55)
 }

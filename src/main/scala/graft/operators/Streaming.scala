@@ -173,9 +173,10 @@ object Streaming {
   private def runToMemory(
       s: SparkSession,
       df: DataFrame,
-      outputMode: String): DataFrame = confLock.synchronized {
+      outputMode: String,
+      checkpoint: Option[String] = None): DataFrame = confLock.synchronized {
     val name = s"$SinkPrefix${sinkCounter.incrementAndGet()}"
-    val ckpt = scratchDir("graft_ckpt")
+    val ckpt = checkpoint.getOrElse(scratchDir("graft_ckpt"))
     val partsKey = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(partsKey)
     s.conf.set(partsKey, NumShards.toString)
@@ -637,5 +638,99 @@ object Streaming {
       ORDER BY event_type"""),
   )
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q36, q37, q38, q39, q45, q46)
+  /** Run a streaming DataFrame to completion (AvailableNow) through a
+    * foreachBatch handler under the same state-partitioning and
+    * serialization contract as [[runToMemory]] (see that scaladoc for
+    * why the conf flip is lock-guarded). foreachBatch queries — unlike
+    * memory-sink ones — support RESTART from an existing checkpoint,
+    * which is exactly what q56 exercises. */
+  private def runForeachBatch(
+      s: SparkSession,
+      df: DataFrame,
+      ckpt: String,
+      sink: (DataFrame, Long) => Unit): Unit = confLock.synchronized {
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev     = s.conf.get(partsKey)
+    s.conf.set(partsKey, NumShards.toString)
+    try {
+      val q = df.writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(partsKey, prev)
+  }
+
+  /** Checkpoint resume under the oracle gate: the q28 windowed aggregate
+    * executed across TWO query starts sharing ONE checkpoint and ONE
+    * external store — the end-to-end proof of S7/P4 (transparent
+    * resubscribe from the resume cursor / external-checkpoint restart;
+    * KinesisLikeSourceSpec proves the same contract at the unit tier).
+    * Run 1 drains the sentinel-free log under an admission limit sized
+    * to take ~6 microbatches (P6's rate control on the real read path —
+    * the limit bounds per-shard SEQUENCE advance, and sequence numbers
+    * are global event ids, so a whole-log seq range split by 6 gives ~6
+    * batches), each batch committing per-shard cursors + the running
+    * watermark to the checkpoint and its closed windows to the
+    * [[graft.streaming.IdempotentSink]] store. Run 2 then starts FRESH
+    * from that checkpoint against the sentinel-extended log — the same
+    * shard files with one record appended past every committed cursor,
+    * i.e. "the stream kept producing while the consumer was down" — and
+    * reads ONLY the sentinel, whose watermark push closes every
+    * remaining window into the same store.
+    *
+    * The result is what the store holds after both lifetimes: append
+    * mode emits each window exactly once ACROSS the restart, so a
+    * resume that lost aggregation state would drop windows, one that
+    * replayed delivered offsets would double-count rows into re-emitted
+    * windows, and a sink replay would duplicate batch dirs — every one
+    * of those breaks the hash against q28's oracle. The final window
+    * can only close in run 2 (nothing after it in run 1 can advance the
+    * watermark), so the green row provably spans both query starts. */
+  private val q56 = Q(
+    "q56_stream_restart",
+    (s, d) => {
+      val base  = ensureLog(s, d, copies = 1)
+      val full  = ensureLog(s, d, copies = 1, sentinel = true)
+      val ckpt  = scratchDir("graft_ckpt_restart")
+      val store = scratchDir("graft_store_restart")
+      val sink  = new graft.streaming.IdempotentSink(store)
+      val seqStep = math.max(1L, T.events(s, d).count() / 6L)
+      def agg(log: String, limit: Option[Long]): DataFrame = {
+        val reader = s.readStream
+          .format("kinesislike")
+          .option("path", log)
+          .option("startingPosition", "trim_horizon")
+        limit.foreach(n => reader.option("maxRecordsPerBatch", n.toString))
+        parsed(reader.load())
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("total_value"))
+      }
+      runForeachBatch(s, agg(base, Some(seqStep)), ckpt, sink(_, _))
+      runForeachBatch(s, agg(full, None), ckpt, sink(_, _))
+      s.read.parquet(store)
+        .filter(col("event_type") =!= "sentinel")
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"),
+          col("n"),
+          col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    // q28's oracle: a lossless resume makes the two-lifetime run
+    // indistinguishable from the single-start stream.
+    Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type"""),
+  )
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q36, q37, q38, q39, q45, q46, q56)
 }

@@ -369,5 +369,105 @@ object TextAnalysis {
       ORDER BY doc_id"""),
   )
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
+  /** PII scrubbing: regexp redaction of emails then numbers, emitting the
+    * scrubbed-text hash plus per-class match counts — the standard
+    * pre-training redaction pass (and its audit trail: the counts are
+    * what a pipeline monitors, the hash is what this oracle gates, so a
+    * divergent redaction anywhere in 100 TB is caught byte-for-byte).
+    * The fixture corpus carries no raw PII (documents.text is a word
+    * soup — verified digit- and @-free), so the input is a PII-shaped
+    * contact line derived deterministically from customer columns in
+    * BOTH engines; the operator under test is the redactor, not the
+    * synthesis. Email is scrubbed before numbers so the email's own
+    * digits never double-count. Patterns stay in the syntax intersection
+    * of Java regex (Spark) and RE2 (DuckDB): character classes, +, and
+    * bounded repetition only. Map-only per row — no shuffle before the
+    * final (tiny) sort. */
+  private val t09 = Q(
+    "t09_pii_scrub",
+    (s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val numRe   = "[0-9]+"
+      T.customer(s, d)
+        .withColumn(
+          "contact",
+          concat(
+            col("c_name"), lit(" <c"), col("c_custkey"),
+            lit("@example-mail.com> ref "),
+            floor(col("c_acctbal")).cast("bigint"),
+            lit(" seg "), col("c_mktsegment")))
+        .withColumn("n_email", regexp_count(col("contact"), lit(emailRe)))
+        .withColumn("s1", regexp_replace(col("contact"), emailRe, "<EMAIL>"))
+        .withColumn("n_num", regexp_count(col("s1"), lit(numRe)))
+        .select(
+          col("c_custkey"),
+          col("n_email"),
+          col("n_num"),
+          md5(regexp_replace(col("s1"), numRe, "<NUM>")).as("scrub_md5"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey,
+             CAST(len(regexp_extract_all(contact,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+               AS n_email,
+             CAST(len(regexp_extract_all(s1, '[0-9]+')) AS INT) AS n_num,
+             md5(regexp_replace(s1, '[0-9]+', '<NUM>', 'g')) AS scrub_md5
+      FROM (
+        SELECT c_custkey, contact,
+               regexp_replace(contact,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS s1
+        FROM (
+          SELECT c_custkey,
+                 concat(c_name, ' <c', c_custkey, '@example-mail.com> ref ',
+                        CAST(floor(c_acctbal) AS BIGINT),
+                        ' seg ', c_mktsegment) AS contact
+          FROM customer))
+      ORDER BY c_custkey"""),
+  )
+
+  /** Positional term statistics through the custom Generator
+    * ([[graft.functions.PosNgramExplode]], the UDTF extension tier):
+    * LATERAL VIEW fans each document out to its (pos, bigram) windows in
+    * ONE fused pass — where the t05-style built-in formulation pays
+    * split → transform → posexplode as separate interpreted passes with
+    * the full gram array materialized per row — then aggregates
+    * per-gram occurrence, document frequency, and earliest position
+    * (first_pos is the burstiness/template signal: boilerplate grams
+    * live at position 0). Same scale shape as t05: generate is
+    * map-side, one shuffle on the gram key, top-100 bounded by the
+    * unique (count DESC, gram) order. */
+  private val t10 = Q(
+    "t10_pos_ngrams",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("g_t10_docs")
+      s.sql("""
+        SELECT gram,
+               count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS doc_freq,
+               CAST(min(pos) AS BIGINT) AS first_pos
+        FROM g_t10_docs
+        LATERAL VIEW pos_ngrams(text, 2) g AS pos, gram
+        GROUP BY gram
+        ORDER BY n_occurrences DESC, gram
+        LIMIT 100""")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents),
+      grams AS (
+        SELECT doc_id, i - 1 AS pos, w[i] || ' ' || w[i + 1] AS gram
+        FROM toks, unnest(range(1, len(w))) AS t(i))
+      SELECT gram, count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS doc_freq,
+             CAST(min(pos) AS BIGINT) AS first_pos
+      FROM grams
+      GROUP BY gram
+      ORDER BY n_occurrences DESC, gram
+      LIMIT 100"""),
+  )
+
+  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }

@@ -127,6 +127,30 @@ class PlanAuditSpec extends SparkSpec {
       s"dynamic partition pruning did not engage:\n$p")
   }
 
+  test("q53: variant parse + typed extraction stay in the single scan's " +
+    "projection — one pass over events, no re-parse join") {
+    val p = plan("q53_variant_json")
+    assert(p.contains("variant_get"), s"variant extraction missing:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly one events scan:\n$p")
+    assert(!p.contains("Join"), s"extraction must not introduce a join:\n$p")
+  }
+
+  test("q54: the selective predicate pushes into the clustered scan " +
+    "(row-group stats can only prune what the reader receives)") {
+    val p = plan("q54_file_stats_prune")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"),
+      s"predicate did not reach the parquet reader:\n$p")
+  }
+
+  test("t10: the custom Generator plans as Generate (explode-family " +
+    "operator) — map-side fan-out, no shuffle before the aggregate") {
+    val p = plan("t10_pos_ngrams")
+    assert(p.contains("Generate") && p.contains("pos_ngrams"),
+      s"custom generator did not plan as Generate:\n$p")
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
@@ -140,7 +164,7 @@ class PlanAuditSpec extends SparkSpec {
       "q28_stream_window", "q29_stream_dedup", "q30_stream_session",
       "q36_stream_join", "q37_stream_sliding", "q38_stream_static_join",
       "q39_stream_custom_state", "q45_stream_dedup_bounded",
-      "q46_stream_sink_exactly_once")
+      "q46_stream_sink_exactly_once", "q56_stream_restart")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(boundedBroadcastCross)
       .filterNot(streaming) // streaming plans are audited via their specs
