@@ -26,10 +26,23 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object BitmapDistinct extends Aggregator[Long, Array[Long], Long] {
 
+  /** Largest accepted id (exclusive): 2^30 bits = a 128 MiB worst-case
+    * buffer per group, far past any dense-domain use and far short of
+    * both the (id >>> 6).toInt overflow at 2^37 and an OOM-by-single-id
+    * allocation. */
+  val MaxId: Long = 1L << 30
+
   override def zero: Array[Long] = Array.emptyLongArray
 
   override def reduce(buf: Array[Long], id: Long): Array[Long] = {
-    require(id >= 0, s"bitmap_distinct requires non-negative ids, got $id")
+    // Dense-domain contract, enforced loudly: the buffer holds one BIT
+    // per id in [0, max], so an out-of-domain id would either alias into
+    // the wrong word once (id >>> 6) overflows Int (silently wrong
+    // counts past 2^37) or allocate id/64 longs per group (an OOM, not
+    // an answer). Sparse/huge domains belong to q26's HLL or a roaring
+    // bitmap, not this aggregate.
+    require(id >= 0 && id < BitmapDistinct.MaxId,
+      s"bitmap_distinct requires ids in [0, ${BitmapDistinct.MaxId}), got $id")
     val word = (id >>> 6).toInt
     val b =
       if (word < buf.length) buf
@@ -39,6 +52,10 @@ object BitmapDistinct extends Aggregator[Long, Array[Long], Long] {
   }
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    // Mutates the larger input in place — deliberate, and legal by the
+    // Aggregator contract (buffers are engine-owned and never reused
+    // after merge); do NOT "fix" this with a defensive copy, that's an
+    // allocation per merge for nothing.
     val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
     var i = 0
     while (i < small.length) { big(i) |= small(i); i += 1 }

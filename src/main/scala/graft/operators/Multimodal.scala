@@ -75,6 +75,10 @@ object Multimodal {
       val spark = s
       import spark.implicits._
       T.documents(s, d)
+        // byte==char guard: see m05 — bytes here, characters in the
+        // oracle; only ASCII rows are comparable, so exclude the rest by
+        // construction (currently none).
+        .filter("length(CAST(text AS BINARY)) = length(text)")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
@@ -109,7 +113,8 @@ object Multimodal {
         SELECT doc_id,
                list_transform(range(1, len(text) + 1),
                               i -> ascii(substr(text, i, 1))) AS bytes
-        FROM documents)
+        FROM documents
+        WHERE octet_length(CAST(text AS BLOB)) = length(text))
       SELECT doc_id,
              CAST(len(bytes) AS INT) AS n_bytes,
              CASE WHEN len(bytes) = 0 THEN CAST(0 AS BIGINT)
@@ -134,7 +139,7 @@ object Multimodal {
           "doc_id",
           "CAST(text AS BINARY) AS payload",
           "length(CAST(text AS BINARY)) AS n")
-        .filter("doc_id % 3 = 2 AND n >= 16")
+        .filter("doc_id % 3 = 2 AND n >= 16 AND n = length(text)")
         .select(
           col("doc_id"),
           col("payload"),
@@ -154,7 +159,9 @@ object Multimodal {
     Some("""
       WITH v AS (
         SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
-        FROM documents WHERE doc_id % 3 = 2),
+        FROM documents
+        WHERE doc_id % 3 = 2
+          AND octet_length(CAST(text AS BLOB)) = length(text)),
       frames AS (
         SELECT doc_id, text,
                unnest(generate_series(0, CAST((n - 16) // 32 AS INT))) AS i
@@ -185,7 +192,8 @@ object Multimodal {
       val spark = s
       import spark.implicits._
       T.documents(s, d)
-        .filter("doc_id % 3 = 0 AND length(CAST(text AS BINARY)) >= 64")
+        .filter("doc_id % 3 = 0 AND length(CAST(text AS BINARY)) >= 64" +
+          " AND length(CAST(text AS BINARY)) = length(text)")
         .selectExpr(
           "doc_id",
           "CAST(text AS BINARY) AS payload",
@@ -222,7 +230,8 @@ object Multimodal {
                $WidthExpr AS src_w,
                $HeightExpr AS src_h
         FROM documents
-        WHERE doc_id % 3 = 0 AND octet_length(CAST(text AS BLOB)) >= 64),
+        WHERE doc_id % 3 = 0 AND octet_length(CAST(text AS BLOB)) >= 64
+          AND octet_length(CAST(text AS BLOB)) = length(text)),
       sampled AS (
         SELECT doc_id, src_w, src_h,
                list_transform(range(0, 64),
@@ -256,7 +265,14 @@ object Multimodal {
       val spark = s
       import spark.implicits._
       T.documents(s, d)
-        .filter("doc_id % 3 = 1 AND length(CAST(text AS BINARY)) >= 32")
+        // The byte==char guard makes the ASCII-fixture assumption explicit
+        // on BOTH sides (oracle mirrors it): this side reads UTF-8 BYTES,
+        // the DuckDB oracle indexes CHARACTERS via substr/ascii — they
+        // only agree on ASCII, so a non-ASCII document is excluded by
+        // construction rather than silently diverging if the fixture ever
+        // grows one.
+        .filter("doc_id % 3 = 1 AND length(CAST(text AS BINARY)) >= 32" +
+          " AND length(CAST(text AS BINARY)) = length(text)")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
@@ -287,7 +303,8 @@ object Multimodal {
       WITH a AS (
         SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
         FROM documents
-        WHERE doc_id % 3 = 1 AND octet_length(CAST(text AS BLOB)) >= 32),
+        WHERE doc_id % 3 = 1 AND octet_length(CAST(text AS BLOB)) >= 32
+          AND octet_length(CAST(text AS BLOB)) = length(text)),
       smp AS (
         SELECT doc_id,
                list_transform(range(0, (n // 32) * 16), j ->

@@ -56,16 +56,34 @@ object Streaming {
     val base = new java.io.File(
       sys.props("java.io.tmpdir"), "graft_stream_scratch")
     base.mkdirs()
-    val self = ProcessHandle.current().pid()
+    val self = ProcessHandle.current()
+    def startMs(h: ProcessHandle): Option[Long] = {
+      val o = h.info().startInstant()
+      if (o.isPresent) Some(o.get.toEpochMilli) else None
+    }
+    // Dir name carries <pid>_<jvmStartMillis> so a dead run's scratch is
+    // reclaimed even when the OS has RECYCLED its pid for an unrelated
+    // live process: liveness alone would park that run's checkpoints (and
+    // a full q46 store copy) until the pid freed up again. The start
+    // instant read back from a live /proc entry equals what the original
+    // owner recorded iff it IS the original owner (1 s slack absorbs any
+    // jiffies→ms rounding); older pid-only dirs fall back to the liveness
+    // check.
     Option(base.listFiles()).getOrElse(Array.empty).foreach { f =>
-      val pid = f.getName.takeWhile(_.isDigit)
-      if (pid.nonEmpty && pid.length <= 18 && pid.toLong != self) {
+      val parts = f.getName.split('_')
+      val pid   = parts.headOption.getOrElse("")
+      if (pid.nonEmpty && pid.forall(_.isDigit) && pid.length <= 18 &&
+        pid.toLong != self.pid()) {
         val owner = ProcessHandle.of(pid.toLong)
-        if (!owner.isPresent || !owner.get().isAlive)
-          graft.Fs.deleteRecursively(f)
+        val alive = owner.isPresent && owner.get().isAlive
+        val recycled = alive && parts.length >= 3 &&
+          parts(1).nonEmpty && parts(1).forall(_.isDigit) &&
+          startMs(owner.get()).exists(ms => math.abs(ms - parts(1).toLong) > 1000)
+        if (!alive || recycled) graft.Fs.deleteRecursively(f)
       }
     }
-    val mine = new java.io.File(base, s"${self}_scratch")
+    val mine = new java.io.File(
+      base, s"${self.pid()}_${startMs(self).getOrElse(0L)}_scratch")
     mine.mkdirs()
     mine
   }

@@ -41,4 +41,11 @@ object BitmapDistinctProps extends Properties("BitmapDistinct") {
       Prop.throws(classOf[IllegalArgumentException])(
         BitmapDistinct.reduce(BitmapDistinct.zero, bad))
     }
+
+  property("rejects out-of-domain large ids loudly rather than aliasing " +
+    "words (>= 2^37) or allocating id/64 longs") =
+    Prop.forAll(Gen.chooseNum(BitmapDistinct.MaxId, Long.MaxValue)) { bad =>
+      Prop.throws(classOf[IllegalArgumentException])(
+        BitmapDistinct.reduce(BitmapDistinct.zero, bad))
+    }
 }
