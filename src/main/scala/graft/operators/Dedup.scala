@@ -620,7 +620,62 @@ object Dedup {
     )
   }
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
+  /** Benchmark decontamination: flag corpus documents sharing ≥ 3
+    * distinct trigrams with a held-out probe set — the standard
+    * "remove eval-set overlap from pretraining data" pass (n-gram
+    * decontamination, the GPT-3/PaLM-style protocol), the one dedup-family
+    * operator whose comparison is corpus-vs-SMALL-SET rather than
+    * corpus-vs-itself. The probe set is a deterministic ~1% slice
+    * (doc_id % 100 = 7), standing in for a benchmark suite.
+    *
+    * 100 TB posture: this shape is BETTER than the self-join packs — the
+    * probe gram table is benchmark-sized (millions of grams, not the
+    * corpus), so it BROADCASTS; the corpus side is one map-side explode +
+    * broadcast-hash probe + one aggregate on doc_id. No corpus shuffle at
+    * all until the per-doc rollup of matched rows (a tiny fraction of the
+    * corpus). Verified by the plan sweep: no cartesian anywhere —
+    * equi-join on the gram string. */
+  private val d09 = Q(
+    "d09_decontamination",
+    (s, d) => {
+      val tri = docs(s, d)
+        .select(
+          col("doc_id"),
+          graft.functions.GraftFunctions.wordNgrams(s, col("text"), 3).as("tg"))
+        .filter(size(col("tg")) >= 1)
+        .select(col("doc_id"), explode(col("tg")).as("gram"))
+      val probe = tri.filter(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("probe_id"), col("gram"))
+      val corpus = tri.filter(col("doc_id") % 100 =!= 7)
+      corpus
+        .join(broadcast(probe), "gram")
+        .groupBy(col("doc_id"))
+        .agg(
+          countDistinct(col("gram")).as("n_shared_grams"),
+          countDistinct(col("probe_id")).as("n_probes"))
+        .filter(col("n_shared_grams") >= 3)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tri AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+              WHERE len(string_split(text, ' ')) >= 3))
+      SELECT c.doc_id,
+             count(DISTINCT c.gram) AS n_shared_grams,
+             count(DISTINCT p.probe_id) AS n_probes
+      FROM (SELECT doc_id, gram FROM tri WHERE doc_id % 100 <> 7) c
+      JOIN (SELECT doc_id AS probe_id, gram FROM tri
+            WHERE doc_id % 100 = 7) p
+        ON c.gram = p.gram
+      GROUP BY c.doc_id
+      HAVING count(DISTINCT c.gram) >= 3
+      ORDER BY c.doc_id"""),
+  )
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
 }
 
 /** Shared sign-LSH band SQL builders over [[graft.functions.SignDots16]]'s

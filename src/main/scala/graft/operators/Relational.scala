@@ -1461,9 +1461,53 @@ object Relational {
       ORDER BY event_type"""),
   )
 
+  /** Stratified deterministic sampling: a fixed 100-row budget PER
+    * STRATUM (event_type), the rows chosen by md5-hash order — q55's
+    * uniform-rate sibling for when the budget must be allocated per
+    * class regardless of class skew (a 95%-click corpus still yields 100
+    * purchases). Hash-ranking keeps every property that makes q55
+    * restartable at scale: membership is a pure function of the key set
+    * (retries, repartitioning, and engine changes reproduce it), and
+    * RAISING the quota only ADDS rows — the rank order never changes, so
+    * budget growth is monotone, no resample churn. The rollup (count,
+    * exact id sum, value sum) pins the exact selected row set under the
+    * hash gate without emitting 500 sampled rows.
+    *
+    * Scale shape: one window shuffle on the stratum key (same posture as
+    * q08's per-group top-k; for a handful of giant strata the custom
+    * bounded-heap plan of q33 is the drop-in upgrade — rank-by-hash is
+    * just top-k with a hash sort key). */
+  private val q57 = Q(
+    "q57_sample_stratified",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+      T.events(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 100)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          sum(col("event_id")).as("sum_event_id"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_sampled,
+             CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+             round(sum(value), 2) AS total_value
+      FROM (SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+            FROM events)
+      WHERE rk <= 100
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55)
+    q51, q52, q53, q54, q55, q57)
 }

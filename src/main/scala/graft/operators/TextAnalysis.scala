@@ -469,5 +469,62 @@ object TextAnalysis {
       LIMIT 100"""),
   )
 
-  val all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
+  /** Sequence packing for a fixed context window: documents are laid out
+    * in a deterministic stream order (lang, doc_id), concatenated, and
+    * chunked at a 2048-token budget — each document's bin is where its
+    * FIRST token lands (concat-then-chunk packing, the standard
+    * pretraining layout where sequences are concatenated and split at
+    * context boundaries; documents may straddle bins). The per-bin
+    * rollup — docs starting in the bin, their total tokens — is the
+    * packing-efficiency audit a data pipeline runs before training.
+    *
+    * The bin index is floor(exclusive-prefix-sum / budget): pure integer
+    * arithmetic over a window cumsum, so both engines agree exactly.
+    * Scale shape: one shuffle on lang (the stream key), a per-partition
+    * running sum — the same single-window-pass posture as q09 — and a
+    * tiny per-bin aggregate. The sequential dependence is PER STREAM,
+    * not global: 1000 languages/sources pack in parallel. */
+  private val t11 = Q(
+    "t11_seq_packing",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      T.documents(s, d)
+        .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).as("toks"))
+        .withColumn("prior", coalesce(sum(col("toks")).over(w), lit(0L)))
+        // integer division (`div`), not `/`: Spark's `/` routes two longs
+        // through DOUBLE, whose quotient can misround at large prefix
+        // sums; DuckDB's `//` on BIGINT is the exact mirror.
+        .withColumn("bin", expr("prior div 2048"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("bigint").as("tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("bin"))
+    },
+    Some("""
+      WITH sized AS (
+        SELECT lang, doc_id, len(string_split(text, ' ')) AS toks
+        FROM documents),
+      placed AS (
+        SELECT lang, doc_id, toks,
+               COALESCE(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS prior
+        FROM sized)
+      SELECT lang, CAST(prior // 2048 AS BIGINT) AS bin,
+             count(*) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS tokens,
+             min(doc_id) AS first_doc,
+             max(doc_id) AS last_doc
+      FROM placed
+      GROUP BY 1, 2
+      ORDER BY lang, bin"""),
+  )
+
+  val all: Seq[Q] =
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
 }
