@@ -226,5 +226,61 @@ object Similarity {
     )
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04)
+  /** Int8 embedding quantization with a reconstruction-error audit — the
+    * storage tier of ANN at scale: per-vector absmax scaling to [-127,
+    * 127] integers cuts embedding storage/bandwidth 4× (the same scheme
+    * faiss-style scalar quantization and int8 GEMM kernels use), and the
+    * per-vector error ceiling is the audit a pipeline runs before
+    * swapping the fp32 column out. Quantization uses FLOOR, not
+    * round-to-nearest: floor has no tie mode, so the integer codes are
+    * bit-identical across engines (the q44/t08 half-tie lesson), while
+    * real deployments would round — the audit math is unchanged. Both
+    * engines promote float→double and compute (x·127)/absmax with the
+    * same parenthesization, so codes and scaled errors agree exactly.
+    * Map-only per row; nothing shuffles until the final (tiny) sort. */
+  private val s05 = Q(
+    "s05_embed_quantize",
+    (s, d) =>
+      T.embeddings(s, d)
+        .withColumn(
+          "maxabs",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .filter(col("maxabs") > 0)
+        .withColumn(
+          "q",
+          expr("transform(embedding, " +
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT))"))
+        .select(
+          col("vec_id"),
+          expr("aggregate(q, 0L, (a, x) -> a + x)").as("sum_q"),
+          expr("array_max(q)").as("max_q"),
+          expr("array_min(q)").as("min_q"),
+          expr("CAST(floor(array_max(zip_with(embedding, q, " +
+            "(x, qi) -> abs(CAST(x AS DOUBLE) * 127.0 / maxabs - qi))) " +
+            "* 1000000) AS BIGINT)").as("max_err_ppm"))
+        .orderBy(col("vec_id")),
+    Some("""
+      WITH m AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        FROM embeddings),
+      qz AS (
+        SELECT vec_id, embedding, maxabs,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs)
+                      AS BIGINT)) AS qv
+        FROM m WHERE maxabs > 0)
+      SELECT vec_id,
+             CAST(list_sum(qv) AS BIGINT) AS sum_q,
+             CAST(list_max(qv) AS BIGINT) AS max_q,
+             CAST(list_min(qv) AS BIGINT) AS min_q,
+             CAST(floor(list_max(list_transform(range(1, len(embedding) + 1),
+               i -> abs(CAST(embedding[i] AS DOUBLE) * 127.0 / maxabs - qv[i])))
+               * 1000000) AS BIGINT) AS max_err_ppm
+      FROM qz
+      ORDER BY vec_id"""),
+  )
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05)
 }

@@ -151,6 +151,13 @@ class PlanAuditSpec extends SparkSpec {
       s"custom generator did not plan as Generate:\n$p")
   }
 
+  test("d09: the probe gram set broadcasts — the corpus is never " +
+    "shuffled to meet a benchmark-sized table") {
+    val p = plan("d09_decontamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe side did not broadcast:\n$p")
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
