@@ -225,6 +225,21 @@ object Dedup {
       ORDER BY id1, id2"""),
   )
 
+  /** Recursive-CTE fixpoint shared by the d07/d10 oracles: exact
+    * connected components over the verified near-dup pairs, labels =
+    * min reachable doc_id. */
+  private def clustersCteSql: String =
+    s"""$lshPairsSql,
+      edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                UNION ALL
+                SELECT id2 AS a, id1 AS b FROM pairs),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+      clusters AS (SELECT id AS doc_id, min(r) AS cluster_id
+                   FROM reach GROUP BY id)"""
+
   /** Dedup cluster assignment: connected components over the verified
     * near-dup pairs — the step that turns pairwise matches into
     * canonical-document groups (keep cluster_id, drop the rest).
@@ -246,9 +261,38 @@ object Dedup {
     * the next round lands: without that, a long bench run accumulates one
     * label snapshot per round and the resulting storage/GC pressure taxes
     * every query that runs after this one (the round-3 regression). */
-  private val d07 = Q(
-    "d07_dedup_clusters",
-    (s, d) => {
+  /** Final (doc_id, cluster_id) labels, memoized per (session, data dir)
+    * so every policy built on top of the fixpoint (d07's assignment
+    * report, d10's survivor selection) shares ONE checkpointed snapshot
+    * instead of re-running the propagation loop — the same computed-once
+    * posture as d08 riding d02's candidate stage. The cached frame is
+    * only a handle to in-memory checkpoint blocks, and the driver's
+    * Verify/Bench loops deliberately unpersist ALL blocks between
+    * queries, so a hit is only valid while the snapshot's RDD ids are
+    * still persisted — otherwise the entry is stale (its lineage was
+    * truncated by localCheckpoint and CANNOT be recomputed) and the
+    * fixpoint reruns. Reuse therefore kicks in within a query run and in
+    * shared-session test suites; driver runs stay self-contained. */
+  private val clusterCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), (DataFrame, Set[Int])]
+
+  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+    clusterCache.synchronized {
+      val live = s.sparkContext.getPersistentRDDs.keySet.toSet
+      clusterCache.get((s, d)) match {
+        case Some((df, ids)) if ids.nonEmpty && ids.subsetOf(live) => df
+        case _ =>
+          val (df, ids) = computeClusterLabels(s, d)
+          clusterCache((s, d)) = (df, ids)
+          df
+      }
+    }
+
+  /** The min-label-propagation fixpoint itself; returns the final labels
+    * frame plus the persisted-RDD ids of its one surviving snapshot (the
+    * cache's liveness token). */
+  private def computeClusterLabels(
+      s: SparkSession, d: String): (DataFrame, Set[Int]) = {
       val sc = s.sparkContext
       def trackedCheckpoint(df: DataFrame): (DataFrame, Set[Int]) = {
         val before = sc.getPersistentRDDs.keySet.toSet
@@ -303,7 +347,13 @@ object Dedup {
         labelIds = nextIds
         rounds += 1
       }
-      val clusters = labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+      (labels.select(col("doc_id"), col("lbl").as("cluster_id")), labelIds)
+  }
+
+  private val d07 = Q(
+    "d07_dedup_clusters",
+    (s, d) => {
+      val clusters = clusterLabels(s, d)
       val sizes = clusters
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"))
@@ -317,22 +367,72 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
     Some(s"""
-      WITH RECURSIVE $lshPairsSql,
-      edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-                UNION ALL
-                SELECT id2 AS a, id1 AS b FROM pairs),
-      reach(id, r) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
-      clusters AS (SELECT id AS doc_id, min(r) AS cluster_id
-                   FROM reach GROUP BY id)
+      WITH RECURSIVE $clustersCteSql
       SELECT c.doc_id, c.cluster_id, n.cluster_size,
              (c.doc_id <> c.cluster_id) AS is_duplicate
       FROM clusters c
       JOIN (SELECT cluster_id, count(*) AS cluster_size
             FROM clusters GROUP BY cluster_id) n USING (cluster_id)
       ORDER BY c.doc_id"""),
+  )
+
+  /** Survivor selection — the step that turns d07's cluster assignment
+    * into a deduplicated corpus: within each multi-document cluster keep
+    * exactly one representative (the longest document by `n_chars`, ties
+    * to the lowest doc_id — the "keep longest" retention policy most
+    * training-data dedup pipelines default to) and account for what was
+    * dropped. Emits one row per duplicate cluster: survivor identity plus
+    * exact integer rollups (id/char sums) that pin the full dropped set
+    * under the hash gate without emitting every member row.
+    *
+    * Scale shape: reuses the memoized cluster labels (the fixpoint runs
+    * once per session), then one broadcast-sized join back to the
+    * documents table on doc_id and one window + aggregate over
+    * cluster_id — at 100 TB that is a single shuffle on the cluster key,
+    * and cluster cardinality is tiny relative to the corpus (only docs in
+    * multi-member clusters carry weight). */
+  private val d10 = Q(
+    "d10_dedup_survivors",
+    (s, d) => {
+      val labeled = clusterLabels(s, d)
+        .join(T.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      labeled
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(
+          count(lit(1)).as("cluster_size"),
+          sum(when(col("rk") === 1, col("doc_id"))).as("survivor_id"),
+          sum(when(col("rk") === 1, col("n_chars"))).as("survivor_chars"),
+          coalesce(sum(when(col("rk") > 1, col("doc_id"))), lit(0L))
+            .as("dropped_id_sum"),
+          coalesce(sum(when(col("rk") > 1, col("n_chars"))), lit(0L))
+            .as("dropped_chars_sum"))
+        .filter(col("cluster_size") >= 2)
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $clustersCteSql,
+      ranked AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.cluster_id
+                 ORDER BY d.n_chars DESC, c.doc_id) AS rk
+        FROM clusters c JOIN documents d USING (doc_id))
+      SELECT cluster_id,
+             count(*) AS cluster_size,
+             CAST(sum(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+               AS survivor_id,
+             CAST(sum(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+               AS survivor_chars,
+             CAST(coalesce(sum(CASE WHEN rk > 1 THEN doc_id END), 0) AS BIGINT)
+               AS dropped_id_sum,
+             CAST(coalesce(sum(CASE WHEN rk > 1 THEN n_chars END), 0) AS BIGINT)
+               AS dropped_chars_sum
+      FROM ranked
+      GROUP BY cluster_id
+      HAVING count(*) >= 2
+      ORDER BY cluster_id"""),
   )
 
   /** 60-bit SimHash over the distinct-word set: each word maps once to a
@@ -675,7 +775,7 @@ object Dedup {
       ORDER BY c.doc_id"""),
   )
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
 }
 
 /** Shared sign-LSH band SQL builders over [[graft.functions.SignDots16]]'s
