@@ -1505,9 +1505,143 @@ object Relational {
       ORDER BY event_type"""),
   )
 
+  /** CDC snapshot maintenance — the lakehouse MERGE pattern: a compacted
+    * base snapshot (latest state per (user_id, event_type) entity from
+    * events before the cutoff) has a changelog delta (events at/after
+    * the cutoff) applied to it. Each row carries a CDC op — upsert or
+    * delete — derived deterministically from event_id (`pmod(event_id,
+    * 17) = 0` ⇒ tombstone) because the fixture has no op column; a real
+    * changelog ships one inline. A key whose newest version is a
+    * tombstone leaves the snapshot; a later upsert re-inserts it.
+    * MATCHED-update, MATCHED-delete, and NOT-MATCHED-insert all collapse
+    * into one union + latest-wins window, which is why the operator is a
+    * single shuffle on the merge key at any scale (with the base stored
+    * bucketed on the key, q42-style, the base side ships zero bytes).
+    *
+    * The oracle is the FULL recompute (latest state over the entire
+    * changelog, no cutoff), so a green row proves the incremental merge
+    * is exactly equivalent to recomputation from scratch — the
+    * associativity that makes daily incremental snapshot jobs safe. The
+    * late cutoff makes the proof discriminating: ~40% of keys at sf0.01
+    * have no delta rows at all (the base row must survive verbatim),
+    * the rest are overwritten, and tombstone-then-reupsert re-inserts.
+    * Version order is (ts, event_id): all delta versions are newer than
+    * all base versions, so compacting the base first cannot change the
+    * winner. */
+  private val q58 = Q(
+    "q58_cdc_merge",
+    (s, d) => {
+      val cutoff = lit("2024-01-29 00:00:00").cast("timestamp")
+      val key = Seq(col("user_id"), col("event_type"))
+      val ev = T.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), col("value"),
+          (pmod(col("event_id"), lit(17)) === 0).as("is_delete"))
+      val w = Window.partitionBy(key: _*)
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def compact(log: DataFrame): DataFrame = log
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .drop("rk")
+        .filter(!col("is_delete")) // tombstone ⇒ key absent
+      val base  = compact(ev.filter(col("ts") < cutoff))
+      val delta = ev.filter(col("ts") >= cutoff)
+      val deltaCounts = delta.groupBy(key: _*)
+        .agg(count(lit(1)).as("n_delta_versions"))
+      compact(base.unionByName(delta))
+        .join(deltaCounts, Seq("user_id", "event_type"), "left")
+        .select(
+          col("user_id"),
+          col("event_type"),
+          col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"),
+          round(col("value"), 2).as("last_value"),
+          coalesce(col("n_delta_versions"), lit(0L)).as("n_delta_versions"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""
+      WITH latest AS (
+        SELECT user_id, event_type, event_id, ts, value,
+               (event_id % 17 = 0) AS is_delete,
+               row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events),
+      dc AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events WHERE ts >= TIMESTAMP '2024-01-29 00:00:00'
+        GROUP BY user_id, event_type)
+      SELECT l.user_id,
+             l.event_type,
+             l.event_id AS last_event_id,
+             l.ts AS last_ts,
+             round(l.value, 2) AS last_value,
+             coalesce(dc.n, 0) AS n_delta_versions
+      FROM latest l LEFT JOIN dc USING (user_id, event_type)
+      WHERE l.rk = 1 AND NOT l.is_delete
+      ORDER BY l.user_id, l.event_type"""),
+  )
+
+  /** The q59 join with its conf-dependent physical shape: a fact-fact
+    * shuffle join where the dimension side carries a selective predicate.
+    * Package-visible so PlanAuditSpec can assert the bloom injection on
+    * the plan itself (the registered query returns a materialized
+    * snapshot whose plan is already a LogicalRDD). */
+  private[graft] def q59Inner(s: SparkSession, d: String): DataFrame = {
+    val big = T.orders(s, d).filter(col("o_totalprice") > 480000)
+    T.lineitem(s, d)
+      .join(big, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val bloomLock = new Object
+
+  /** Runtime bloom-filter semi-join reduction — the shuffle-join killer
+    * feature at 100 TB: when a fact-fact join's build side carries a
+    * selective filter, Catalyst's InjectRuntimeFilter plants a bloom
+    * filter aggregate on the build side and a `might_contain(...,
+    * xxhash64(key))` predicate on the probe side's SCAN, so the probe
+    * fact table drops non-joining rows before the exchange instead of
+    * shuffling 100 TB to discard 96% of it at the join. Locally the
+    * default thresholds suppress injection (the probe scan must look
+    * ≥ 10 GB), so the query plans and RUNS under
+    * applicationSideScanSizeThreshold=0 with broadcast disabled — the
+    * exact configuration a warehouse-scale deployment hits naturally —
+    * and materializes inside the conf scope (runtime confs bind at
+    * action time, not DataFrame construction, so the snapshot is what
+    * the oracle compares). The conf flip is lock-scoped and restored,
+    * mirroring Streaming's confLock discipline. PlanAuditSpec asserts
+    * might_contain lands on the probe scan. */
+  private val q59 = Q(
+    "q59_bloom_semijoin",
+    (s, d) => bloomLock.synchronized {
+      val flips = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+      val saved = flips.map { case (k, _) => k -> s.conf.get(k) }
+      flips.foreach { case (k, v) => s.conf.set(k, v) }
+      try q59Inner(s, d).localCheckpoint(true)
+      finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+    },
+    Some("""
+      SELECT o_orderpriority,
+             count(*) AS n_lines,
+             count(DISTINCT o_orderkey) AS n_orders,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 480000
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q57)
+    q51, q52, q53, q54, q55, q57, q58, q59)
 }

@@ -151,6 +151,22 @@ class PlanAuditSpec extends SparkSpec {
       s"custom generator did not plan as Generate:\n$p")
   }
 
+  test("q59: a runtime bloom filter lands on the probe-side scan when " +
+    "the join shuffles (might_contain over the join key)") {
+    val flips = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = flips.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      flips.foreach { case (k, v) => spark.conf.set(k, v) }
+      val qe = graft.operators.Relational.q59Inner(spark, sf).queryExecution
+      assert(qe.optimizedPlan.toString.contains("might_contain"),
+        s"no bloom filter injected:\n${qe.optimizedPlan}")
+      val p = qe.sparkPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("d09: the probe gram set broadcasts — the corpus is never " +
     "shuffled to meet a benchmark-sized table") {
     val p = plan("d09_decontamination")
