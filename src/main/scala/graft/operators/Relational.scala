@@ -1639,9 +1639,56 @@ object Relational {
       ORDER BY o_orderpriority"""),
   )
 
+  /** Deterministic corpus shuffle + shard assignment — the writer stage
+    * of a training-data pipeline: every document lands in one of 16
+    * output shards (its md5 first nibble) and within a shard the
+    * training order is the md5 hex order, so the global shuffle is a
+    * pure function of the key set — reproducible across engines,
+    * retries, and repartitioning, exactly like q55's hash sampling but
+    * for ORDERING rather than membership. The per-shard report pins the
+    * whole assignment under the hash gate: row/char totals show payload
+    * balance, and the first/last doc ids BY HASH ORDER pin the
+    * within-shard sequence's endpoints (min_by/arg_min on the full
+    * 32-nibble hash — collision-free at any scale that fits in md5).
+    *
+    * Scale shape: map-only hash + one shuffle on the 16-value shard key;
+    * the real writer is `repartition(shard).sortWithinPartitions(hash)`
+    * + maxRecordsPerFile, the q54 layout tier applied to training
+    * shards. */
+  private val q60 = Q(
+    "q60_shuffle_shard",
+    (s, d) => {
+      val h = md5(col("doc_id").cast("string"))
+      T.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), h.as("h"),
+          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10) AS BIGINT)")
+            .as("shard"))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_chars")).as("sum_chars"),
+          min_by(col("doc_id"), col("h")).as("first_doc"),
+          max_by(col("doc_id"), col("h")).as("last_doc"))
+        .orderBy(col("shard"))
+    },
+    Some("""
+      SELECT CAST(strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                  AS BIGINT) - 1 AS shard,
+             count(*) AS n_docs,
+             CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             arg_min(doc_id, md5(CAST(doc_id AS VARCHAR))) AS first_doc,
+             arg_max(doc_id, md5(CAST(doc_id AS VARCHAR))) AS last_doc
+      FROM documents
+      GROUP BY shard
+      ORDER BY shard"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q57, q58, q59)
+    q51, q52, q53, q54, q55, q57, q58, q59, q60)
 }

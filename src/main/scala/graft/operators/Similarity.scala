@@ -282,5 +282,78 @@ object Similarity {
       ORDER BY vec_id"""),
   )
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05)
+  /** k-means E-step — centroid assignment, the workhorse of embedding
+    * clustering for data-mixture curation (cluster-then-balance) and IVF
+    * index builds (s02's cells come from exactly this step at scale).
+    * Centroids are the k=8 lowest-vec_id vectors (a deterministic seed
+    * choice; a real run would iterate Lloyd rounds, each round being this
+    * same job). Squared L2 is computed as a·a + c·c − 2·(a·c) with three
+    * [[graft.functions.FloatVectorDot]] folds, so every double matches
+    * the oracle's mirrored list_sum folds bit-for-bit; assignment is
+    * argmin(dist) with ties to the lowest centroid id. The per-centroid
+    * report uses integer rollups only (counts, id sums, per-row
+    * floor-ppm distances summed as BIGINT) — a float mean would hang the
+    * oracle on group summation order; the M-step's mean is the same
+    * rollup shape with per-dimension sums.
+    *
+    * Scale posture: centroids BROADCAST (k rows), the corpus scan is
+    * map-only, and the only shuffle is the k-row final rollup — the
+    * canonical distributed Lloyd iteration. */
+  private val s06 = Q(
+    "s06_kmeans_assign",
+    (s, d) => {
+      val e = T.embeddings(s, d)
+      val cent = e.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      e.crossJoin(broadcast(cent))
+        .select(
+          col("vec_id"), col("cid"),
+          (dot(s, col("embedding"), col("embedding"))
+            + dot(s, col("cvec"), col("cvec"))
+            - lit(2) * dot(s, col("embedding"), col("cvec"))).as("dist"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("cid"))
+        .agg(
+          count(lit(1)).as("n_assigned"),
+          sum(col("vec_id")).as("sum_vec_id"),
+          sum(expr("CAST(floor(dist * 1000000) AS BIGINT)"))
+            .as("sum_dist_ppm"))
+        .orderBy(col("cid"))
+    },
+    Some("""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+      pairs AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(e.embedding[i] AS DOUBLE)))
+             + list_sum(list_transform(range(1, 65),
+                 i -> CAST(c.cvec[i] AS DOUBLE)
+                    * CAST(c.cvec[i] AS DOUBLE)))
+             - 2 * list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(c.cvec[i] AS DOUBLE))) AS dist
+        FROM embeddings e CROSS JOIN cent c),
+      assigned AS (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dist, cid) AS rk
+        FROM pairs)
+      SELECT cid,
+             count(*) AS n_assigned,
+             CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
+             CAST(sum(CAST(floor(dist * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_dist_ppm
+      FROM assigned
+      WHERE rk = 1
+      GROUP BY cid
+      ORDER BY cid"""),
+  )
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06)
 }
