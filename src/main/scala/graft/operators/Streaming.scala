@@ -411,6 +411,67 @@ object Streaming {
       ORDER BY purchase_id, click_id"""),
   )
 
+  /** STREAMING left-OUTER interval join — q36's sibling with the
+    * semantics only a watermark can provide: a purchase with no click in
+    * its trailing 1-hour window emits a null-padded row, but ONLY once
+    * the right-side watermark has passed the end of its match window
+    * (watermark > p_ts ⇒ no future click can land in [p_ts − 1h, p_ts]),
+    * which is exactly when "no match" becomes a fact rather than a race.
+    * Both sides keep the sentinel THROUGH the watermark (the q28 rule:
+    * a pre-filtered sentinel never reaches the EventTimeWatermark node),
+    * so the final watermark clears every real purchase's window and all
+    * unmatched rows flush; the sentinel's own join row is dropped after
+    * the join by its type tag. Nulls are coalesced to −1 on both sides
+    * so the driver comparator never meets engine-specific NULL ordering.
+    * State stays bounded by the same two watermarks as q36. */
+  private val q61 = Q(
+    "q61_stream_outer_join",
+    (s, d) => {
+      val log = ensureLog(s, d, copies = 1, sentinel = true)
+      def side(): DataFrame = s.readStream
+        .format("kinesislike")
+        .option("path", log)
+        .option("startingPosition", "trim_horizon")
+        .load()
+      val purchases = parsed(side())
+        .filter(col("event_type").isin("purchase", "sentinel"))
+        .select(
+          col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"),
+          col("event_type").as("p_type"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = parsed(side())
+        .filter(col("event_type").isin("click", "sentinel"))
+        .select(
+          col("user_id").as("c_user"),
+          col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(
+        clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "leftOuter")
+      runToMemory(s, joined, "append")
+        .filter(col("p_type") === "purchase")
+        .select(
+          col("purchase_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    },
+    Some("""
+      SELECT p.event_id AS purchase_id,
+             coalesce(c.event_id, -1) AS click_id
+      FROM events p LEFT JOIN events c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+       AND c.event_type = 'click'
+      WHERE p.event_type = 'purchase'
+      ORDER BY purchase_id, click_id"""),
+  )
+
   /** Streaming SLIDING window (2 h length, 1 h slide): every event lands
     * in exactly two windows. APPEND mode with the q30 sentinel (see q28
     * for why complete mode is the unbounded-state anti-pattern): the
@@ -750,5 +811,5 @@ object Streaming {
       ORDER BY window_start, event_type"""),
   )
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q36, q37, q38, q39, q45, q46, q56)
+  val all: Seq[Q] = Seq(q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61)
 }

@@ -177,17 +177,19 @@ class PlanAuditSpec extends SparkSpec {
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
-    // bounded size — a query-vector set of ≤ 20 rows (s01-s03) or a
-    // 1-row corpus-size scalar (t06) — the bounded scalar-product
-    // pattern, not an n² join. Everything else must plan equi-joins.
+    // bounded size — a query-vector set of ≤ 20 rows (s01-s03), an
+    // 8-row centroid table (s06), or a 1-row corpus-size scalar (t06) —
+    // the bounded scalar-product pattern, not an n² join. Everything
+    // else must plan equi-joins.
     val boundedBroadcastCross = Set(
       "s01_ann_brute_topk", "s02_ann_ivf", "s03_ann_join", "s04_ann_lsh",
-      "t06_tfidf")
+      "s06_kmeans_assign", "t06_tfidf")
     val streaming = Set(
       "q28_stream_window", "q29_stream_dedup", "q30_stream_session",
       "q36_stream_join", "q37_stream_sliding", "q38_stream_static_join",
       "q39_stream_custom_state", "q45_stream_dedup_bounded",
-      "q46_stream_sink_exactly_once", "q56_stream_restart")
+      "q46_stream_sink_exactly_once", "q56_stream_restart",
+      "q61_stream_outer_join")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(boundedBroadcastCross)
       .filterNot(streaming) // streaming plans are audited via their specs
