@@ -1639,6 +1639,92 @@ object Relational {
       ORDER BY o_orderpriority"""),
   )
 
+  /** Write (once) the Z-ORDER-clustered events copy q62 scans. q54's
+    * linear sort clusters (event_type, ts) but only the PREFIX dimension
+    * prunes on its own; interleaving the bits of two scaled dimensions
+    * (user_id, ts → 8 bits each, domains measured from the data exactly
+    * like production z-order writers do) makes contiguous z-ranges cover
+    * small RECTANGLES in (user, time) space, so file-level min/max stats
+    * discriminate for a predicate on EITHER dimension alone — the
+    * multi-dimensional layout tier of a 100 TB lake (Delta/Iceberg
+    * OPTIMIZE ZORDER BY). The z-value is layout-only: row content is
+    * untouched, which the q62 oracle (same predicate over the raw
+    * events) gates. ZOrderClusteringSpec reads the footers back and
+    * asserts BOTH single-dimension predicates admit strict file
+    * subsets. */
+  def prewarmZOrderedEvents(s: SparkSession, d: String): String = {
+    val (tag, wh) = fixtureLoc(d)
+    val path = new java.io.File(wh, s"graft_events_zorder_$tag")
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val ev = T.events(s, d)
+      val b = ev.agg(
+        min(col("user_id")), max(col("user_id")),
+        min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+        .first()
+      def scale8(e: String, lo: Long, hi: Long): String =
+        s"greatest(0L, least(255L, CAST(floor((($e) - ${lo}.0) * 256.0" +
+          s" / ${(hi - lo + 1)}.0) AS BIGINT)))"
+      val u8 = scale8("CAST(user_id AS DOUBLE)", b.getLong(0), b.getLong(1))
+      val t8 = scale8("CAST(unix_timestamp(ts) AS DOUBLE)",
+        b.getLong(2), b.getLong(3))
+      val z = (0 until 8).map(i =>
+        s"shiftleft(shiftright(u8c, $i) & 1, ${2 * i + 1}) + " +
+          s"shiftleft(shiftright(t8c, $i) & 1, ${2 * i})")
+        .mkString(" + ")
+      // INT96 (the legacy default outside Verify's session) carries NO
+      // min/max statistics — the whole point of this copy is footer
+      // stats, so pin the annotated int64 micros type for the write.
+      val tsKey  = "spark.sql.parquet.outputTimestampType"
+      val tsPrev = s.conf.get(tsKey)
+      s.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try ev.withColumn("u8c", expr(u8))
+        .withColumn("t8c", expr(t8))
+        .withColumn("zval", expr(z))
+        .drop("u8c", "t8c")
+        .repartitionByRange(8, col("zval"))
+        .sortWithinPartitions(col("zval"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 2000)
+        .parquet(path.getAbsolutePath)
+      finally s.conf.set(tsKey, tsPrev)
+    }
+    path.getAbsolutePath
+  }
+
+  /** Selective two-dimension scan over the z-ordered copy: the user band
+    * and the time window each bind to an interleaved dimension, so file
+    * and row-group stats eliminate most I/O on both axes at once —
+    * where q54's linear layout would only prune on its leading column.
+    * The oracle runs the identical predicate over the raw events, so
+    * the rewrite must be lossless. */
+  private val q62 = Q(
+    "q62_zorder_prune",
+    (s, d) => {
+      val path = prewarmZOrderedEvents(s, d)
+      s.read.parquet(path)
+        .filter(
+          col("user_id").between(3, 69) &&
+            col("ts") >= lit("2024-01-08 00:00:00") &&
+            col("ts") < lit("2024-01-18 00:00:00"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             count(DISTINCT user_id) AS n_users,
+             round(sum(value), 2) AS total_value
+      FROM events
+      WHERE user_id BETWEEN 3 AND 69
+        AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-18 00:00:00'
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   /** Deterministic corpus shuffle + shard assignment — the writer stage
     * of a training-data pipeline: every document lands in one of 16
     * output shards (its md5 first nibble) and within a shard the
@@ -1690,5 +1776,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q57, q58, q59, q60)
+    q51, q52, q53, q54, q55, q57, q58, q59, q60, q62)
 }
