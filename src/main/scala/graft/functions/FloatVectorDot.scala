@@ -176,5 +176,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PosNgramExplode].getName, "pos_ngrams"),
       (children: Seq[Expression]) => PosNgramExplode(children.head, children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }

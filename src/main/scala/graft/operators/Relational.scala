@@ -1772,9 +1772,45 @@ object Relational {
       ORDER BY shard"""),
   )
 
+  /** The textbook window-top-k formulation under the
+    * [[graft.plans.WindowTopKRewrite]] optimizer rule — the user writes
+    * `row_number() OVER (...) <= k` and the rule swaps in q33's
+    * bounded-heap TopKPerGroup operator (no per-group sort, the shuffle
+    * carries ≤ partitions·groups·k rows). Same rows as the WindowExec
+    * formulation by construction — the oracle runs the window SQL — and
+    * PlanAuditSpec asserts the physical plan really is the heap operator
+    * with no Window node left. Completes the extension-tier set:
+    * codegen Expression, typed Aggregator, Generator, planner Strategy,
+    * and now an optimizer Rule. */
+  private val q64 = Q(
+    "q64_topk_rewrite",
+    (s, d) => {
+      graft.plans.TopK.registerRewrite(s)
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+      T.lineitem(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+      FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+                 AS rk
+        FROM lineitem)
+      WHERE rk <= 3
+      ORDER BY l_returnflag, l_orderkey, l_linenumber"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q57, q58, q59, q60, q62)
+    q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q64)
 }

@@ -7,10 +7,11 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, IsNotNull, LessThan, LessThanOrEqual, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.Bridge
 
@@ -129,7 +130,99 @@ object TopKPerGroupStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rewrite completing the extension-tier set (expression →
+  * aggregate → generator → strategy → RULE): the ubiquitous window-top-k
+  * idiom — `row_number() OVER (PARTITION BY g ORDER BY o) AS rk` filtered
+  * to `rk <= k` with the rank column then discarded — is exactly
+  * [[TopKPerGroup]]'s semantics, but WindowExec pays a full per-group
+  * sort for it. This rule recognizes the idiom POST-optimization (it
+  * runs in the User Provided Optimizers batch via
+  * `spark.experimental.extraOptimizations` or
+  * [[graft.functions.GraftExtensions]]) and swaps in the bounded-heap
+  * plan, so a user writing the textbook formulation gets the
+  * O(n log k) / shuffle-k-rows-per-group physical operator for free.
+  *
+  * The match is deliberately conservative — it fires only when:
+  *  - the window computes a SINGLE row_number (rank()/dense_rank() keep
+  *    ties past k, which a k-heap cannot represent);
+  *  - the filter is `rk <= k` / `rk < k` / flipped, plus at most an
+  *    `isnotnull(rk)` conjunct (anything else must keep the Filter);
+  *  - the Project above discards the rank column (if rank survives,
+  *    downstream needs the numbering, not just membership);
+  *  - the partition spec is non-empty (global top-k already plans as
+  *    TakeOrderedAndProject, q11). */
+object WindowTopKRewrite extends Rule[LogicalPlan] {
+
+  /** Split `cond` into (limit k, leftovers): k from the unique rank-limit
+    * conjunct, leftovers = conjuncts other than that and isnotnull(rank). */
+  private def rankLimit(
+      cond: Expression, rank: Attribute): (Option[Int], Seq[Expression]) = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o         => Seq(o)
+    }
+    def limitOf(e: Expression): Option[Int] = e match {
+      case LessThanOrEqual(a: Attribute, IntegerLiteral(k))
+        if a.semanticEquals(rank) => Some(k)
+      case LessThan(a: Attribute, IntegerLiteral(k))
+        if a.semanticEquals(rank) => Some(k - 1)
+      case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute)
+        if a.semanticEquals(rank) => Some(k)
+      case GreaterThan(IntegerLiteral(k), a: Attribute)
+        if a.semanticEquals(rank) => Some(k - 1)
+      case _ => None
+    }
+    val cs     = conjuncts(cond)
+    val limits = cs.flatMap(c => limitOf(c).map(c -> _))
+    val keep = cs.filterNot { c =>
+      limits.exists(_._1 eq c) ||
+        (c match {
+          case IsNotNull(a: Attribute) => a.semanticEquals(rank)
+          case _                       => false
+        })
+    }
+    (if (limits.size == 1) Some(limits.head._2) else None, keep)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projectList,
+        Filter(cond,
+          Window(Seq(alias @ Alias(WindowExpression(RowNumber(),
+            WindowSpecDefinition(part, order, _)), _)), _, _, child, _)))
+        if part.nonEmpty && {
+          val rank          = alias.toAttribute
+          val (k, leftover) = rankLimit(cond, rank)
+          k.exists(_ > 0) && leftover.isEmpty &&
+            projectList.forall(!_.references.contains(rank))
+        } =>
+      val k = rankLimit(cond, alias.toAttribute)._1.get
+      // Spark's own InferWindowGroupLimit (3.5+) has usually already
+      // planted a WindowGroupLimit below the Window from the same rank
+      // predicate; the heap subsumes that pre-filter, so unwrap it
+      // rather than double-filtering.
+      val input = child match {
+        case WindowGroupLimit(_, _, _, limit, grandchild) if limit == k =>
+          grandchild
+        case other => other
+      }
+      Project(projectList, TopKPerGroup(part, order, k, input))
+  }
+}
+
 object TopK {
+
+  /** Runtime registration of the window-top-k rewrite + its planner
+    * strategy on a driver-handed session (the configured-session analog
+    * is `spark.sql.extensions` → [[graft.functions.GraftExtensions]]). */
+  def registerRewrite(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    if (!spark.experimental.extraOptimizations.contains(WindowTopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ WindowTopKRewrite
+  }
+
   /** Per-group top-k over `df`: for each distinct value of `groupCols`,
     * the `k` first rows under `orderCols` (include tie-breaker columns
     * for determinism, exactly as a window formulation would need). */

@@ -167,6 +167,13 @@ class PlanAuditSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("q64: the window-top-k idiom rewrites to the bounded-heap " +
+    "TopKPerGroup operator (no WindowExec survives)") {
+    val p = plan("q64_topk_rewrite")
+    assert(p.contains("TopKPerGroup"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window"), s"WindowExec survived the rewrite:\n$p")
+  }
+
   test("d09: the probe gram set broadcasts — the corpus is never " +
     "shuffled to meet a benchmark-sized table") {
     val p = plan("d09_decontamination")
