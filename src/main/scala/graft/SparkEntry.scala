@@ -15,7 +15,7 @@ object SparkEntry {
 
   private def packs: Seq[Q] =
     Relational.all ++ Dedup.all ++ Similarity.all ++ TextAnalysis.all ++
-      Multimodal.all ++ Streaming.all
+      Multimodal.all ++ Streaming.all ++ Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Purchases per hour per market segment: pushed-down filter on the

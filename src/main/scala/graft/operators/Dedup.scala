@@ -228,7 +228,7 @@ object Dedup {
   /** Recursive-CTE fixpoint shared by the d07/d10 oracles: exact
     * connected components over the verified near-dup pairs, labels =
     * min reachable doc_id. */
-  private def clustersCteSql: String =
+  private[operators] def clustersCteSql: String =
     s"""$lshPairsSql,
       edges AS (SELECT id1 AS a, id2 AS b FROM pairs
                 UNION ALL
@@ -276,7 +276,7 @@ object Dedup {
   private val clusterCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), (DataFrame, Set[Int])]
 
-  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame =
     clusterCache.synchronized {
       val live = s.sparkContext.getPersistentRDDs.keySet.toSet
       clusterCache.get((s, d)) match {

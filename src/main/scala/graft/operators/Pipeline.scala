@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables => T}
+
+/** The composed end-to-end curation pipeline — the operators of the d/t
+  * packs chained the way a training-data run actually uses them, with
+  * the funnel report every pipeline owner watches: how many documents
+  * (and how many characters of trainable text) survive each stage.
+  *
+  * Stage predicates are computed corpus-wide exactly as the standalone
+  * packs produce them (t02's integer-scaled quality score, d07+d10's
+  * keep-longest dedup survivors, d09's probe-gram decontamination) and
+  * applied CUMULATIVELY, so the row for stage k is the corpus a run
+  * would feed to stage k+1.
+  *
+  * Scale shape: one pass computes quality/length flags map-only; the
+  * dedup and decontamination flag sets are the (tiny) outputs of their
+  * own bounded-candidate jobs LEFT-JOINED back on doc_id; the final
+  * report is a single 5-row aggregate — nothing here adds a shuffle the
+  * standalone operators didn't already pay. */
+object Pipeline {
+
+  private val p01 = Q(
+    "p01_pipeline_funnel",
+    (s, d) => {
+      // t02's exact integer-scaled quality score (same formula, same
+      // rounding-free arithmetic) + the word count for the length gate.
+      val base = T.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .selectExpr(
+          "doc_id", "n_chars",
+          "CAST(size(ws) AS BIGINT) AS nw",
+          "CAST(n_chars - (size(ws) - 1) AS BIGINT) AS m",
+          s"CAST(size(filter(ws, w -> w IN ${TextAnalysis.inList(TextAnalysis.stopEn)})) AS BIGINT) AS nstop")
+        .withColumn("score_scaled", expr(
+          "(2 * (8000 * least(nw, 50) * 8 * nw + 2400000 * nstop" +
+            " + 300000 * least(m, 8 * nw)) + 8 * nw) div (2 * 8 * nw)"))
+      // d10's dropped set: non-survivor members of multi-doc clusters.
+      val labeled = Dedup.clusterLabels(s, d)
+        .join(T.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val dupDropped = labeled
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") > 1)
+        .select(col("doc_id"), lit(true).as("dup_dropped"))
+      // d09's contaminated set: ≥ 3 distinct trigrams shared with the
+      // held-out probe slice (doc_id % 100 = 7).
+      val tri = T.documents(s, d)
+        .select(
+          col("doc_id"),
+          graft.functions.GraftFunctions.wordNgrams(s, col("text"), 3).as("tg"))
+        .filter(size(col("tg")) >= 1)
+        .select(col("doc_id"), explode(col("tg")).as("gram"))
+      val probe = tri.filter(col("doc_id") % 100 === 7)
+        .select(col("gram")).distinct()
+      val contaminated = tri.filter(col("doc_id") % 100 =!= 7)
+        .join(broadcast(probe), "gram")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("nsh"))
+        .filter(col("nsh") >= 3)
+        .select(col("doc_id"), lit(true).as("contaminated"))
+      base
+        .join(dupDropped, Seq("doc_id"), "left")
+        .join(contaminated, Seq("doc_id"), "left")
+        .withColumn("s2", col("score_scaled") >= 400000)
+        .withColumn("s3", col("s2") && col("nw") >= 30)
+        .withColumn("s4", col("s3") && !coalesce(col("dup_dropped"), lit(false)))
+        .withColumn("s5", col("s4") &&
+          !coalesce(col("contaminated"), lit(false)) &&
+          col("doc_id") % 100 =!= 7)
+        .agg(
+          count(lit(1)).as("n1"), sum(col("n_chars")).as("c1"),
+          sum(when(col("s2"), 1L)).as("n2"),
+          sum(when(col("s2"), col("n_chars"))).as("c2"),
+          sum(when(col("s3"), 1L)).as("n3"),
+          sum(when(col("s3"), col("n_chars"))).as("c3"),
+          sum(when(col("s4"), 1L)).as("n4"),
+          sum(when(col("s4"), col("n_chars"))).as("c4"),
+          sum(when(col("s5"), 1L)).as("n5"),
+          sum(when(col("s5"), col("n_chars"))).as("c5"))
+        .selectExpr(
+          """stack(5,
+               1L, 'ingested',       n1, c1,
+               2L, 'quality_medium', n2, c2,
+               3L, 'min_length_30w', n3, c3,
+               4L, 'deduplicated',   n4, c4,
+               5L, 'decontaminated', n5, c5)
+             AS (stage_id, stage, n_docs, sum_chars)""")
+        .orderBy(col("stage_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${Dedup.clustersCteSql},
+      rankedq AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.cluster_id
+                 ORDER BY d.n_chars DESC, c.doc_id) AS rk
+        FROM clusters c JOIN documents d USING (doc_id)),
+      triq AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+              WHERE len(string_split(text, ' ')) >= 3)),
+      contamq AS (
+        SELECT c.doc_id
+        FROM (SELECT doc_id, gram FROM triq WHERE doc_id % 100 <> 7) c
+        JOIN (SELECT DISTINCT gram FROM triq WHERE doc_id % 100 = 7) p
+          USING (gram)
+        GROUP BY c.doc_id
+        HAVING count(DISTINCT c.gram) >= 3),
+      mq AS (
+        SELECT doc_id, n_chars,
+               CAST(len(ws) AS BIGINT) AS nw,
+               CAST(n_chars - (len(ws) - 1) AS BIGINT) AS m,
+               CAST(len(list_filter(ws, w -> w IN ${TextAnalysis.inList(TextAnalysis.stopEn)})) AS BIGINT) AS nstop
+        FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+              FROM documents)),
+      flq AS (
+        SELECT doc_id, n_chars, nw,
+               (2 * (8000 * least(nw, 50) * 8 * nw + 2400000 * nstop
+                     + 300000 * least(m, 8 * nw)) + 8 * nw)
+                 // (2 * 8 * nw) AS score,
+               doc_id IN (SELECT doc_id FROM rankedq WHERE rk > 1)
+                 AS dup_dropped,
+               doc_id IN (SELECT doc_id FROM contamq) AS contaminated
+        FROM mq),
+      stq AS (
+        SELECT doc_id, n_chars,
+               score >= 400000 AS s2,
+               (score >= 400000 AND nw >= 30) AS s3,
+               (score >= 400000 AND nw >= 30 AND NOT dup_dropped) AS s4,
+               (score >= 400000 AND nw >= 30 AND NOT dup_dropped
+                AND NOT contaminated AND doc_id % 100 <> 7) AS s5
+        FROM flq)
+      SELECT * FROM (
+        SELECT 1 AS stage_id, 'ingested' AS stage,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM stq
+        UNION ALL
+        SELECT 2, 'quality_medium', count(*) FILTER (s2),
+               CAST(coalesce(sum(n_chars) FILTER (s2), 0) AS BIGINT) FROM stq
+        UNION ALL
+        SELECT 3, 'min_length_30w', count(*) FILTER (s3),
+               CAST(coalesce(sum(n_chars) FILTER (s3), 0) AS BIGINT) FROM stq
+        UNION ALL
+        SELECT 4, 'deduplicated', count(*) FILTER (s4),
+               CAST(coalesce(sum(n_chars) FILTER (s4), 0) AS BIGINT) FROM stq
+        UNION ALL
+        SELECT 5, 'decontaminated', count(*) FILTER (s5),
+               CAST(coalesce(sum(n_chars) FILTER (s5), 0) AS BIGINT) FROM stq)
+      ORDER BY stage_id"""),
+  )
+
+  val all: Seq[Q] = Seq(p01)
+}

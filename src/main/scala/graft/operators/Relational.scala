@@ -1772,6 +1772,52 @@ object Relational {
       ORDER BY shard"""),
   )
 
+  /** Sketch RE-AGGREGATION — the property that makes approximate
+    * distinct counts maintainable at 100 TB: per-day HLL sketches are
+    * built once (the expensive pass over the raw events), then the
+    * monthly distinct-user count comes from UNIONING the 30 daily
+    * sketches — no second scan of the raw data, the exact pattern of an
+    * incremental rollup table (store sketches, not counts, because
+    * counts don't merge and sketches do). q26 showed the one-shot
+    * estimator; this shows the two-level partial/merge lifecycle
+    * (`hll_sketch_agg` → `hll_union_agg` → `hll_sketch_estimate`).
+    * Correctness is gated q40-style: the merged estimate must land
+    * within 5% of the exact month-level distinct count (lgConfigK=14
+    * ⇒ ~0.8% standard error), with the exact count itself hash-compared
+    * so the oracle pins real values, not just the boolean. */
+  private val q63 = Q(
+    "q63_sketch_reagg",
+    (s, d) => {
+      val ev = T.events(s, d)
+      val daily = ev
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val monthly = daily
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("apx"))
+      val exact = ev
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("d_exact"))
+      monthly.join(exact, "event_type")
+        .select(
+          col("event_type"),
+          col("n_days"),
+          col("d_exact"),
+          (abs(col("apx") - col("d_exact")) <=
+            col("d_exact").cast("double") * 0.05).as("approx_in_tolerance"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+             count(DISTINCT CAST(ts AS DATE)) AS n_days,
+             count(DISTINCT user_id) AS d_exact,
+             TRUE AS approx_in_tolerance
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   /** The textbook window-top-k formulation under the
     * [[graft.plans.WindowTopKRewrite]] optimizer rule — the user writes
     * `row_number() OVER (...) <= k` and the rule swaps in q33's
@@ -1812,5 +1858,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q64)
+    q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64)
 }

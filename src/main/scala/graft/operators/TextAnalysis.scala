@@ -14,13 +14,13 @@ import graft.{Q, Tables => T}
   */
 object TextAnalysis {
 
-  private val stopEn = Seq("the", "a", "of", "to", "and", "in")
+  private[operators] val stopEn = Seq("the", "a", "of", "to", "and", "in")
   private val stopDe = Seq("der", "die", "das", "und", "ein")
   private val stopEs = Seq("el", "la", "los", "de", "y")
   private val stopFr = Seq("le", "la", "les", "et", "un")
   private val stopZh = Seq("de", "shi", "le", "bu")
 
-  private def inList(ws: Seq[String]): String =
+  private[operators] def inList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** Language ID: stopword-hit-ratio per language wordlist, argmax with a
