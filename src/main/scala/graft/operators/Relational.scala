@@ -1772,6 +1772,50 @@ object Relational {
       ORDER BY shard"""),
   )
 
+  /** Inline observability — `Dataset.observe` (CollectMetrics): the
+    * data-quality counters every production pipeline needs (row counts,
+    * domain-violation counts, null rates) computed INSIDE an existing
+    * pass over the data, not as a second scan — at 100 TB the difference
+    * between free monitoring and doubling the job. The observed subplan
+    * here is a pushed-down filtered scan; the query materializes it once
+    * (the action the Observation contract requires), then returns the
+    * metrics row itself so the DuckDB oracle hash-gates the OBSERVED
+    * values — monitoring that is itself correctness-checked. */
+  private val q65 = Q(
+    "q65_observe_metrics",
+    (s, d) => {
+      val obs = org.apache.spark.sql.Observation()
+      val base = T.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00"))
+        .observe(
+          obs,
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(when(col("l_discount") < 0 || col("l_discount") > 0.1,
+            lit(1))).as("n_bad_discount"),
+          count(when(col("l_returnflag").isNull, lit(1))).as("n_null_flag"))
+      // The action that both produces downstream work (a real consumer
+      // would write here) and completes the observation.
+      base.write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((
+        m("n_rows").asInstanceOf[Long],
+        m("sum_qty").asInstanceOf[Double],
+        m("n_bad_discount").asInstanceOf[Long],
+        m("n_null_flag").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_qty", "n_bad_discount", "n_null_flag")
+    },
+    Some("""
+      SELECT count(*) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             count(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                        THEN 1 END) AS n_bad_discount,
+             count(CASE WHEN l_returnflag IS NULL THEN 1 END) AS n_null_flag
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"""),
+  )
+
   /** Sketch RE-AGGREGATION — the property that makes approximate
     * distinct counts maintainable at 100 TB: per-day HLL sketches are
     * built once (the expensive pass over the raw events), then the
@@ -1858,5 +1902,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64)
+    q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65)
 }
