@@ -26,9 +26,28 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Guard: a raw TimestampType output column is always a latent
+        // schema/hash mismatch — Spark's parquet dump is UTC-adjusted
+        // (DuckDB reads TIMESTAMPTZ) while oracle timestamps are naive.
+        // House convention is date_format(...) to a string (q28/q56/q58).
+        import org.apache.spark.sql.types._
+        def hasTs(dt: DataType): Boolean = dt match {
+          case _: TimestampType      => true
+          case s: StructType         => s.fields.exists(f => hasTs(f.dataType))
+          case a: ArrayType          => hasTs(a.elementType)
+          case m: MapType            => hasTs(m.keyType) || hasTs(m.valueType)
+          case _                     => false
+        }
+        val rawTs = df.schema.fields.collect {
+          case f if hasTs(f.dataType) => f.name
+        }
+        if (rawTs.nonEmpty) throw new IllegalStateException(
+          s"query emits raw TimestampType column(s) ${rawTs.mkString(",")}" +
+            "; date_format them to strings (see q58)")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Drop any blocks an operator checkpointed for its own self-joins so

@@ -278,6 +278,13 @@ object Dedup {
 
   private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame =
     clusterCache.synchronized {
+      // Evict entries for stopped sessions on every lookup: a stale
+      // entry strongly retains the dead session and its DataFrame
+      // forever — a leak in long-lived multi-session processes (test
+      // suites churn sessions constantly).
+      clusterCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped
+      }
       val live = s.sparkContext.getPersistentRDDs.keySet.toSet
       clusterCache.get((s, d)) match {
         case Some((df, ids)) if ids.nonEmpty && ids.subsetOf(live) => df

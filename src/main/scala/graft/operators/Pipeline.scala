@@ -72,15 +72,19 @@ object Pipeline {
           !coalesce(col("contaminated"), lit(false)) &&
           col("doc_id") % 100 =!= 7)
         .agg(
-          count(lit(1)).as("n1"), sum(col("n_chars")).as("c1"),
-          sum(when(col("s2"), 1L)).as("n2"),
-          sum(when(col("s2"), col("n_chars"))).as("c2"),
-          sum(when(col("s3"), 1L)).as("n3"),
-          sum(when(col("s3"), col("n_chars"))).as("c3"),
-          sum(when(col("s4"), 1L)).as("n4"),
-          sum(when(col("s4"), col("n_chars"))).as("c4"),
-          sum(when(col("s5"), 1L)).as("n5"),
-          sum(when(col("s5"), col("n_chars"))).as("c5"))
+          // coalesce to 0: sum(when(...)) is NULL when a stage filter
+          // admits zero rows, while the oracle's count(*) FILTER emits 0
+          // — a latent hash divergence if any funnel stage empties.
+          count(lit(1)).as("n1"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("c1"),
+          coalesce(sum(when(col("s2"), 1L)), lit(0L)).as("n2"),
+          coalesce(sum(when(col("s2"), col("n_chars"))), lit(0L)).as("c2"),
+          coalesce(sum(when(col("s3"), 1L)), lit(0L)).as("n3"),
+          coalesce(sum(when(col("s3"), col("n_chars"))), lit(0L)).as("c3"),
+          coalesce(sum(when(col("s4"), 1L)), lit(0L)).as("n4"),
+          coalesce(sum(when(col("s4"), col("n_chars"))), lit(0L)).as("c4"),
+          coalesce(sum(when(col("s5"), 1L)), lit(0L)).as("n5"),
+          coalesce(sum(when(col("s5"), col("n_chars"))), lit(0L)).as("c5"))
         .selectExpr(
           """stack(5,
                1L, 'ingested',       n1, c1,

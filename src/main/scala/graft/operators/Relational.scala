@@ -1380,13 +1380,24 @@ object Relational {
   def prewarmClusteredEvents(s: SparkSession, d: String): String = {
     val (tag, wh) = fixtureLoc(d)
     val path = new java.io.File(wh, s"graft_events_clustered_$tag")
-    if (!new java.io.File(path, "_SUCCESS").exists())
-      T.events(s, d)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      // INT96 (the legacy default outside Verify's session) carries NO
+      // min/max statistics — this copy exists for footer-stat pruning on
+      // ts, so pin the annotated int64 micros type for the write (same
+      // save/set/restore as prewarmZOrderedEvents; without it a
+      // Bench-first session would cache a stat-less copy forever via the
+      // _SUCCESS key).
+      val tsKey  = "spark.sql.parquet.outputTimestampType"
+      val tsPrev = s.conf.get(tsKey)
+      s.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try T.events(s, d)
         .repartitionByRange(8, col("event_type"), col("ts"))
         .sortWithinPartitions(col("event_type"), col("ts"))
         .write.mode("overwrite")
         .option("maxRecordsPerFile", 2000)
         .parquet(path.getAbsolutePath)
+      finally s.conf.set(tsKey, tsPrev)
+    }
     path.getAbsolutePath
   }
 
@@ -1554,7 +1565,11 @@ object Relational {
           col("user_id"),
           col("event_type"),
           col("event_id").as("last_event_id"),
-          col("ts").as("last_ts"),
+          // String-format per house convention: Spark writes parquet
+          // timestamps isAdjustedToUTC=true (DuckDB reads TIMESTAMPTZ)
+          // while the oracle's ts is naive — identical instants would
+          // still hash-mismatch as raw TimestampType.
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
           round(col("value"), 2).as("last_value"),
           coalesce(col("n_delta_versions"), lit(0L)).as("n_delta_versions"))
         .orderBy(col("user_id"), col("event_type"))
@@ -1573,7 +1588,7 @@ object Relational {
       SELECT l.user_id,
              l.event_type,
              l.event_id AS last_event_id,
-             l.ts AS last_ts,
+             strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
              round(l.value, 2) AS last_value,
              coalesce(dc.n, 0) AS n_delta_versions
       FROM latest l LEFT JOIN dc USING (user_id, event_type)

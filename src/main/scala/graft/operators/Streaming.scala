@@ -76,8 +76,13 @@ object Streaming {
         pid.toLong != self.pid()) {
         val owner = ProcessHandle.of(pid.toLong)
         val alive = owner.isPresent && owner.get().isAlive
+        // A recorded start of 0 means the OWNER could not read its own
+        // startInstant at creation — a peer that CAN read the live
+        // process's start would always see |ms-0|>1000 and delete a LIVE
+        // run's checkpoints; such dirs get the plain liveness check only.
         val recycled = alive && parts.length >= 3 &&
           parts(1).nonEmpty && parts(1).forall(_.isDigit) &&
+          parts(1).toLong != 0L &&
           startMs(owner.get()).exists(ms => math.abs(ms - parts(1).toLong) > 1000)
         if (!alive || recycled) graft.Fs.deleteRecursively(f)
       }

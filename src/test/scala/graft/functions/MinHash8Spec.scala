@@ -55,11 +55,17 @@ class MinHash8Spec extends SparkSpec {
 
   test("null shingle element fails loudly") {
     import spark.implicits._
-    val ex = intercept[Exception] {
-      Seq(Tuple1(Seq("a", null, "b"))).toDF("sh")
-        .select(GraftFunctions.minHash8(spark, col("sh")))
-        .collect()
-    }
-    assert(ex.getMessage != null)
+    // The expected task failure is logged by the executor with a full
+    // stack trace, which reads as a suite failure in the sbt test log;
+    // mute Spark logging for just this intercept.
+    spark.sparkContext.setLogLevel("OFF")
+    try {
+      val ex = intercept[Exception] {
+        Seq(Tuple1(Seq("a", null, "b"))).toDF("sh")
+          .select(GraftFunctions.minHash8(spark, col("sh")))
+          .collect()
+      }
+      assert(ex.getMessage != null)
+    } finally spark.sparkContext.setLogLevel("WARN")
   }
 }
