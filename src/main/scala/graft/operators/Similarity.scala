@@ -26,21 +26,26 @@ object Similarity {
   private def dot(s: SparkSession, a: Column, b: Column): Column =
     GraftFunctions.vecDot(s, a, b)
 
+  /** Exact brute-force cosine top-10 for query vector vec_id=0 — shared
+    * by s01 (the registered query) and s08 (ground truth for the recall
+    * audit). */
+  private def brute10(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        col("label"),
+        round(dot(s, col("embedding"), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Exact brute-force cosine top-k for the query vector vec_id=0. */
   private val s01 = Q(
     "s01_ann_brute_topk",
-    (s, d) => {
-      val e = T.embeddings(s, d)
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(
-          col("vec_id"),
-          col("label"),
-          round(dot(s, col("embedding"), col("qv")), 6).as("cosine"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-        .limit(10)
-    },
+    (s, d) => brute10(s, d),
     Some("""
       SELECT e.vec_id, e.label,
              round(list_sum(list_transform(range(1, 65),
@@ -57,35 +62,38 @@ object Similarity {
     * cells by centroid·query, probe top-2 cells only, exact rank inside.
     * Centroid ranking is rounded to 9 dp so summation-order noise cannot
     * flip cell selection between engines. */
+  /** IVF nprobe=2 top-10 — shared by s02 and s08's recall audit. */
+  private def ivf10(s: SparkSession, d: String): DataFrame = {
+    val e    = T.embeddings(s, d)
+    val rest = e.filter(col("vec_id") =!= 0)
+    val qRow = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val qExp = e.filter(col("vec_id") === 0)
+      .select(posexplode(col("embedding")).as(Seq("pos", "qval")))
+    val cent = rest
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("c"))
+    val cellRank = cent
+      .join(broadcast(qExp), "pos")
+      .groupBy(col("label"))
+      .agg(round(sum(col("c") * col("qval").cast("double")), 9).as("cd"))
+      .orderBy(col("cd").desc, col("label"))
+      .limit(2)
+      .select(col("label"))
+    rest
+      .join(broadcast(cellRank), "label")
+      .crossJoin(broadcast(qRow))
+      .select(
+        col("vec_id"),
+        col("label"),
+        round(dot(s, col("embedding"), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
   private val s02 = Q(
     "s02_ann_ivf",
-    (s, d) => {
-      val e    = T.embeddings(s, d)
-      val rest = e.filter(col("vec_id") =!= 0)
-      val qRow = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val qExp = e.filter(col("vec_id") === 0)
-        .select(posexplode(col("embedding")).as(Seq("pos", "qval")))
-      val cent = rest
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(avg(col("v").cast("double")).as("c"))
-      val cellRank = cent
-        .join(broadcast(qExp), "pos")
-        .groupBy(col("label"))
-        .agg(round(sum(col("c") * col("qval").cast("double")), 9).as("cd"))
-        .orderBy(col("cd").desc, col("label"))
-        .limit(2)
-        .select(col("label"))
-      rest
-        .join(broadcast(cellRank), "label")
-        .crossJoin(broadcast(qRow))
-        .select(
-          col("vec_id"),
-          col("label"),
-          round(dot(s, col("embedding"), col("qv")), 6).as("cosine"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-        .limit(10)
-    },
+    (s, d) => ivf10(s, d),
     Some("""
       WITH cent AS (
         SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS c
@@ -173,38 +181,42 @@ object Similarity {
     * scoring touches ~n/16 per band, never all pairs. Like d06/s02, the
     * oracle mirrors the identical deterministic computation (plane
     * matrix baked as literals), so results hash-match exactly. */
-  private val s04 = {
-    import graft.operators.SignBands.{bandSpark, bandDuck}
+  /** LSH banded-probe top-10 — shared by s04 and s08's recall audit. */
+  private def lsh10(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.SignBands.bandSpark
     val bandsS = (0 until 4).map(b => s"(${bandSpark(b, 4)}) AS band$b")
+    graft.functions.GraftFunctions.register(s)
+    val e = T.embeddings(s, d)
+    val sig = e
+      .selectExpr(
+        Seq("vec_id", "label", "embedding",
+          "sign_dots16(embedding) AS dots"): _*)
+      .selectExpr(
+        Seq("vec_id", "label", "embedding") ++ bandsS: _*)
+    val q = sig.filter(col("vec_id") === 0)
+      .select(
+        col("embedding").as("qv"),
+        col("band0").as("qb0"), col("band1").as("qb1"),
+        col("band2").as("qb2"), col("band3").as("qb3"))
+    sig.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .filter(
+        col("band0") === col("qb0") || col("band1") === col("qb1") ||
+          col("band2") === col("qb2") || col("band3") === col("qb3"))
+      .select(
+        col("vec_id"),
+        col("label"),
+        round(dot(s, col("embedding"), col("qv")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val s04 = {
+    import graft.operators.SignBands.bandDuck
     val bandsD = (0 until 4).map(b => s"(${bandDuck(b, 4)}) AS band$b")
     Q(
       "s04_ann_lsh",
-      (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val e = T.embeddings(s, d)
-        val sig = e
-          .selectExpr(
-            Seq("vec_id", "label", "embedding",
-              "sign_dots16(embedding) AS dots"): _*)
-          .selectExpr(
-            Seq("vec_id", "label", "embedding") ++ bandsS: _*)
-        val q = sig.filter(col("vec_id") === 0)
-          .select(
-            col("embedding").as("qv"),
-            col("band0").as("qb0"), col("band1").as("qb1"),
-            col("band2").as("qb2"), col("band3").as("qb3"))
-        sig.filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(q))
-          .filter(
-            col("band0") === col("qb0") || col("band1") === col("qb1") ||
-              col("band2") === col("qb2") || col("band3") === col("qb3"))
-          .select(
-            col("vec_id"),
-            col("label"),
-            round(dot(s, col("embedding"), col("qv")), 6).as("cosine"))
-          .orderBy(col("cosine").desc, col("vec_id"))
-          .limit(10)
-      },
+      (s, d) => lsh10(s, d),
       Some(s"""
       WITH sig AS (
         SELECT vec_id, label, embedding, ${bandsD.mkString(", ")}
@@ -355,5 +367,296 @@ object Similarity {
       ORDER BY cid"""),
   )
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06)
+  /** Squared L2 between a float-array `embedding` and a double-array
+    * `cvec`, expanded as e·e + c·c − 2·(e·c) with three sequential
+    * left-to-right folds — the same IEEE operation order as the oracle's
+    * list_sum ∘ list_transform, so distances are bit-identical across
+    * engines. Built-in HOFs (not [[graft.functions.FloatVectorDot]])
+    * because the M-step's updated centroids are double arrays; at a
+    * scale where the interpreted lambda showed up in profiles, the
+    * promotion path is a DoubleVectorDot sibling of vec_dot. */
+  private def dist2: Column = expr(
+    """aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 CAST(0 AS DOUBLE), (a, v) -> a + v)
+     + aggregate(transform(cvec, y -> y * y),
+                 CAST(0 AS DOUBLE), (a, v) -> a + v)
+     - 2 * aggregate(zip_with(embedding, cvec, (x, y) -> CAST(x AS DOUBLE) * y),
+                 CAST(0 AS DOUBLE), (a, v) -> a + v)""")
+
+  /** k-means M-step + one reassignment — the half of the Lloyd round
+    * s06's scaladoc promises. Round 0 assigns to the k=8 seed centroids
+    * (s06's E-step); the M-step recomputes each centroid as the
+    * per-dimension mean of its assigned vectors; a second E-step against
+    * the updated centroids shows the movement. The audit row per
+    * centroid: population before/after, churn in/out, floor-ppm inertia
+    * before/after (Lloyd's monotone-descent invariant is visible in the
+    * totals), and how far the centroid itself moved (squared L2, ppm).
+    *
+    * Determinism: the mean is (Σ floor(x·1e6)) / 1e6 / n — integer
+    * per-dimension ppm sums rolled up as BIGINT, divided back to double
+    * in the same left-to-right order on both engines — because a naive
+    * float mean would hang the oracle on group summation order (the
+    * s05/s06 floor trick, per-dimension). Assignment argmin ties break
+    * to the lowest cid via min(struct(dist, cid)) ≡ the oracle's
+    * row_number ORDER BY dist, cid.
+    *
+    * Scale posture: centroids BROADCAST in both E-steps (k and 2k rows);
+    * assignment is a map-side cross join reduced by min(struct(..))
+    * groupBy — partial aggregation combines to one row per vec_id
+    * map-side, strictly cheaper than s06's window (no sort, no 8×
+    * shuffle inflation). The M-step shuffles (cid, dim) keys with
+    * map-side combine (≤ k·64 rows per partition reach the wire), and
+    * both E-steps run in the SAME slim aggregate (round-tagged union of
+    * centroid sets), so the corpus is scanned exactly twice — the
+    * textbook two-pass distributed Lloyd iteration. Final stats joins
+    * are k-row × k-row. */
+  private val s07 = Q(
+    "s07_kmeans_mstep",
+    (s, d) => {
+      val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cent0 = e.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
+      // E-step 0, keeping the vector for the M-step: min over a struct
+      // whose (dist, cid) prefix decides before the rode-along embedding
+      // is ever compared.
+      val a0 = e.crossJoin(broadcast(cent0))
+        .select(col("vec_id"), col("cid"), col("embedding"), dist2.as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"), col("embedding"))).as("m"))
+        .select(col("m.cid").as("cid"), col("m.embedding").as("embedding"))
+      // M-step: per-(centroid, dimension) integer ppm sums.
+      val nsum = a0
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("p", "v")))
+        .groupBy(col("cid"), (col("p") + 1).as("i"))
+        .agg(
+          sum(floor(col("v").cast("double") * lit(1000000)).cast("long"))
+            .as("sv"),
+          count(lit(1)).as("n"))
+      val ncent = nsum
+        .withColumn("dm", col("sv").cast("double") / lit(1000000) / col("n"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("i"), col("dm")))).as("ps"))
+        .select(col("cid"), expr("transform(ps, q -> q.dm)").as("cvec"))
+      // E-steps 0 and 1 in one slim aggregate over a round-tagged
+      // broadcast union of both centroid sets.
+      val tagged = cent0.withColumn("rnd", lit(0))
+        .unionByName(ncent.withColumn("rnd", lit(1)))
+      val mv = e.crossJoin(broadcast(tagged))
+        .select(col("vec_id"), col("rnd"), col("cid"), dist2.as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(
+          min(when(col("rnd") === 0, struct(col("dist"), col("cid"))))
+            .as("m0"),
+          min(when(col("rnd") === 1, struct(col("dist"), col("cid"))))
+            .as("m1"))
+        .select(
+          col("m0.cid").as("cid0"), col("m0.dist").as("dist0"),
+          col("m1.cid").as("cid1"), col("m1.dist").as("dist1"))
+      val ppm0 = floor(col("dist0") * lit(1000000)).cast("long")
+      val ppm1 = floor(col("dist1") * lit(1000000)).cast("long")
+      val s0 = mv.groupBy(col("cid0").as("cid"))
+        .agg(
+          count(lit(1)).as("n_before"),
+          coalesce(sum(when(col("cid1") =!= col("cid0"), 1L)), lit(0L))
+            .as("moved_out"),
+          sum(ppm0).as("inertia_before_ppm"))
+      val s1 = mv.groupBy(col("cid1").as("cid"))
+        .agg(
+          count(lit(1)).as("n_after"),
+          coalesce(sum(when(col("cid0") =!= col("cid1"), 1L)), lit(0L))
+            .as("moved_in"),
+          sum(ppm1).as("inertia_after_ppm"))
+      val sh = cent0.select(col("cid"), col("cvec").as("c0vec"))
+        .join(ncent.select(col("cid"), col("cvec").as("c1vec")), "cid")
+        .select(col("cid"),
+          floor(expr(
+            """aggregate(zip_with(c0vec, c1vec, (x, y) -> (x - y) * (x - y)),
+                         CAST(0 AS DOUBLE), (a, v) -> a + v)""")
+            * lit(1000000)).cast("long").as("shift_ppm"))
+      sh.join(s0, Seq("cid"), "left").join(s1, Seq("cid"), "left")
+        .select(
+          col("cid"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("moved_out"), lit(0L)).as("moved_out"),
+          coalesce(col("inertia_before_ppm"), lit(0L)).as("inertia_before_ppm"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("moved_in"), lit(0L)).as("moved_in"),
+          coalesce(col("inertia_after_ppm"), lit(0L)).as("inertia_after_ppm"),
+          col("shift_ppm"))
+        .orderBy(col("cid"))
+    },
+    Some("""
+      WITH cent0 AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+      p0 AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(e.embedding[i] AS DOUBLE)))
+             + list_sum(list_transform(range(1, 65),
+                 i -> c.cvec[i] * c.cvec[i]))
+             - 2 * list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) AS dist
+        FROM embeddings e CROSS JOIN cent0 c),
+      a0 AS (
+        SELECT vec_id, cid, dist FROM (
+          SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cid) AS rk
+          FROM p0) r WHERE rk = 1),
+      nsum AS (
+        SELECT a.cid, i,
+               CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000000)
+                 AS BIGINT)) AS BIGINT) AS sv,
+               count(*) AS n
+        FROM a0 a JOIN embeddings e USING (vec_id),
+             unnest(range(1, 65)) AS t(i)
+        GROUP BY a.cid, i),
+      ncent AS (
+        SELECT cid, list(CAST(sv AS DOUBLE) / 1000000 / n ORDER BY i) AS cvec
+        FROM nsum GROUP BY cid),
+      p1 AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(e.embedding[i] AS DOUBLE)))
+             + list_sum(list_transform(range(1, 65),
+                 i -> c.cvec[i] * c.cvec[i]))
+             - 2 * list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) AS dist
+        FROM embeddings e CROSS JOIN ncent c),
+      a1 AS (
+        SELECT vec_id, cid, dist FROM (
+          SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cid) AS rk
+          FROM p1) r WHERE rk = 1),
+      mv AS (
+        SELECT a0.vec_id, a0.cid AS cid0, a0.dist AS dist0,
+               a1.cid AS cid1, a1.dist AS dist1
+        FROM a0 JOIN a1 USING (vec_id)),
+      s0 AS (
+        SELECT cid0 AS cid, count(*) AS n_before,
+               count(*) FILTER (WHERE cid1 <> cid0) AS moved_out,
+               CAST(sum(CAST(floor(dist0 * 1000000) AS BIGINT)) AS BIGINT)
+                 AS inertia_before_ppm
+        FROM mv GROUP BY cid0),
+      s1 AS (
+        SELECT cid1 AS cid, count(*) AS n_after,
+               count(*) FILTER (WHERE cid0 <> cid1) AS moved_in,
+               CAST(sum(CAST(floor(dist1 * 1000000) AS BIGINT)) AS BIGINT)
+                 AS inertia_after_ppm
+        FROM mv GROUP BY cid1),
+      sh AS (
+        SELECT c0.cid,
+               CAST(floor(list_sum(list_transform(range(1, 65),
+                 i -> (c0.cvec[i] - c1.cvec[i]) * (c0.cvec[i] - c1.cvec[i])))
+                 * 1000000) AS BIGINT) AS shift_ppm
+        FROM cent0 c0 JOIN ncent c1 USING (cid))
+      SELECT sh.cid,
+             coalesce(n_before, 0) AS n_before,
+             coalesce(moved_out, 0) AS moved_out,
+             coalesce(inertia_before_ppm, 0) AS inertia_before_ppm,
+             coalesce(n_after, 0) AS n_after,
+             coalesce(moved_in, 0) AS moved_in,
+             coalesce(inertia_after_ppm, 0) AS inertia_after_ppm,
+             shift_ppm
+      FROM sh LEFT JOIN s0 USING (cid) LEFT JOIN s1 USING (cid)
+      ORDER BY sh.cid"""),
+  )
+
+  /** ANN recall audit — recall@10 of the two approximate probes (s02's
+    * IVF at nprobe=2, s04's banded LSH) against s01's exact brute-force
+    * ground truth: the first number any ANN deployment publishes, and
+    * the acceptance gate for widening nprobe / narrowing bands. Each
+    * method's top-10 is recomputed by the SAME shared code path the
+    * registered queries use (brute10/ivf10/lsh10), intersected with the
+    * exact set, and reported as integer hit counts (recall_pct =
+    * n_hits·10 for k=10 — no float division to diverge on).
+    *
+    * Scale posture: identical to the audited queries themselves — the
+    * corpus is scanned once per method with the query side broadcast,
+    * each scan reduces to a 10-row TakeOrderedAndProject, and the
+    * intersections join 10-row frames. Running the audit costs exactly
+    * one extra exact pass over whatever vector sample the recall is
+    * estimated on (at 100 TB: a sampled query set, not the corpus). */
+  private val s08 = Q(
+    "s08_ann_recall",
+    (s, d) => {
+      val exact = brute10(s, d).select(col("vec_id"))
+      def row(m: String, approx: DataFrame): DataFrame =
+        approx.select(col("vec_id")).join(exact, "vec_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(
+            lit(m).as("method"), lit(10L).as("k"), col("n_hits"),
+            (col("n_hits") * 10).as("recall_pct"))
+      row("ivf", ivf10(s, d))
+        .unionByName(row("lsh", lsh10(s, d)))
+        .orderBy(col("method"))
+    }, {
+      import graft.operators.SignBands.bandDuck
+      val bandsD = (0 until 4).map(b => s"(${bandDuck(b, 4)}) AS band$b")
+      Some(s"""
+      WITH exact AS (
+        SELECT e.vec_id
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) qe
+        WHERE e.vec_id <> 0
+        ORDER BY round(list_sum(list_transform(range(1, 65),
+            i -> CAST(e.embedding[i] AS DOUBLE)
+               * CAST(qe.embedding[i] AS DOUBLE))), 6) DESC, e.vec_id
+        LIMIT 10),
+      cent AS (
+        SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS c
+        FROM embeddings, range(1, 65) t(i)
+        WHERE vec_id <> 0
+        GROUP BY label, i),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      cellrank AS (
+        SELECT label, round(sum(c * CAST(qv[i] AS DOUBLE)), 9) AS cd
+        FROM cent, q
+        GROUP BY label
+        ORDER BY cd DESC, label
+        LIMIT 2),
+      ivf AS (
+        SELECT e.vec_id
+        FROM embeddings e JOIN cellrank USING (label), q
+        WHERE e.vec_id <> 0
+        ORDER BY round(list_sum(list_transform(range(1, 65),
+            i -> CAST(e.embedding[i] AS DOUBLE)
+               * CAST(q.qv[i] AS DOUBLE))), 6) DESC, e.vec_id
+        LIMIT 10),
+      sig AS (
+        SELECT vec_id, label, embedding, ${bandsD.mkString(", ")}
+        FROM embeddings),
+      qs AS (
+        SELECT embedding AS qv, band0 AS qb0, band1 AS qb1,
+               band2 AS qb2, band3 AS qb3
+        FROM sig WHERE vec_id = 0),
+      lsh AS (
+        SELECT e.vec_id
+        FROM sig e, qs
+        WHERE e.vec_id <> 0
+          AND (e.band0 = qs.qb0 OR e.band1 = qs.qb1 OR
+               e.band2 = qs.qb2 OR e.band3 = qs.qb3)
+        ORDER BY round(list_sum(list_transform(range(1, 65),
+            i -> CAST(e.embedding[i] AS DOUBLE)
+               * CAST(qs.qv[i] AS DOUBLE))), 6) DESC, e.vec_id
+        LIMIT 10)
+      SELECT method, k, n_hits, recall_pct FROM (
+        SELECT 'ivf' AS method, 10 AS k, count(*) AS n_hits,
+               count(*) * 10 AS recall_pct
+        FROM ivf JOIN exact USING (vec_id)
+        UNION ALL
+        SELECT 'lsh' AS method, 10 AS k, count(*) AS n_hits,
+               count(*) * 10 AS recall_pct
+        FROM lsh JOIN exact USING (vec_id)) u
+      ORDER BY method""")
+    },
+  )
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
 }

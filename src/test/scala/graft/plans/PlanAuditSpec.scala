@@ -186,11 +186,13 @@ class PlanAuditSpec extends SparkSpec {
     // These queries intentionally cross-join against a BROADCAST side of
     // bounded size — a query-vector set of ≤ 20 rows (s01-s03), an
     // 8-row centroid table (s06), or a 1-row corpus-size scalar (t06) —
-    // the bounded scalar-product pattern, not an n² join. Everything
-    // else must plan equi-joins.
+    // the bounded scalar-product pattern, not an n² join. s07/s08 ride
+    // the same shapes (8/16-row centroid tables, 1-row query vector).
+    // Everything else must plan equi-joins.
     val boundedBroadcastCross = Set(
       "s01_ann_brute_topk", "s02_ann_ivf", "s03_ann_join", "s04_ann_lsh",
-      "s06_kmeans_assign", "t06_tfidf")
+      "s06_kmeans_assign", "s07_kmeans_mstep", "s08_ann_recall",
+      "t06_tfidf")
     val streaming = Set(
       "q28_stream_window", "q29_stream_dedup", "q30_stream_session",
       "q36_stream_join", "q37_stream_sliding", "q38_stream_static_join",
