@@ -22,55 +22,66 @@ import graft.{Q, Tables => T}
   * standalone operators didn't already pay. */
 object Pipeline {
 
+  /** The cumulative stage flags s2..s5 per document — p01 aggregates
+    * them into the funnel report; p02 filters s5 to get the surviving
+    * corpus it writes out as training shards. One row per doc with
+    * doc_id, lang, n_chars, nw (word count ≡ token count), score, and
+    * the four stage booleans. */
+  private[operators] def stageFrame(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    // t02's exact integer-scaled quality score (same formula, same
+    // rounding-free arithmetic) + the word count for the length gate.
+    val base = T.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .selectExpr(
+        "doc_id", "lang", "n_chars",
+        "CAST(size(ws) AS BIGINT) AS nw",
+        "CAST(n_chars - (size(ws) - 1) AS BIGINT) AS m",
+        s"CAST(size(filter(ws, w -> w IN ${TextAnalysis.inList(TextAnalysis.stopEn)})) AS BIGINT) AS nstop")
+      .withColumn("score_scaled", expr(
+        "(2 * (8000 * least(nw, 50) * 8 * nw + 2400000 * nstop" +
+          " + 300000 * least(m, 8 * nw)) + 8 * nw) div (2 * 8 * nw)"))
+    // d10's dropped set: non-survivor members of multi-doc clusters.
+    val labeled = Dedup.clusterLabels(s, d)
+      .join(T.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val dupDropped = labeled
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .select(col("doc_id"), lit(true).as("dup_dropped"))
+    // d09's contaminated set: ≥ 3 distinct trigrams shared with the
+    // held-out probe slice (doc_id % 100 = 7).
+    val tri = T.documents(s, d)
+      .select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.wordNgrams(s, col("text"), 3).as("tg"))
+      .filter(size(col("tg")) >= 1)
+      .select(col("doc_id"), explode(col("tg")).as("gram"))
+    val probe = tri.filter(col("doc_id") % 100 === 7)
+      .select(col("gram")).distinct()
+    val contaminated = tri.filter(col("doc_id") % 100 =!= 7)
+      .join(broadcast(probe), "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("nsh"))
+      .filter(col("nsh") >= 3)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    base
+      .join(dupDropped, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("s2", col("score_scaled") >= 400000)
+      .withColumn("s3", col("s2") && col("nw") >= 30)
+      .withColumn("s4", col("s3") && !coalesce(col("dup_dropped"), lit(false)))
+      .withColumn("s5", col("s4") &&
+        !coalesce(col("contaminated"), lit(false)) &&
+        col("doc_id") % 100 =!= 7)
+  }
+
   private val p01 = Q(
     "p01_pipeline_funnel",
     (s, d) => {
-      // t02's exact integer-scaled quality score (same formula, same
-      // rounding-free arithmetic) + the word count for the length gate.
-      val base = T.documents(s, d)
-        .withColumn("ws", split(col("text"), " "))
-        .selectExpr(
-          "doc_id", "n_chars",
-          "CAST(size(ws) AS BIGINT) AS nw",
-          "CAST(n_chars - (size(ws) - 1) AS BIGINT) AS m",
-          s"CAST(size(filter(ws, w -> w IN ${TextAnalysis.inList(TextAnalysis.stopEn)})) AS BIGINT) AS nstop")
-        .withColumn("score_scaled", expr(
-          "(2 * (8000 * least(nw, 50) * 8 * nw + 2400000 * nstop" +
-            " + 300000 * least(m, 8 * nw)) + 8 * nw) div (2 * 8 * nw)"))
-      // d10's dropped set: non-survivor members of multi-doc clusters.
-      val labeled = Dedup.clusterLabels(s, d)
-        .join(T.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
-      val w = Window.partitionBy(col("cluster_id"))
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      val dupDropped = labeled
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") > 1)
-        .select(col("doc_id"), lit(true).as("dup_dropped"))
-      // d09's contaminated set: ≥ 3 distinct trigrams shared with the
-      // held-out probe slice (doc_id % 100 = 7).
-      val tri = T.documents(s, d)
-        .select(
-          col("doc_id"),
-          graft.functions.GraftFunctions.wordNgrams(s, col("text"), 3).as("tg"))
-        .filter(size(col("tg")) >= 1)
-        .select(col("doc_id"), explode(col("tg")).as("gram"))
-      val probe = tri.filter(col("doc_id") % 100 === 7)
-        .select(col("gram")).distinct()
-      val contaminated = tri.filter(col("doc_id") % 100 =!= 7)
-        .join(broadcast(probe), "gram")
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("gram")).as("nsh"))
-        .filter(col("nsh") >= 3)
-        .select(col("doc_id"), lit(true).as("contaminated"))
-      base
-        .join(dupDropped, Seq("doc_id"), "left")
-        .join(contaminated, Seq("doc_id"), "left")
-        .withColumn("s2", col("score_scaled") >= 400000)
-        .withColumn("s3", col("s2") && col("nw") >= 30)
-        .withColumn("s4", col("s3") && !coalesce(col("dup_dropped"), lit(false)))
-        .withColumn("s5", col("s4") &&
-          !coalesce(col("contaminated"), lit(false)) &&
-          col("doc_id") % 100 =!= 7)
+      stageFrame(s, d)
         .agg(
           // coalesce to 0: sum(when(...)) is NULL when a stage filter
           // admits zero rows, while the oracle's count(*) FILTER emits 0
@@ -158,5 +169,134 @@ object Pipeline {
       ORDER BY stage_id"""),
   )
 
-  val all: Seq[Q] = Seq(p01)
+  /** Where p02 writes its shard tree for a given sf dir (exposed so the
+    * layout spec can read the footers back). */
+  private[graft] def shardPath(d: String): String = {
+    val (tag, wh) = Relational.fixtureLoc(d)
+    new java.io.File(wh, s"graft_training_shards_$tag").getAbsolutePath
+  }
+
+  /** p02 — the end-to-end training-shard writer: p01's surviving corpus
+    * (stage s5) is packed into 2048-token bins per language stream
+    * (t11's exclusive-prefix-sum `div`, applied to the curated corpus),
+    * assigned to 16 md5-nibble shards in deterministic hash order
+    * (q60's shuffle contract), and WRITTEN as a real partitioned shard
+    * tree with the q54 layout discipline — `repartition(shard)` +
+    * `sortWithinPartitions(shard, h)` + `maxRecordsPerFile`, so within
+    * every `shard=` directory the files carry non-overlapping md5
+    * ranges and footer min/max stats discriminate (asserted by
+    * TrainingShardLayoutSpec). The registered result is the per-shard
+    * manifest read BACK from the written files — doc/char/token totals,
+    * bins touched, and the hash-order endpoints — so a green row proves
+    * the write→read round trip lost nothing, while the oracle recomputes
+    * the same manifest from the raw tables.
+    *
+    * Scale shape: nothing beyond what the composed operators already
+    * pay — the funnel flags' bounded-candidate jobs, ONE window pass
+    * per language stream for packing, one 16-key shuffle for the write.
+    * maxRecordsPerFile=10 is fixture-sized (multi-file shards at
+    * sf0.001 so the layout assertions bite); production sets it to a
+    * target file size. */
+  private val p02 = Q(
+    "p02_training_shards",
+    (s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      val packed = stageFrame(s, d)
+        .filter(col("s5"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("nw").as("toks"))
+        .withColumn("prior", coalesce(sum(col("toks")).over(w), lit(0L)))
+        .withColumn("bin", expr("prior div 2048"))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("shard", expr(
+          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10) AS BIGINT)"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("toks"),
+          col("bin"), col("h"), col("shard"))
+      val path = shardPath(d)
+      packed
+        .repartition(16, col("shard"))
+        .sortWithinPartitions(col("shard"), col("h"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 10)
+        .partitionBy("shard")
+        .parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("toks")).as("tokens"),
+          countDistinct(col("lang"), col("bin")).as("n_bins"),
+          min_by(col("doc_id"), col("h")).as("first_doc"),
+          max_by(col("doc_id"), col("h")).as("last_doc"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${Dedup.clustersCteSql},
+      rankedq AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.cluster_id
+                 ORDER BY d.n_chars DESC, c.doc_id) AS rk
+        FROM clusters c JOIN documents d USING (doc_id)),
+      triq AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+              WHERE len(string_split(text, ' ')) >= 3)),
+      contamq AS (
+        SELECT c.doc_id
+        FROM (SELECT doc_id, gram FROM triq WHERE doc_id % 100 <> 7) c
+        JOIN (SELECT DISTINCT gram FROM triq WHERE doc_id % 100 = 7) p
+          USING (gram)
+        GROUP BY c.doc_id
+        HAVING count(DISTINCT c.gram) >= 3),
+      mq AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(ws) AS BIGINT) AS nw,
+               CAST(n_chars - (len(ws) - 1) AS BIGINT) AS m,
+               CAST(len(list_filter(ws, w -> w IN ${TextAnalysis.inList(TextAnalysis.stopEn)})) AS BIGINT) AS nstop
+        FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ws
+              FROM documents)),
+      sv AS (
+        SELECT doc_id, lang, n_chars, nw AS toks
+        FROM (
+          SELECT doc_id, lang, n_chars, nw,
+                 (2 * (8000 * least(nw, 50) * 8 * nw + 2400000 * nstop
+                       + 300000 * least(m, 8 * nw)) + 8 * nw)
+                   // (2 * 8 * nw) AS score,
+                 doc_id IN (SELECT doc_id FROM rankedq WHERE rk > 1)
+                   AS dup_dropped,
+                 doc_id IN (SELECT doc_id FROM contamq) AS contaminated
+          FROM mq) f
+        WHERE score >= 400000 AND nw >= 30 AND NOT dup_dropped
+          AND NOT contaminated AND doc_id % 100 <> 7),
+      pk AS (
+        SELECT doc_id, lang, n_chars, toks,
+               COALESCE(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS prior
+        FROM sv),
+      shq AS (
+        SELECT doc_id, lang, n_chars, toks,
+               CAST(prior // 2048 AS BIGINT) AS bin,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               CAST(strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                    AS BIGINT) - 1 AS shard
+        FROM pk)
+      SELECT shard,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(toks) AS BIGINT) AS tokens,
+             CAST(count(DISTINCT (lang, bin)) AS BIGINT) AS n_bins,
+             arg_min(doc_id, h) AS first_doc,
+             arg_max(doc_id, h) AS last_doc
+      FROM shq
+      GROUP BY shard
+      ORDER BY shard"""),
+  )
+
+  val all: Seq[Q] = Seq(p01, p02)
 }

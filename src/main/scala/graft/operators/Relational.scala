@@ -976,7 +976,7 @@ object Relational {
   /** Fixture tag (sf dir name, dots escaped) and warehouse root shared by
     * every prewarmed table — one derivation so a layout change can never
     * leave one prewarm writing to an old location. */
-  private def fixtureLoc(d: String): (String, String) = (
+  private[operators] def fixtureLoc(d: String): (String, String) = (
     new java.io.File(d).getName.replace('.', '_'),
     new java.io.File(
       sys.props("java.io.tmpdir"), "graft_warehouse").getAbsolutePath)
