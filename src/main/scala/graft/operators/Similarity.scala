@@ -317,16 +317,19 @@ object Similarity {
       val e = T.embeddings(s, d)
       val cent = e.orderBy(col("vec_id")).limit(8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      // argmin via min(struct(dist, cid)) — identical semantics to the
+      // row_number window (ties to lowest cid) but partial aggregation
+      // combines to one row per vec_id map-side: no per-vector sort, no
+      // 8× row inflation over the shuffle (the s07 posture).
       e.crossJoin(broadcast(cent))
         .select(
           col("vec_id"), col("cid"),
           (dot(s, col("embedding"), col("embedding"))
             + dot(s, col("cvec"), col("cvec"))
             - lit(2) * dot(s, col("embedding"), col("cvec"))).as("dist"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
         .groupBy(col("cid"))
         .agg(
           count(lit(1)).as("n_assigned"),

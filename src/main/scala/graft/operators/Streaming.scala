@@ -722,6 +722,67 @@ object Streaming {
       ORDER BY event_type"""),
   )
 
+  /** The store-maintenance tier on top of q46: stream the log into the
+    * [[graft.streaming.IdempotentSink]] in ~6 rate-limited microbatches,
+    * COMPACT the store (all but the newest 2 batch dirs fold into one
+    * ledgered `compacted=` segment), then aggregate what
+    * [[graft.streaming.IdempotentSink.readAll]] returns — so the oracle
+    * gates that consolidation neither lost, duplicated, nor reordered a
+    * single delivered row, while the in-query requires pin that
+    * compaction actually engaged (>2 microbatches ran; exactly one
+    * compacted segment exists; the batchId ledger still carries the full
+    * commit record). IdempotentSinkCompactionSpec separately proves
+    * replayed batchIds stay skipped after their dirs are absorbed; here
+    * the compacted store must equal the clean events table exactly. At
+    * 100 TB this is the nightly table-maintenance job every streaming
+    * lake runs — the query proves it is safe to run while the ledger
+    * keeps exactly-once. */
+  private val q66 = Q(
+    "q66_stream_store_compaction",
+    (s, d) => {
+      val log   = ensureLog(s, d, copies = 1)
+      val store = scratchDir("graft_store_compact")
+      val ckpt  = scratchDir("graft_ckpt_compact")
+      val sink  = new graft.streaming.IdempotentSink(store)
+      val limit = math.max(1L, T.events(s, d).count() / 6L)
+      val stream = s.readStream
+        .format("kinesislike")
+        .option("path", log)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", limit.toString)
+        .load()
+      val rows = parsed(stream)
+        .select(col("event_id"), col("event_type"), col("value"))
+      runForeachBatch(s, rows, ckpt, sink(_, _))
+      val before = sink.committedBatchIds
+      require(before.size > 2, s"need >2 microbatches to compact: $before")
+      sink.compact(s, keepLast = 2)
+      val segments = Option(new java.io.File(store).listFiles())
+        .getOrElse(Array.empty)
+        .count(_.getName.startsWith("compacted="))
+      require(segments == 1, s"compaction did not engage: $segments segments")
+      require(sink.committedBatchIds == before,
+        "compaction lost part of the batchId commit record")
+      sink.readAll(s)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+    // Same contract as q46: the (now compacted) store must hold exactly
+    // the clean events table.
+    Some("""
+      SELECT event_type, count(*) AS n,
+             min(event_id) AS min_event, max(event_id) AS max_event,
+             round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   /** Run a streaming DataFrame to completion (AvailableNow) through a
     * foreachBatch handler under the same state-partitioning and
     * serialization contract as [[runToMemory]] (see that scaladoc for
@@ -816,5 +877,6 @@ object Streaming {
       ORDER BY window_start, event_type"""),
   )
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61)
+  val all: Seq[Q] =
+    Seq(q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61, q66)
 }

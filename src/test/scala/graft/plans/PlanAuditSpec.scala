@@ -198,7 +198,7 @@ class PlanAuditSpec extends SparkSpec {
       "q36_stream_join", "q37_stream_sliding", "q38_stream_static_join",
       "q39_stream_custom_state", "q45_stream_dedup_bounded",
       "q46_stream_sink_exactly_once", "q56_stream_restart",
-      "q61_stream_outer_join")
+      "q61_stream_outer_join", "q66_stream_store_compaction")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(boundedBroadcastCross)
       .filterNot(streaming) // streaming plans are audited via their specs
