@@ -35,7 +35,7 @@ object Pipeline {
     val base = T.documents(s, d)
       .withColumn("ws", split(col("text"), " "))
       .selectExpr(
-        "doc_id", "lang", "n_chars",
+        "doc_id", "lang", "source", "n_chars",
         "CAST(size(ws) AS BIGINT) AS nw",
         "CAST(n_chars - (size(ws) - 1) AS BIGINT) AS m",
         s"CAST(size(filter(ws, w -> w IN ${TextAnalysis.inList(TextAnalysis.stopEn)})) AS BIGINT) AS nstop")
@@ -298,5 +298,88 @@ object Pipeline {
       ORDER BY shard"""),
   )
 
-  val all: Seq[Q] = Seq(p01, p02)
+  /** p03 — the per-source curation scorecard: the funnel's stage flags
+    * rolled up BY PROVENANCE instead of by stage, which is how a
+    * data-mixture owner actually consumes them — which sources are
+    * quality-poor, which are duplicate-heavy, which leak benchmark
+    * grams, and how many trainable chars each contributes after the
+    * full gate. Integer-exact throughout (counts + BIGINT sums of the
+    * scaled score; no float means), so the oracle is exact. Same jobs
+    * as p01 — one more k-source aggregate, no new shuffle of the
+    * corpus. */
+  private val p03 = Q(
+    "p03_source_scorecard",
+    (s, d) => {
+      stageFrame(s, d)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(when(!col("s2"), 1L)), lit(0L)).as("n_low_quality"),
+          coalesce(sum(when(coalesce(col("dup_dropped"), lit(false)), 1L)),
+            lit(0L)).as("n_dup_dropped"),
+          coalesce(sum(when(coalesce(col("contaminated"), lit(false)), 1L)),
+            lit(0L)).as("n_contaminated"),
+          coalesce(sum(when(col("s5"), 1L)), lit(0L)).as("n_surviving"),
+          coalesce(sum(when(col("s5"), col("n_chars"))), lit(0L))
+            .as("surviving_chars"),
+          sum(col("score_scaled")).as("sum_score"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${Dedup.clustersCteSql},
+      rankedq AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.cluster_id
+                 ORDER BY d.n_chars DESC, c.doc_id) AS rk
+        FROM clusters c JOIN documents d USING (doc_id)),
+      triq AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+              WHERE len(string_split(text, ' ')) >= 3)),
+      contamq AS (
+        SELECT c.doc_id
+        FROM (SELECT doc_id, gram FROM triq WHERE doc_id % 100 <> 7) c
+        JOIN (SELECT DISTINCT gram FROM triq WHERE doc_id % 100 = 7) p
+          USING (gram)
+        GROUP BY c.doc_id
+        HAVING count(DISTINCT c.gram) >= 3),
+      mq AS (
+        SELECT doc_id, source, n_chars,
+               CAST(len(ws) AS BIGINT) AS nw,
+               CAST(n_chars - (len(ws) - 1) AS BIGINT) AS m,
+               CAST(len(list_filter(ws, w -> w IN ${TextAnalysis.inList(TextAnalysis.stopEn)})) AS BIGINT) AS nstop
+        FROM (SELECT doc_id, source, n_chars, string_split(text, ' ') AS ws
+              FROM documents)),
+      flq AS (
+        SELECT doc_id, source, n_chars, nw,
+               (2 * (8000 * least(nw, 50) * 8 * nw + 2400000 * nstop
+                     + 300000 * least(m, 8 * nw)) + 8 * nw)
+                 // (2 * 8 * nw) AS score,
+               doc_id IN (SELECT doc_id FROM rankedq WHERE rk > 1)
+                 AS dup_dropped,
+               doc_id IN (SELECT doc_id FROM contamq) AS contaminated
+        FROM mq),
+      stq AS (
+        SELECT doc_id, source, n_chars, score, dup_dropped, contaminated,
+               (score >= 400000 AND nw >= 30 AND NOT dup_dropped
+                AND NOT contaminated AND doc_id % 100 <> 7) AS s5,
+               score >= 400000 AS s2
+        FROM flq)
+      SELECT source,
+             count(*) AS n_docs,
+             count(*) FILTER (NOT s2) AS n_low_quality,
+             count(*) FILTER (dup_dropped) AS n_dup_dropped,
+             count(*) FILTER (contaminated) AS n_contaminated,
+             count(*) FILTER (s5) AS n_surviving,
+             CAST(coalesce(sum(n_chars) FILTER (s5), 0) AS BIGINT)
+               AS surviving_chars,
+             CAST(sum(score) AS BIGINT) AS sum_score
+      FROM stq
+      GROUP BY source
+      ORDER BY source"""),
+  )
+
+  val all: Seq[Q] = Seq(p01, p02, p03)
 }

@@ -1913,9 +1913,65 @@ object Relational {
       ORDER BY l_returnflag, l_orderkey, l_linenumber"""),
   )
 
+  /** Exact stratified quantiles — the precise tier under q40's
+    * approx_percentile sketch, for the strata small enough to afford it
+    * (per-stratum calibration cuts, SLA percentiles, label-balance
+    * audits). Interpolating percentile functions differ in FP evaluation
+    * order across engines (lo + d·(hi−lo) vs (1−d)·lo + d·hi), so this
+    * uses DISCRETE quantiles selected by pure integer rank arithmetic:
+    * rank r(q) = ceil(q·n/100) over the per-stratum value order, value
+    * picked by an exact row_number match — the emitted doubles are raw
+    * stored values, bit-identical in any engine, no tolerance oracle
+    * needed. Tie order between equal values cannot change the picked
+    * VALUE (same multiset, same rank).
+    *
+    * Scale shape: ONE shuffle (the per-stratum sort the window needs);
+    * n arrives via a frame-less count over the same partitioning, so no
+    * second aggregate-and-join pass; the final pivot is a k-row
+    * aggregate. When a stratum stops fitting a partition, q40's sketch
+    * IS the scale path — this pair is the same exact/approx menu as
+    * q31/q40 and q26/q63. */
+  private val q67 = Q(
+    "q67_stratified_quantiles",
+    (s, d) => {
+      val byVal = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val all = Window.partitionBy(col("event_type"))
+      def rank(q: Int) = expr(s"(($q * n) + 99) div 100")
+      T.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rk", row_number().over(byVal))
+        .withColumn("n", count(lit(1)).over(all))
+        .groupBy(col("event_type"))
+        .agg(
+          max(col("n")).as("n"),
+          min(when(col("rk") === rank(25), col("value"))).as("p25"),
+          min(when(col("rk") === rank(50), col("value"))).as("p50"),
+          min(when(col("rk") === rank(90), col("value"))).as("p90"),
+          min(when(col("rk") === rank(99), col("value"))).as("p99"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+      SELECT event_type,
+             max(n) AS n,
+             min(value) FILTER (rk = ((25 * n) + 99) // 100) AS p25,
+             min(value) FILTER (rk = ((50 * n) + 99) // 100) AS p50,
+             min(value) FILTER (rk = ((90 * n) + 99) // 100) AS p90,
+             min(value) FILTER (rk = ((99 * n) + 99) // 100) AS p99
+      FROM ranked
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65)
+    q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67)
 }
