@@ -413,34 +413,47 @@ object Similarity {
     * centroid sets), so the corpus is scanned exactly twice — the
     * textbook two-pass distributed Lloyd iteration. Final stats joins
     * are k-row × k-row. */
+  /** The k=8 seed centroids (lowest vec_ids, promoted to double arrays)
+    * and their one-Lloyd-round update: E-step 0 via the min(struct)
+    * argmin keeping the vector for the M-step, then the per-(centroid,
+    * dimension) integer-ppm mean. Shared by s07 (which audits the
+    * movement) and s09 (which uses the updated centroids as the IVF
+    * coarse quantizer). */
+  private def lloydCentroids(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cent0 = e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("cid"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
+    // E-step 0, keeping the vector for the M-step: min over a struct
+    // whose (dist, cid) prefix decides before the rode-along embedding
+    // is ever compared.
+    val a0 = e.crossJoin(broadcast(cent0))
+      .select(col("vec_id"), col("cid"), col("embedding"), dist2.as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"), col("embedding"))).as("m"))
+      .select(col("m.cid").as("cid"), col("m.embedding").as("embedding"))
+    // M-step: per-(centroid, dimension) integer ppm sums.
+    val nsum = a0
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .groupBy(col("cid"), (col("p") + 1).as("i"))
+      .agg(
+        sum(floor(col("v").cast("double") * lit(1000000)).cast("long"))
+          .as("sv"),
+        count(lit(1)).as("n"))
+    val ncent = nsum
+      .withColumn("dm", col("sv").cast("double") / lit(1000000) / col("n"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("i"), col("dm")))).as("ps"))
+      .select(col("cid"), expr("transform(ps, q -> q.dm)").as("cvec"))
+    (cent0, ncent)
+  }
+
   private val s07 = Q(
     "s07_kmeans_mstep",
     (s, d) => {
       val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cent0 = e.orderBy(col("vec_id")).limit(8)
-        .select(col("vec_id").as("cid"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
-      // E-step 0, keeping the vector for the M-step: min over a struct
-      // whose (dist, cid) prefix decides before the rode-along embedding
-      // is ever compared.
-      val a0 = e.crossJoin(broadcast(cent0))
-        .select(col("vec_id"), col("cid"), col("embedding"), dist2.as("dist"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cid"), col("embedding"))).as("m"))
-        .select(col("m.cid").as("cid"), col("m.embedding").as("embedding"))
-      // M-step: per-(centroid, dimension) integer ppm sums.
-      val nsum = a0
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("p", "v")))
-        .groupBy(col("cid"), (col("p") + 1).as("i"))
-        .agg(
-          sum(floor(col("v").cast("double") * lit(1000000)).cast("long"))
-            .as("sv"),
-          count(lit(1)).as("n"))
-      val ncent = nsum
-        .withColumn("dm", col("sv").cast("double") / lit(1000000) / col("n"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("i"), col("dm")))).as("ps"))
-        .select(col("cid"), expr("transform(ps, q -> q.dm)").as("cvec"))
+      val (cent0, ncent) = lloydCentroids(s, d)
       // E-steps 0 and 1 in one slim aggregate over a round-tagged
       // broadcast union of both centroid sets.
       val tagged = cent0.withColumn("rnd", lit(0))
@@ -661,5 +674,124 @@ object Similarity {
     },
   )
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
+  /** IVF probe over a LEARNED coarse quantizer — the end-to-end index
+    * build s02's scaladoc points at: instead of the fixture `label`
+    * column standing in for cells, the cells ARE the one-Lloyd-round
+    * k-means centroids ([[lloydCentroids]], shared with s07). Corpus
+    * vectors are assigned to their nearest updated centroid (squared-L2
+    * argmin, the training metric), cells are ranked by centroid·query
+    * (the probe metric, rounded to 9 dp so summation noise cannot flip
+    * cell choice), the top nprobe=2 cells are probed, and the exact
+    * cosine rank runs only inside them. This is the faiss IVF-flat
+    * lifecycle — train, assign, probe — every stage under the oracle
+    * gate.
+    *
+    * Scale posture: identical to s02/s06 — centroids broadcast both
+    * times the corpus is scanned (assign, score), assignment reduces
+    * map-side via min(struct), the probed subset is partition-prunable
+    * when cells are stored as partitions, and the result is one 10-row
+    * TakeOrderedAndProject. */
+  private val s09 = Q(
+    "s09_ann_ivf_kmeans",
+    (s, d) => {
+      val e = T.embeddings(s, d)
+      val (_, ncent) = lloydCentroids(s, d)
+      val qRow = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      // Assign every non-query vector to its learned cell, carrying
+      // label + vector through the argmin payload.
+      val cells = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(ncent))
+        .select(col("vec_id"), col("label"), col("embedding"), col("cid"),
+          dist2.as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(
+          col("dist"), col("cid"), col("label"), col("embedding"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          col("m.label").as("label"), col("m.embedding").as("embedding"))
+      val crank = ncent.crossJoin(broadcast(qRow))
+        .select(col("cid"),
+          round(expr(
+            """aggregate(zip_with(cvec, qv, (x, y) -> x * CAST(y AS DOUBLE)),
+                         CAST(0 AS DOUBLE), (a, v) -> a + v)"""), 9).as("cd"))
+        .orderBy(col("cd").desc, col("cid"))
+        .limit(2)
+        .select(col("cid"))
+      cells
+        .join(broadcast(crank), "cid")
+        .crossJoin(broadcast(qRow))
+        .select(
+          col("vec_id"),
+          col("label"),
+          round(dot(s, col("embedding"), col("qv")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH cent0 AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+      p0 AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(e.embedding[i] AS DOUBLE)))
+             + list_sum(list_transform(range(1, 65),
+                 i -> c.cvec[i] * c.cvec[i]))
+             - 2 * list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) AS dist
+        FROM embeddings e CROSS JOIN cent0 c),
+      a0 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cid) AS rk
+          FROM p0) r WHERE rk = 1),
+      nsum AS (
+        SELECT a.cid, i,
+               CAST(sum(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000000)
+                 AS BIGINT)) AS BIGINT) AS sv,
+               count(*) AS n
+        FROM a0 a JOIN embeddings e USING (vec_id),
+             unnest(range(1, 65)) AS t(i)
+        GROUP BY a.cid, i),
+      ncent AS (
+        SELECT cid, list(CAST(sv AS DOUBLE) / 1000000 / n ORDER BY i) AS cvec
+        FROM nsum GROUP BY cid),
+      p1 AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(e.embedding[i] AS DOUBLE)))
+             + list_sum(list_transform(range(1, 65),
+                 i -> c.cvec[i] * c.cvec[i]))
+             - 2 * list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) AS dist
+        FROM embeddings e CROSS JOIN ncent c
+        WHERE e.vec_id <> 0),
+      cells AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, cid) AS rk
+          FROM p1) r WHERE rk = 1),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      crank AS (
+        SELECT c.cid,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> c.cvec[i] * CAST(q.qv[i] AS DOUBLE))), 9) AS cd
+        FROM ncent c, q
+        ORDER BY cd DESC, c.cid
+        LIMIT 2)
+      SELECT e.vec_id, e.label,
+             round(list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE)
+                  * CAST(q.qv[i] AS DOUBLE))), 6) AS cosine
+      FROM cells JOIN crank USING (cid)
+           JOIN embeddings e USING (vec_id), q
+      ORDER BY cosine DESC, e.vec_id
+      LIMIT 10"""),
+  )
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
 }

@@ -192,7 +192,7 @@ class PlanAuditSpec extends SparkSpec {
     val boundedBroadcastCross = Set(
       "s01_ann_brute_topk", "s02_ann_ivf", "s03_ann_join", "s04_ann_lsh",
       "s06_kmeans_assign", "s07_kmeans_mstep", "s08_ann_recall",
-      "t06_tfidf")
+      "s09_ann_ivf_kmeans", "t06_tfidf")
     val streaming = Set(
       "q28_stream_window", "q29_stream_dedup", "q30_stream_session",
       "q36_stream_join", "q37_stream_sliding", "q38_stream_static_join",
