@@ -4,6 +4,25 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Guard: a raw TimestampType output column (top-level or nested) is
+    * always a latent schema/hash mismatch — Spark's parquet dump is
+    * UTC-adjusted (DuckDB reads TIMESTAMPTZ) while oracle timestamps
+    * are naive. House convention is date_format(...) to a string
+    * (q28/q56/q58). Returns the offending top-level column names. */
+  private[graft] def rawTimestampColumns(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    def hasTs(dt: DataType): Boolean = dt match {
+      case _: TimestampType => true
+      case s: StructType    => s.fields.exists(f => hasTs(f.dataType))
+      case a: ArrayType     => hasTs(a.elementType)
+      case m: MapType       => hasTs(m.keyType) || hasTs(m.valueType)
+      case _                => false
+    }
+    schema.fields.collect { case f if hasTs(f.dataType) => f.name }.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [queryName...] — trailing names (a local-dev
     // convenience) restrict the dump to those queries; the driver's
@@ -28,21 +47,7 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        // Guard: a raw TimestampType output column is always a latent
-        // schema/hash mismatch — Spark's parquet dump is UTC-adjusted
-        // (DuckDB reads TIMESTAMPTZ) while oracle timestamps are naive.
-        // House convention is date_format(...) to a string (q28/q56/q58).
-        import org.apache.spark.sql.types._
-        def hasTs(dt: DataType): Boolean = dt match {
-          case _: TimestampType      => true
-          case s: StructType         => s.fields.exists(f => hasTs(f.dataType))
-          case a: ArrayType          => hasTs(a.elementType)
-          case m: MapType            => hasTs(m.keyType) || hasTs(m.valueType)
-          case _                     => false
-        }
-        val rawTs = df.schema.fields.collect {
-          case f if hasTs(f.dataType) => f.name
-        }
+        val rawTs = rawTimestampColumns(df.schema)
         if (rawTs.nonEmpty) throw new IllegalStateException(
           s"query emits raw TimestampType column(s) ${rawTs.mkString(",")}" +
             "; date_format them to strings (see q58)")

@@ -181,6 +181,26 @@ class PlanAuditSpec extends SparkSpec {
       s"probe side did not broadcast:\n$p")
   }
 
+  test("q67: the stratified-quantile aggregate reuses the window's " +
+    "hash partitioning — one hash shuffle, not two") {
+    // Exchanges are inserted by EnsureRequirements, so audit the
+    // executed plan (not sparkPlan).
+    val p = SparkEntry.queries("q67_stratified_quantiles")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected the groupBy to ride the window's partitioning:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("s09: learned-quantizer IVF probe hash-broadcasts the probed-cell " +
+    "join and plans the top-10 as TakeOrderedAndProject") {
+    val p = plan("s09_ann_ivf_kmeans")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
