@@ -197,30 +197,48 @@ object Pipeline {
     * maxRecordsPerFile=10 is fixture-sized (multi-file shards at
     * sf0.001 so the layout assertions bite); production sets it to a
     * target file size. */
+  /** The p02 write itself: pack the surviving corpus and (over)write the
+    * 16-shard tree. Returns the tree root. */
+  private def writeShardTree(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val packed = stageFrame(s, d)
+      .filter(col("s5"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("nw").as("toks"))
+      .withColumn("prior", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("bin", expr("prior div 2048"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("shard", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10) AS BIGINT)"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("toks"),
+        col("bin"), col("h"), col("shard"))
+    val path = shardPath(d)
+    packed
+      .repartition(16, col("shard"))
+      .sortWithinPartitions(col("shard"), col("h"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 10)
+      .partitionBy("shard")
+      .parquet(path)
+    path
+  }
+
+  /** Build the shard tree only if absent — the consumer-side entry
+    * (p04 must be runnable standalone; the registered p02 always
+    * rewrites because the WRITE is what it measures). */
+  private def ensureShardTree(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = shardPath(d)
+    if (!new java.io.File(path, "_SUCCESS").exists()) writeShardTree(s, d)
+    path
+  }
+
   private val p02 = Q(
     "p02_training_shards",
     (s, d) => {
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-      val packed = stageFrame(s, d)
-        .filter(col("s5"))
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          col("nw").as("toks"))
-        .withColumn("prior", coalesce(sum(col("toks")).over(w), lit(0L)))
-        .withColumn("bin", expr("prior div 2048"))
-        .withColumn("h", md5(col("doc_id").cast("string")))
-        .withColumn("shard", expr(
-          "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10) AS BIGINT)"))
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("toks"),
-          col("bin"), col("h"), col("shard"))
-      val path = shardPath(d)
-      packed
-        .repartition(16, col("shard"))
-        .sortWithinPartitions(col("shard"), col("h"))
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", 10)
-        .partitionBy("shard")
-        .parquet(path)
+      val path = writeShardTree(s, d)
       s.read.parquet(path)
         .groupBy(col("shard").cast("long").as("shard"))
         .agg(
@@ -381,5 +399,83 @@ object Pipeline {
       ORDER BY source"""),
   )
 
-  val all: Seq[Q] = Seq(p01, p02, p03)
+  /** p04 — the consumer side of p02: resume training from one shard.
+    * A trainer restarting at shard 7 reads ONLY `shard=7/` — the filter
+    * binds to the partition column, so directory pruning (asserted in
+    * PlanAuditSpec: PartitionFilters carries `shard = 7`) skips the
+    * other 15/16ths of the tree without listing their files — and
+    * replays the shard's documents in the deterministic md5 training
+    * order p02 wrote them in. The oracle recomputes the same manifest
+    * from the raw tables, so a green row proves the written artifact IS
+    * the pipeline's output: curation, packing, shard routing, and order
+    * all survive the filesystem round trip. At 100 TB this directory
+    * prune plus the within-shard file-range prune (footer min/max on h,
+    * TrainingShardLayoutSpec) is what makes a mid-run restart O(shard),
+    * not O(corpus). */
+  private val p04 = Q(
+    "p04_shard_reader",
+    (s, d) => {
+      val path = ensureShardTree(s, d)
+      s.read.parquet(path)
+        .filter(col("shard") === 7)
+        .select(col("doc_id"), col("lang"), col("bin"), col("h"))
+        .orderBy(col("h"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${Dedup.clustersCteSql},
+      rankedq AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.cluster_id
+                 ORDER BY d.n_chars DESC, c.doc_id) AS rk
+        FROM clusters c JOIN documents d USING (doc_id)),
+      triq AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+              WHERE len(string_split(text, ' ')) >= 3)),
+      contamq AS (
+        SELECT c.doc_id
+        FROM (SELECT doc_id, gram FROM triq WHERE doc_id % 100 <> 7) c
+        JOIN (SELECT DISTINCT gram FROM triq WHERE doc_id % 100 = 7) p
+          USING (gram)
+        GROUP BY c.doc_id
+        HAVING count(DISTINCT c.gram) >= 3),
+      mq AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(ws) AS BIGINT) AS nw,
+               CAST(n_chars - (len(ws) - 1) AS BIGINT) AS m,
+               CAST(len(list_filter(ws, w -> w IN ${TextAnalysis.inList(TextAnalysis.stopEn)})) AS BIGINT) AS nstop
+        FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ws
+              FROM documents)),
+      sv AS (
+        SELECT doc_id, lang, nw AS toks
+        FROM (
+          SELECT doc_id, lang, nw,
+                 (2 * (8000 * least(nw, 50) * 8 * nw + 2400000 * nstop
+                       + 300000 * least(m, 8 * nw)) + 8 * nw)
+                   // (2 * 8 * nw) AS score,
+                 doc_id IN (SELECT doc_id FROM rankedq WHERE rk > 1)
+                   AS dup_dropped,
+                 doc_id IN (SELECT doc_id FROM contamq) AS contaminated
+          FROM mq) f
+        WHERE score >= 400000 AND nw >= 30 AND NOT dup_dropped
+          AND NOT contaminated AND doc_id % 100 <> 7),
+      pk AS (
+        SELECT doc_id, lang, toks,
+               COALESCE(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS prior
+        FROM sv)
+      SELECT doc_id, lang,
+             CAST(prior // 2048 AS BIGINT) AS bin,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM pk
+      WHERE CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                 AS BIGINT) - 1 = 7
+      ORDER BY h"""),
+  )
+
+  val all: Seq[Q] = Seq(p01, p02, p03, p04)
 }

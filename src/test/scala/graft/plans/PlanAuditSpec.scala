@@ -201,6 +201,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("p04: the shard filter prunes partitions at the scan — a trainer " +
+    "restart reads one directory, not the tree") {
+    val p = plan("p04_shard_reader")
+    assert(p.contains("PartitionFilters"), p)
+    assert("PartitionFilters: \\[[^\\]]*shard[^\\]]*= 7".r
+      .findFirstIn(p).isDefined,
+      s"shard predicate did not reach PartitionFilters:\n$p")
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
