@@ -1969,9 +1969,47 @@ object Relational {
       ORDER BY event_type"""),
   )
 
+  /** Sparse-domain exact distinct via the paged (roaring-style) bitmap
+    * aggregate — the 64-bit sibling q47's dense bitmap cannot serve
+    * (its require caps ids at 2^30). The counted key is a composite
+    * (user_id, epoch-week) packed injectively into one long
+    * (user << 40 | week): weekly-active dedup, the shape engagement
+    * pipelines aggregate at 100 TB, where the id space is inherently
+    * sparse (each user's weeks share one 2^16 page as a tiny array
+    * container — ~8 bytes per entry, not a dense bitmap's id/8). Same
+    * map-side page-union contract as q47: partial buffers OR on the
+    * wire, never the distinct values themselves.
+    * PagedBitmapDistinctSpec covers the container algebra (array →
+    * bitmap upgrade at break-even, cross-kind merges); the oracle
+    * gates the end-to-end counts. */
+  private val q68 = Q(
+    "q68_distinct_sparse_bitmap",
+    (s, d) => {
+      val pagedDistinct = udaf(graft.functions.PagedBitmapDistinct)
+      T.events(s, d)
+        .select(col("event_type"),
+          (shiftleft(col("user_id"), 40) +
+            expr("unix_timestamp(ts) div 604800")).as("uw"))
+        .groupBy(col("event_type"))
+        .agg(
+          pagedDistinct(col("uw")).as("weekly_active"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+             count(DISTINCT (user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 604800)) AS weekly_active,
+             count(*) AS n
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67)
+    q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
+    q68)
 }
