@@ -2006,10 +2006,224 @@ object Relational {
       ORDER BY event_type"""),
   )
 
+  /** Two-snapshot reconciliation — the FULL OUTER join shape the batch
+    * surface was missing (q03–q07 cover inner/semi/anti/range; q61 covers
+    * streaming outer). Revenue per customer seen by the order system is
+    * reconciled against revenue per user seen by the event stream: keys on
+    * either side only, presence flags, zero-coalesced totals. This is the
+    * nightly "do the two systems agree" audit every ingest pipeline runs.
+    *
+    * Scale shape: both sides pre-aggregate to one row per key BEFORE the
+    * join (partial aggregation map-side), so the full-outer shuffle
+    * carries two key-sized relations, not the fact tables. */
+  private val q69 = Q(
+    "q69_full_outer_reconcile",
+    (s, d) => {
+      val a = T.orders(s, d)
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(
+          round(sum(col("o_totalprice")), 2).as("order_total"),
+          count(lit(1)).as("n_orders"))
+      val b = T.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("cust"))
+        .agg(
+          round(sum(col("value")), 2).as("purchase_total"),
+          count(lit(1)).as("n_purchases"))
+      a.join(b, Seq("cust"), "full_outer")
+        .select(
+          col("cust"),
+          col("order_total").isNotNull.as("in_orders"),
+          col("purchase_total").isNotNull.as("in_events"),
+          coalesce(col("order_total"), lit(0.0)).as("order_total"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("purchase_total"), lit(0.0)).as("purchase_total"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy(col("cust"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT o_custkey AS cust, round(sum(o_totalprice), 2) AS order_total,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1),
+      b AS (
+        SELECT user_id AS cust, round(sum(value), 2) AS purchase_total,
+               count(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT coalesce(a.cust, b.cust) AS cust,
+             a.order_total IS NOT NULL AS in_orders,
+             b.purchase_total IS NOT NULL AS in_events,
+             coalesce(a.order_total, 0.0) AS order_total,
+             coalesce(a.n_orders, 0) AS n_orders,
+             coalesce(b.purchase_total, 0.0) AS purchase_total,
+             coalesce(b.n_purchases, 0) AS n_purchases
+      FROM a FULL OUTER JOIN b ON a.cust = b.cust
+      ORDER BY cust"""),
+  )
+
+  /** Date-spine densification + forward fill — reporting pipelines need
+    * every calendar day present, gaps carried forward (dashboards, SLO
+    * burn-downs, training-data day-mix audits). The spine is generated
+    * with sequence()/explode from a one-row bounds aggregate (never a
+    * driver-side loop); missing days get the last observed revenue via
+    * an ignore-nulls window, leading gaps zero-coalesced.
+    *
+    * Scale note: the fill window is a single global ORDER BY day — bounded
+    * by CALENDAR DAYS (365/year), independent of fact volume, so the one
+    * partition it runs in holds the spine, not the data. The daily
+    * aggregate underneath shuffles on day as usual. */
+  private val q70 = Q(
+    "q70_gap_fill_spine",
+    (s, d) => {
+      val e = T.events(s, d)
+      val daily = e.filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("revenue"))
+      val spine = e
+        .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+        .select(explode(expr("sequence(lo, hi)")).as("day"))
+      val fill = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("day"), "left")
+        .withColumn("was_gap", col("revenue").isNull)
+        .withColumn(
+          "revenue_filled",
+          coalesce(last(col("revenue"), ignoreNulls = true).over(fill), lit(0.0)))
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("was_gap"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"),
+          col("revenue_filled"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        FROM events),
+      spine AS (
+        SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                 CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b),
+      daily AS (
+        SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS revenue
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT strftime(s.day, '%Y-%m-%d') AS day,
+             d.revenue IS NULL AS was_gap,
+             coalesce(d.revenue, 0.0) AS revenue,
+             coalesce(last_value(d.revenue IGNORE NULLS) OVER (
+               ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+               AS revenue_filled
+      FROM spine s LEFT JOIN daily d USING (day)
+      ORDER BY day"""),
+  )
+
+  /** Wide-to-long melt via Dataset.unpivot — the inverse of q34's pivot,
+    * closing the reshape pair. Status totals are zero-coalesced BEFORE the
+    * melt so both engines agree on rows regardless of how each treats
+    * NULL measures under UNPIVOT (SQL UNPIVOT drops them; melt keeps
+    * them). Map-only on top of a tiny pivoted aggregate. */
+  private val q71 = Q(
+    "q71_unpivot_melt",
+    (s, d) => {
+      val wide = T.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F"), lit(0.0)).as("total_f"),
+          coalesce(col("O"), lit(0.0)).as("total_o"),
+          coalesce(col("P"), lit(0.0)).as("total_p"))
+      wide.unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("total_f"), col("total_o"), col("total_p")),
+          "status", "total")
+        .select(
+          col("o_orderpriority"),
+          // the melted variable is the source column name total_<s>;
+          // surface the status letter itself
+          upper(substring(col("status"), 7, 1)).as("status"),
+          col("total"))
+        .orderBy(col("o_orderpriority"), col("status"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT o_orderpriority,
+               coalesce(round(sum(CASE WHEN o_orderstatus = 'F'
+                 THEN o_totalprice END), 2), 0.0) AS total_f,
+               coalesce(round(sum(CASE WHEN o_orderstatus = 'O'
+                 THEN o_totalprice END), 2), 0.0) AS total_o,
+               coalesce(round(sum(CASE WHEN o_orderstatus = 'P'
+                 THEN o_totalprice END), 2), 0.0) AS total_p
+        FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority, 'F' AS status, total_f AS total FROM p
+      UNION ALL
+      SELECT o_orderpriority, 'O' AS status, total_o AS total FROM p
+      UNION ALL
+      SELECT o_orderpriority, 'P' AS status, total_p AS total FROM p
+      ORDER BY o_orderpriority, status"""),
+  )
+
+  /** Interval join via bin expansion — the 100 TB scale path for pure
+    * range predicates. q07's range join carries a user_id equi-key, so
+    * SMJ applies; a PURE interval predicate (event time inside overlapping
+    * report windows) has no equi-key and degenerates to a nested loop when
+    * both sides are large. The classic fix: quantize time into fixed bins,
+    * expand each window to the bins it covers (sequence/explode), tag each
+    * event with its single bin, equi-join on bin, refine with the exact
+    * predicate. Every (event, window) pair surfaces exactly once — the
+    * event owns one bin — so no post-join dedup is needed. The join is a
+    * plain hash/SMJ on bin at any scale; bin width trades expansion factor
+    * (window_len/bin + 1 rows per window) against per-bin selectivity.
+    * Windows here: 6-hourly starts, 1-day length (4× overlap). */
+  private val q72 = Q(
+    "q72_interval_join_binned",
+    (s, d) => {
+      val binSec = 21600L // 6 h grid = the window stride
+      val e = T.events(s, d)
+      val windows = e
+        .agg(date_trunc("day", min(col("ts"))).as("lo"), max(col("ts")).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 6 hours)")).as("w_start"))
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 1 DAY"))
+        .withColumn(
+          "bin",
+          explode(expr(
+            s"sequence(unix_timestamp(w_start) div $binSec, (unix_timestamp(w_end) - 1) div $binSec)")))
+      val probe = e
+        .select(col("ts"), col("value"))
+        .withColumn("bin", expr(s"unix_timestamp(ts) div $binSec"))
+      probe.join(windows, Seq("bin"))
+        .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .groupBy(col("w_start"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(
+          date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("n_events"),
+          col("total_value"))
+        .orderBy(col("w_start"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT date_trunc('day', min(ts)) AS lo, max(ts) AS hi FROM events),
+      w AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS w_start
+        FROM b)
+      SELECT strftime(w.w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+             count(*) AS n_events,
+             round(sum(e.value), 2) AS total_value
+      FROM w JOIN events e
+        ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 1 DAY
+      GROUP BY w.w_start
+      ORDER BY w.w_start"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
-    q68)
+    q68, q69, q70, q71, q72)
 }

@@ -210,6 +210,26 @@ class PlanAuditSpec extends SparkSpec {
       s"shard predicate did not reach PartitionFilters:\n$p")
   }
 
+  test("q69: the reconcile join is a FULL OUTER on the key (broadcast " +
+    "cannot serve full-outer, so this must shuffle both key-sized sides)") {
+    val p = plan("q69_full_outer_reconcile")
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q72: the binned interval join stays an equi join on bin with " +
+    "broadcast off — the shape a pure range predicate cannot reach") {
+    val key  = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("q72_interval_join_binned")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
