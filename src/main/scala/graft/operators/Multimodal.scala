@@ -331,5 +331,91 @@ object Multimodal {
       ORDER BY doc_id, frame_idx"""),
   )
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05)
+  /** Multimodal sequence packing — t11's fixed-context binning extended
+    * to samples whose token cost mixes modalities: a sample charges its
+    * text tokens PLUS its media tokens, where media cost follows the
+    * modality (image → 16 px patch grid; audio → 80 ms frames; video →
+    * coarser 32 px grid × 4 sampled frames, m03's rate). Dims/durations
+    * are m01's derived metadata, so the packer and the metadata extractor
+    * cannot drift. Bins are 8192-token contexts packed per modality
+    * stream in doc_id order; all arithmetic is integer (`div`, ceil via
+    * (x+k-1) div k) so both engines place every sample identically.
+    *
+    * Scale shape: map-only costing, one per-stream window cumsum
+    * (streams pack in parallel across the cluster), k-bin rollup —
+    * identical posture to t11. */
+  private val m06 = Q(
+    "m06_multimodal_packing",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("media_type")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      T.documents(s, d)
+        .selectExpr(
+          "doc_id",
+          """CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS media_type""",
+          "CAST(size(split(text, ' ')) AS BIGINT) AS text_toks",
+          s"CAST($WidthExpr AS BIGINT) AS w0",
+          s"CAST($HeightExpr AS BIGINT) AS h0",
+          "CAST(n_chars * 7 AS BIGINT) AS dur_ms")
+        .withColumn(
+          "media_toks",
+          expr("""CASE media_type
+                    WHEN 'image' THEN ((w0 + 15) div 16) * ((h0 + 15) div 16)
+                    WHEN 'audio' THEN dur_ms div 80
+                    ELSE ((w0 + 31) div 32) * ((h0 + 31) div 32) * 4
+                  END"""))
+        .withColumn("toks", col("text_toks") + col("media_toks"))
+        .withColumn("prior", coalesce(sum(col("toks")).over(w), lit(0L)))
+        .withColumn("bin", expr("prior div 8192"))
+        .groupBy(col("media_type"), col("bin"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("text_toks")).cast("bigint").as("text_tokens"),
+          sum(col("media_toks")).cast("bigint").as("media_tokens"),
+          sum(col("toks")).cast("bigint").as("tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("media_type"), col("bin"))
+    },
+    Some(s"""
+      WITH sized AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS text_toks,
+               CAST($WidthExpr AS BIGINT) AS w0,
+               CAST($HeightExpr AS BIGINT) AS h0,
+               CAST(n_chars * 7 AS BIGINT) AS dur_ms
+        FROM documents),
+      costed AS (
+        SELECT doc_id, media_type, text_toks,
+               CASE media_type
+                 WHEN 'image' THEN ((w0 + 15) // 16) * ((h0 + 15) // 16)
+                 WHEN 'audio' THEN dur_ms // 80
+                 ELSE ((w0 + 31) // 32) * ((h0 + 31) // 32) * 4
+               END AS media_toks
+        FROM sized),
+      placed AS (
+        SELECT doc_id, media_type, text_toks, media_toks,
+               text_toks + media_toks AS toks,
+               COALESCE(sum(text_toks + media_toks) OVER (
+                 PARTITION BY media_type ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS prior
+        FROM costed)
+      SELECT media_type, CAST(prior // 8192 AS BIGINT) AS bin,
+             count(*) AS n_docs,
+             CAST(sum(text_toks) AS BIGINT) AS text_tokens,
+             CAST(sum(media_toks) AS BIGINT) AS media_tokens,
+             CAST(sum(toks) AS BIGINT) AS tokens,
+             min(doc_id) AS first_doc,
+             max(doc_id) AS last_doc
+      FROM placed
+      GROUP BY 1, 2
+      ORDER BY media_type, bin"""),
+  )
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
 }

@@ -477,5 +477,83 @@ object Pipeline {
       ORDER BY h"""),
   )
 
-  val all: Seq[Q] = Seq(p01, p02, p03, p04)
+  /** Temperature-weighted mixture sampling — the step that turns a
+    * curated multi-source corpus into a TRAINING MIX. Uniform sampling
+    * lets the biggest crawl drown the small high-quality sources;
+    * full balancing starves the big ones. The standard compromise is
+    * rate ∝ count^α (α = 1/2 here, the sqrt mix): per-source sampling
+    * weight w = isqrt(count), document kept iff
+    * u24 · Σw < w · 2²⁴, where u24 is the first 6 md5 nibbles of its
+    * doc_id — q55's deterministic hash gate generalized to PER-SOURCE
+    * rates with pure integer threshold arithmetic, so both engines
+    * select the identical row set (isqrt = floor of the correctly
+    * rounded IEEE sqrt, exact for any count < 2⁵²; no double ratio is
+    * ever compared). Emits the per-source scorecard: population, weight,
+    * realized ppm rate, sampled docs/chars.
+    *
+    * Scale shape: the weight table is one tiny aggregate broadcast back
+    * onto the corpus; the keep decision is map-only per document; the
+    * scorecard is a k-source rollup. At 100 TB this is one scan + one
+    * k-row shuffle. */
+  private val p05 = Q(
+    "p05_mixture_sample",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val wts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("w", expr("CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT)"))
+      val tot = wts.agg(sum(col("w")).as("tw"))
+      val weighted = wts.crossJoin(broadcast(tot))
+      val sampled = docs
+        .join(broadcast(weighted), Seq("source"))
+        .withColumn(
+          "u24",
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)"))
+        .filter(col("u24") * col("tw") < col("w") * lit(16777216L))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).cast("long").as("chars_sampled"))
+      weighted
+        .join(sampled, Seq("source"), "left")
+        .select(
+          col("source"),
+          col("cnt"),
+          col("w"),
+          expr("(w * 1000000) div tw").as("rate_ppm"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("chars_sampled"), lit(0L)).as("chars_sampled"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH wts AS (
+        SELECT source, count(*) AS cnt,
+               CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wts),
+      samp AS (
+        SELECT d.source, d.n_chars
+        FROM documents d
+        JOIN wts USING (source)
+        CROSS JOIN tot
+        WHERE CAST(list_sum(list_transform(range(1, 7),
+                i -> (strpos('0123456789abcdef',
+                       substr(md5(CAST(d.doc_id AS VARCHAR)), i, 1)) - 1)
+                     * 16 ** (6 - i))) AS BIGINT) * tot.tw
+              < wts.w * 16777216),
+      agg AS (
+        SELECT source, count(*) AS n_sampled,
+               CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+        FROM samp GROUP BY source)
+      SELECT w.source, w.cnt, w.w,
+             (w.w * 1000000) // t.tw AS rate_ppm,
+             coalesce(a.n_sampled, 0) AS n_sampled,
+             coalesce(a.chars_sampled, 0) AS chars_sampled
+      FROM wts w
+      CROSS JOIN tot t
+      LEFT JOIN agg a USING (source)
+      ORDER BY w.source"""),
+  )
+
+  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05)
 }

@@ -793,5 +793,80 @@ object Similarity {
       LIMIT 10"""),
   )
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
+  /** Two-stage retrieval: int8 prescreen → exact rerank — the production
+    * ANN serving pattern s05's quantization exists FOR. Stage 1 scores
+    * every corpus vector against the query in the s05 int8 domain
+    * (floor-absmax per vector, so the integer dot product is
+    * bit-identical in any engine) and keeps the top-50 candidates —
+    * map-only math into a bounded TakeOrdered heap, the memory-bandwidth
+    * win (4× smaller vectors) that makes the full scan affordable at
+    * scale. Stage 2 re-ranks only those 50 with the exact float cosine
+    * and emits the top-10, carrying both scores so the rerank's
+    * reordering is visible in the output.
+    *
+    * Scale shape: stage 1 never shuffles the corpus (broadcast 1-row
+    * query, partial top-50 per partition); stage 2 runs on 50 rows.
+    * s08's recall methodology applies unchanged if the prescreen width
+    * needs tuning. */
+  private val s10 = Q(
+    "s10_ann_rerank",
+    (s, d) => {
+      val e = T.embeddings(s, d)
+        .withColumn(
+          "maxabs",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .filter(col("maxabs") > 0)
+        .withColumn(
+          "qv",
+          expr("transform(embedding, " +
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT))"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("qv").as("q_qv"))
+      val cand = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn(
+          "idot",
+          expr("aggregate(zip_with(qv, q_qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        .orderBy(col("idot").desc, col("vec_id"))
+        .limit(50)
+      cand
+        .select(
+          col("vec_id"),
+          col("label"),
+          col("idot"),
+          round(dot(s, col("embedding"), col("q_emb")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH m AS (
+        SELECT vec_id, label, embedding,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        FROM embeddings),
+      qz AS (
+        SELECT vec_id, label, embedding,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs)
+                      AS BIGINT)) AS qv
+        FROM m WHERE maxabs > 0),
+      q AS (SELECT embedding AS q_emb, qv AS q_qv FROM qz WHERE vec_id = 0),
+      cand AS (
+        SELECT c.vec_id, c.label, c.embedding,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> c.qv[i] * q.q_qv[i])) AS BIGINT) AS idot
+        FROM qz c, q
+        WHERE c.vec_id <> 0
+        ORDER BY idot DESC, c.vec_id
+        LIMIT 50)
+      SELECT c.vec_id, c.label, c.idot,
+             round(list_sum(list_transform(range(1, 65),
+               i -> CAST(c.embedding[i] AS DOUBLE)
+                  * CAST(q.q_emb[i] AS DOUBLE))), 6) AS cosine
+      FROM cand c, q
+      ORDER BY cosine DESC, c.vec_id
+      LIMIT 10"""),
+  )
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
 }

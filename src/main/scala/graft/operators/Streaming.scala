@@ -877,6 +877,126 @@ object Streaming {
       ORDER BY window_start, event_type"""),
   )
 
+  /** Per-user per-type stats processor for q73 — the Spark 4
+    * transformWithState API (the arbitrary-state tier ABOVE q39's
+    * flatMapGroupsWithState): multiple named typed state variables per
+    * key (a MapState for the per-type rollup, ValueStates for the
+    * last-event clock and the registered timer) and EXPLICIT event-time
+    * timers instead of fMGWS's single implicit timeout. Flush fires 1 h
+    * of event time after the user's last event; the registered timer is
+    * replaced (deleteTimer + registerTimer) whenever new data arrives, so
+    * exactly one flush emits per user, carrying every map entry. */
+  private final class UserTypeStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, java.sql.Timestamp, Double), (Long, String, Long, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig}
+    import org.apache.spark.sql.{Encoder, Encoders}
+
+    @transient private var byType: org.apache.spark.sql.streaming.MapState[String, (Long, Double)] = _
+    @transient private var timerMs: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var lastMs: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val tup: Encoder[(Long, Double)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+      byType = getHandle.getMapState("byType", Encoders.STRING, tup, TTLConfig.NONE)
+      timerMs = getHandle.getValueState("timerMs", Encoders.scalaLong, TTLConfig.NONE)
+      lastMs = getHandle.getValueState("lastMs", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, String, java.sql.Timestamp, Double)],
+        timers: TimerValues): Iterator[(Long, String, Long, Double)] = {
+      var last = if (lastMs.exists()) lastMs.get() else 0L
+      rows.foreach { case (_, tpe, ts, v) =>
+        val (n, sum) =
+          if (byType.containsKey(tpe)) byType.getValue(tpe) else (0L, 0.0)
+        byType.updateValue(tpe, (n + 1, sum + v))
+        if (ts.getTime > last) last = ts.getTime
+      }
+      lastMs.update(last)
+      // One live timer per key: replace, never accumulate (a stale timer
+      // would flush mid-stream). Never at-or-behind the current
+      // watermark — Spark accepts only future expirations.
+      val next = math.max(last + 3600L * 1000L, timers.getCurrentWatermarkInMs + 1)
+      if (timerMs.exists()) getHandle.deleteTimer(timerMs.get())
+      getHandle.registerTimer(next)
+      timerMs.update(next)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        user: Long,
+        timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[(Long, String, Long, Double)] = {
+      val out = byType.iterator().map { case (tpe, (n, sum)) =>
+        (user, tpe, n, sum)
+      }.toVector
+      byType.clear(); timerMs.clear(); lastMs.clear()
+      out.iterator
+    }
+  }
+
+  /** Streaming per-user/per-type rollup on transformWithState — the
+    * Spark 4 arbitrary-state API exercised end-to-end under the oracle
+    * gate: RocksDB state store (the only provider that serves TWS),
+    * MapState + two ValueStates per key, and explicit event-time timers
+    * whose expiry emits the rollup once all of a user's data is behind
+    * the watermark. The q30 sentinel record drives the final watermark
+    * 30 days past the last real event so every timer fires inside the
+    * AvailableNow run; the sentinel user itself is dropped at the sink.
+    *
+    * Scale posture: state is per-(user, seen-types) — bounded by the
+    * live-key working set, evicted at flush; RocksDB keeps it off-heap,
+    * which is exactly the 100 TB posture (state >> executor heap). */
+  private val q73 = Q(
+    "q73_stream_transform_with_state",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val log = ensureLog(s, d, copies = 1, sentinel = true)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      val out =
+        try {
+          s.conf.set(provKey,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val stream = s.readStream
+            .format("kinesislike")
+            .option("path", log)
+            .option("startingPosition", "trim_horizon")
+            .load()
+          val ev = parsed(stream)
+            .withWatermark("ts", "1 second")
+            .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+            .as[(Long, String, java.sql.Timestamp, Double)]
+          val flushed = ev
+            .groupByKey(_._1)
+            .transformWithState(
+              new UserTypeStatsProcessor, TimeMode.EventTime(), OutputMode.Append())
+            .toDF("user_id", "event_type", "n", "sum_value")
+          runToMemory(s, flushed, "append")
+        } finally prev match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None    => s.conf.unset(provKey)
+        }
+      out
+        .filter(col("user_id") >= 0)
+        .select(
+          col("user_id"),
+          col("event_type"),
+          col("n"),
+          round(col("sum_value"), 2).as("total_value"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""
+      SELECT user_id, event_type, count(*) AS n,
+             round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY user_id, event_type
+      ORDER BY user_id, event_type"""),
+  )
+
   val all: Seq[Q] =
-    Seq(q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61, q66)
+    Seq(q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61, q66, q73)
 }

@@ -23,55 +23,70 @@ object TextAnalysis {
   private[operators] def inList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  /** Language ID: stopword-hit-ratio per language wordlist, argmax with a
-    * fixed preference order on ties (word-soup fixtures tie at 0 for the
-    * non-en lists, so this degenerates deterministically — the mechanism
-    * is what's exercised). */
-  private val t01 = Q(
-    "t01_text_langid",
-    (s, d) => {
-      val scores = Seq(
-        "en" -> stopEn, "de" -> stopDe, "es" -> stopEs,
-        "fr" -> stopFr, "zh" -> stopZh)
-      val scoreExprs = scores.map { case (l, ws) =>
-        s"size(filter(ws, w -> w IN ${inList(ws)})) / CAST(size(ws) AS DOUBLE) AS s_$l"
-      }
-      val pred =
-        """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-          |     WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-          |     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-          |     WHEN s_fr >= s_zh THEN 'fr'
-          |     ELSE 'zh' END AS pred_lang""".stripMargin.replaceAll("\n", " ")
-      T.documents(s, d)
-        .withColumn("ws", split(col("text"), " "))
-        .selectExpr(Seq("doc_id") ++ scoreExprs ++ Seq(pred, "lang AS actual_lang"): _*)
-        .selectExpr(
-          "doc_id",
-          "round(s_en, 6) AS score_en",
-          "round(s_de, 6) AS score_de",
-          "pred_lang",
-          "actual_lang")
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""
-      WITH scored AS (
+  // Shared language-ID scoring — t01 emits the per-doc scores, t12 rolls
+  // the predictions into a confusion matrix. One definition per engine
+  // dialect so the classifier and its eval can never drift apart.
+  private val langScores = Seq(
+    "en" -> stopEn, "de" -> stopDe, "es" -> stopEs,
+    "fr" -> stopFr, "zh" -> stopZh)
+  private val langScoreExprs = langScores.map { case (l, ws) =>
+    s"size(filter(ws, w -> w IN ${inList(ws)})) / CAST(size(ws) AS DOUBLE) AS s_$l"
+  }
+  private val langPredExpr =
+    """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |     WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |     WHEN s_fr >= s_zh THEN 'fr'
+      |     ELSE 'zh' END AS pred_lang""".stripMargin.replaceAll("\n", " ")
+  private def langScored(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    T.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .selectExpr(
+        Seq("doc_id") ++ langScoreExprs ++
+          Seq(langPredExpr, "lang AS actual_lang"): _*)
+  // DuckDB mirror: `scored` = raw ratios, `pred` = scores + argmax.
+  private val langScoredCteSql = s"""scored AS (
         SELECT doc_id, lang,
                len(list_filter(ws, w -> w IN ${inList(stopEn)})) / CAST(len(ws) AS DOUBLE) AS s_en,
                len(list_filter(ws, w -> w IN ${inList(stopDe)})) / CAST(len(ws) AS DOUBLE) AS s_de,
                len(list_filter(ws, w -> w IN ${inList(stopEs)})) / CAST(len(ws) AS DOUBLE) AS s_es,
                len(list_filter(ws, w -> w IN ${inList(stopFr)})) / CAST(len(ws) AS DOUBLE) AS s_fr,
                len(list_filter(ws, w -> w IN ${inList(stopZh)})) / CAST(len(ws) AS DOUBLE) AS s_zh
-        FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents))
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)),
+      pred AS (
+        SELECT doc_id, s_en, s_de,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                    WHEN s_fr >= s_zh THEN 'fr'
+                    ELSE 'zh' END AS pred_lang,
+               lang AS actual_lang
+        FROM scored)"""
+
+  /** Language ID: stopword-hit-ratio per language wordlist, argmax with a
+    * fixed preference order on ties (word-soup fixtures tie at 0 for the
+    * non-en lists, so this degenerates deterministically — the mechanism
+    * is what's exercised). */
+  private val t01 = Q(
+    "t01_text_langid",
+    (s, d) =>
+      langScored(s, d)
+        .selectExpr(
+          "doc_id",
+          "round(s_en, 6) AS score_en",
+          "round(s_de, 6) AS score_de",
+          "pred_lang",
+          "actual_lang")
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH $langScoredCteSql
       SELECT doc_id,
              round(s_en, 6) AS score_en,
              round(s_de, 6) AS score_de,
-             CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-                  WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-                  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-                  WHEN s_fr >= s_zh THEN 'fr'
-                  ELSE 'zh' END AS pred_lang,
-             lang AS actual_lang
-      FROM scored
+             pred_lang,
+             actual_lang
+      FROM pred
       ORDER BY doc_id"""),
   )
 
@@ -525,6 +540,42 @@ object TextAnalysis {
       ORDER BY lang, bin"""),
   )
 
+  /** Language-ID confusion matrix — the EVAL companion to t01: the
+    * classifier's predictions rolled up against the labeled language,
+    * each cell carrying its exact-ppm share of the actual-language row
+    * (integer division, so the matrix hashes identically in any engine).
+    * The first artifact anyone deploying a classifier at corpus scale
+    * publishes — and the input to threshold tuning.
+    *
+    * Scale shape: map-only scoring, one (actual, pred) shuffle over at
+    * most |langs|² cells, row totals via a window over those cells. */
+  private val t12 = Q(
+    "t12_langid_confusion",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byActual = Window.partitionBy(col("actual_lang"))
+      langScored(s, d)
+        .groupBy(col("actual_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_actual", sum(col("n")).over(byActual))
+        .select(
+          col("actual_lang"),
+          col("pred_lang"),
+          col("n"),
+          expr("(n * 1000000) div n_actual").as("cell_ppm"))
+        .orderBy(col("actual_lang"), col("pred_lang"))
+    },
+    Some(s"""
+      WITH $langScoredCteSql
+      SELECT actual_lang, pred_lang, count(*) AS n,
+             (count(*) * 1000000)
+               // CAST(sum(count(*)) OVER (PARTITION BY actual_lang)
+                  AS BIGINT) AS cell_ppm
+      FROM pred
+      GROUP BY actual_lang, pred_lang
+      ORDER BY actual_lang, pred_lang"""),
+  )
+
   val all: Seq[Q] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
 }

@@ -241,13 +241,16 @@ class PlanAuditSpec extends SparkSpec {
     val boundedBroadcastCross = Set(
       "s01_ann_brute_topk", "s02_ann_ivf", "s03_ann_join", "s04_ann_lsh",
       "s06_kmeans_assign", "s07_kmeans_mstep", "s08_ann_recall",
-      "s09_ann_ivf_kmeans", "t06_tfidf")
+      "s09_ann_ivf_kmeans", "s10_ann_rerank", "t06_tfidf",
+      // p05 crosses the k-row weight table with its 1-row grand total.
+      "p05_mixture_sample")
     val streaming = Set(
       "q28_stream_window", "q29_stream_dedup", "q30_stream_session",
       "q36_stream_join", "q37_stream_sliding", "q38_stream_static_join",
       "q39_stream_custom_state", "q45_stream_dedup_bounded",
       "q46_stream_sink_exactly_once", "q56_stream_restart",
-      "q61_stream_outer_join", "q66_stream_store_compaction")
+      "q61_stream_outer_join", "q66_stream_store_compaction",
+      "q73_stream_transform_with_state")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(boundedBroadcastCross)
       .filterNot(streaming) // streaming plans are audited via their specs

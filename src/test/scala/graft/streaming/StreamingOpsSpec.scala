@@ -66,6 +66,24 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows(streaming) == rows(batch))
   }
 
+  test("q73 transformWithState (MapState + explicit timers, RocksDB) ≡ " +
+    "batch per-user per-type aggregate; provider conf restored") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val before  = spark.conf.getOption(provKey)
+    val streaming =
+      SparkEntry.queries("q73_stream_transform_with_state")(spark, sf)
+    val batch = {
+      import org.apache.spark.sql.functions._
+      graft.Tables.events(spark, sf)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }
+    assert(rows(streaming) == rows(batch))
+    assert(spark.conf.getOption(provKey) == before,
+      "q73 must restore the state-store provider it set")
+  }
+
   test("q30 streaming session_window ≡ q24 batch sessionization") {
     val streaming = SparkEntry.queries("q30_stream_session")(spark, sf)
     val batch     = SparkEntry.queries("q24_sessionize")(spark, sf)
