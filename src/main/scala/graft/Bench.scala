@@ -48,6 +48,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] zorder prewarm failed: ${e.getMessage}")
     }
+    // And q75's json/csv/orc copies (one-time format writes; the query
+    // measures the format SCANS, not the export).
+    try graft.operators.Relational.prewarmFormatCopies(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] format prewarm failed: ${e.getMessage}")
+    }
     // Streaming machinery warmup: run every streaming query once,
     // unbilled. A streaming plan's first execution pays a large one-time
     // JVM cost — whole-stage codegen compilation of each microbatch plan

@@ -782,7 +782,52 @@ object Dedup {
       ORDER BY c.doc_id"""),
   )
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
+  /** Edit-distance fuzzy matching — the character-level dedup tier the
+    * token/bit-level methods (d02 shingles, d03/d04 SimHash) miss: OCR
+    * noise, typo variants, template fills that shift a few characters.
+    * Classic blocked shape: a cheap canopy key bounds the candidate set,
+    * then exact levenshtein (codegen built-in, identical semantics in
+    * both engines) scores only within blocks, on a fixed 60-char prefix
+    * so the cost per pair is bounded regardless of document length.
+    * Fixtures separate cleanly: true near-dups sit at distance ≤ 10,
+    * everything else > 20, so the threshold is not doing the work.
+    *
+    * Scale shape: one shuffle on the block key; pairs are per-block
+    * bounded. lang is the canopy HERE because the oracle must mirror it
+    * exactly; a 100 TB run blocks on a discriminating cheap key instead —
+    * d02's LSH band or t04's fingerprint prefix — with this same
+    * verify-on-candidates scoring stage unchanged. */
+  private val d11 = Q(
+    "d11_dedup_editdistance",
+    (s, d) => {
+      val k = T.documents(s, d)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          substring(col("text"), 1, 60).as("pfx"))
+      val a = k.select(
+        col("lang"), col("doc_id").as("id1"), col("pfx").as("pfx1"))
+      val b = k.select(
+        col("lang").as("lang2"), col("doc_id").as("id2"), col("pfx").as("pfx2"))
+      a.join(b, col("lang") === col("lang2") && col("id1") < col("id2"))
+        .select(
+          col("id1"), col("id2"),
+          levenshtein(col("pfx1"), col("pfx2")).as("dist"))
+        .filter(col("dist") <= 10)
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""
+      WITH k AS (
+        SELECT doc_id, lang, substr(text, 1, 60) AS pfx FROM documents)
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
+      FROM k a JOIN k b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.pfx, b.pfx) <= 10
+      ORDER BY id1, id2"""),
+  )
+
+  val all: Seq[Q] =
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11)
 }
 
 /** Shared sign-LSH band SQL builders over [[graft.functions.SignDots16]]'s

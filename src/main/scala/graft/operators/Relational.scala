@@ -2310,10 +2310,137 @@ object Relational {
       ORDER BY f.format"""),
   )
 
+  /** Map higher-order functions — the lambda tier q27's construction/
+    * access pack stops short of: transform_keys, transform_values,
+    * map_filter, map_zip_with, and a map_values fold, all in one codegen
+    * pipeline (no UDF). The oracle recomputes the same VALUES by direct
+    * arithmetic — maps built from known columns mean every HOF result is
+    * expressible as plain scalar math, which is exactly what makes the
+    * lambda path checkable cross-engine. Map-only at any scale. */
+  private val q76 = Q(
+    "q76_map_hof",
+    (s, d) =>
+      T.part(s, d)
+        .select(
+          col("p_partkey"),
+          expr("map('size', CAST(p_size AS DOUBLE), 'price', p_retailprice)")
+            .as("m1"),
+          expr("map('size', 2.0D, 'price', 0.9D)").as("m2"))
+        .select(
+          col("p_partkey"),
+          expr("size(map_filter(m1, (k, v) -> v >= 10.0D))").as("n_big"),
+          expr("array_join(map_keys(transform_keys(m1, (k, v) -> upper(k))), ',')")
+            .as("keys_up"),
+          round(
+            expr("""aggregate(
+                      map_values(map_zip_with(m1, m2, (k, a, b) -> a * b)),
+                      0.0D, (acc, x) -> acc + x)"""),
+            2).as("weighted_sum"),
+          round(
+            expr("aggregate(map_values(transform_values(m1, (k, v) -> v + 1.0D)), 0.0D, (acc, x) -> acc + x)"),
+            2).as("shifted_sum"))
+        .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey,
+             (CASE WHEN p_size >= 10 THEN 1 ELSE 0 END
+              + CASE WHEN p_retailprice >= 10.0 THEN 1 ELSE 0 END) AS n_big,
+             'SIZE,PRICE' AS keys_up,
+             round(CAST(p_size AS DOUBLE) * 2.0 + p_retailprice * 0.9, 2)
+               AS weighted_sum,
+             round((CAST(p_size AS DOUBLE) + 1.0) + (p_retailprice + 1.0), 2)
+               AS shifted_sum
+      FROM part
+      ORDER BY p_partkey"""),
+  )
+
+  /** Malformed-input robustness — the PERMISSIVE parse semantics every
+    * 100 TB ingest relies on: a tenth of the JSON payloads are truncated
+    * (deterministically, by event_id), and the pipeline must COUNT the
+    * rejects and aggregate the survivors rather than fail the job. Spark:
+    * from_json yields NULL on unparseable input; DuckDB mirrors with
+    * json_valid. Map-only + one k-row rollup. */
+  private val q77 = Q(
+    "q77_json_malformed",
+    (s, d) =>
+      T.events(s, d)
+        .withColumn(
+          "raw",
+          expr("""CASE WHEN event_id % 10 = 0
+                       THEN substring(props, 1, length(props) - 1)
+                       ELSE props END"""))
+        .withColumn("parsed", expr("from_json(raw, 'k INT')"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          // Count rejects on the FIELD, not the struct: PERMISSIVE
+          // from_json may surface corrupt input as either a null struct
+          // or a struct of nulls depending on version — k is null under
+          // both (and never null in well-formed fixture payloads).
+          sum(when(col("parsed.k").isNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(col("parsed.k")).cast("long").as("sum_k"))
+        .orderBy(col("event_type")),
+    Some("""
+      WITH mangled AS (
+        SELECT event_type,
+               CASE WHEN event_id % 10 = 0
+                    THEN substr(props, 1, length(props) - 1)
+                    ELSE props END AS raw
+        FROM events)
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CASE WHEN json_valid(raw) THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_bad,
+             CAST(sum(CASE WHEN json_valid(raw)
+                           THEN CAST(raw ->> 'k' AS INT) END) AS BIGINT)
+               AS sum_k
+      FROM mangled
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
+  /** Schema-evolution union — unionByName with allowMissingColumns, the
+    * lakehouse reality q12's positional union assumes away: an old writer
+    * version lacks a column the new one carries, and the union must align
+    * BY NAME and null-fill, never by position (positional union silently
+    * garbles when column order drifts). Old/new writers simulated by an
+    * orderkey parity split; the rollup buckets the null-filled column
+    * explicitly so the fill is visible in the gated output. Map-only +
+    * one k-row rollup. */
+  private val q78 = Q(
+    "q78_union_by_name",
+    (s, d) => {
+      val o = T.orders(s, d)
+      val v1 = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val v2 = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(
+          coalesce(col("o_orderpriority"), lit("<pre-upgrade>"))
+            .as("priority"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("priority"))
+    },
+    Some("""
+      WITH unioned AS (
+        SELECT o_orderkey, NULL AS o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1)
+      SELECT coalesce(o_orderpriority, '<pre-upgrade>') AS priority,
+             count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM unioned
+      GROUP BY 1
+      ORDER BY priority"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
-    q68, q69, q70, q71, q72, q74, q75)
+    q68, q69, q70, q71, q72, q74, q75, q76, q77, q78)
 }

@@ -230,6 +230,21 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("s10: both retrieval stages plan bounded heaps " +
+    "(TakeOrderedAndProject), never a global sort") {
+    val p = plan("s10_ann_rerank")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"expected prescreen AND rerank to plan TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"top-k must not plan a global range sort:\n$p")
+  }
+
+  test("p05: the per-source weight table broadcasts back onto the corpus " +
+    "— the keep decision is map-only per document") {
+    val p = plan("p05_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
