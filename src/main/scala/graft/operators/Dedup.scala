@@ -91,23 +91,11 @@ object Dedup {
   /** Banded-LSH candidate pairs with their exact shingle-overlap scores
     * (id1, id2, inter, n1, n2) — the shared verify stage behind d02's
     * Jaccard pairs, d07's cluster edges, and d08's containment pairs. */
-  private def lshScored(s: SparkSession, d: String): DataFrame = {
-    // The shingle arrays feed the signature derivation AND both sides of
-    // the verify join: materialize them ONCE (eager localCheckpoint, the
-    // d07 iterate-checkpoint pattern) instead of re-deriving the split +
-    // bigram transform up to 4× across the band/verify self-joins — at
-    // 100 TB you'd write signatures to storage once, never recompute.
-    val base = shingled(s, d).localCheckpoint(true)
-    // All 8 minhashes in one fused pass over the shingles
-    // ([[graft.functions.MinHash8]]): same values as the built-in
-    // transform(md5)+substring+array_min chain the oracle mirrors, minus
-    // ten interpreted array passes per row.
-    val sigInput = base.withColumn(
-      "mh", graft.functions.GraftFunctions.minHash8(s, col("sh")))
-    val hashCols: Seq[Column] = (0 until NumHashes).map { i =>
-      element_at(col("mh"), i + 1).as(s"h$i")
-    }
-    val sig = sigInput.select(col("doc_id") +: hashCols: _*)
+  /** Banded-LSH candidate generation over an 8-minhash signature frame
+    * (`doc_id, h0..h7`): band equi-join, id1 < id2, distinct — the canopy
+    * stage shared by d02's Jaccard verify and d11's edit-distance
+    * verify. */
+  private def lshCandidates(sig: DataFrame): DataFrame = {
     val bandCols = (0 until NumHashes / BandSize).map { b =>
       concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
     }
@@ -125,14 +113,38 @@ object Dedup {
       col("doc_id").as("id2"),
       col("band_idx").as("band_idx2"),
       col("band_val").as("band_val2"))
-    val cand = b1
-      .join(
+    b1.join(
         b2,
         col("band_idx") === col("band_idx2") &&
           col("band_val") === col("band_val2") &&
           col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
       .distinct()
+  }
+
+  /** Minhash signature frame (`doc_id, h0..h7`) over a checkpointed
+    * shingle base — the input [[lshCandidates]] bands. */
+  private def lshSignatures(s: SparkSession, base: DataFrame): DataFrame = {
+    val sigInput = base.withColumn(
+      "mh", graft.functions.GraftFunctions.minHash8(s, col("sh")))
+    val hashCols: Seq[Column] = (0 until NumHashes).map { i =>
+      element_at(col("mh"), i + 1).as(s"h$i")
+    }
+    sigInput.select(col("doc_id") +: hashCols: _*)
+  }
+
+  private def lshScored(s: SparkSession, d: String): DataFrame = {
+    // The shingle arrays feed the signature derivation AND both sides of
+    // the verify join: materialize them ONCE (eager localCheckpoint, the
+    // d07 iterate-checkpoint pattern) instead of re-deriving the split +
+    // bigram transform up to 4× across the band/verify self-joins — at
+    // 100 TB you'd write signatures to storage once, never recompute.
+    val base = shingled(s, d).localCheckpoint(true)
+    // All 8 minhashes in one fused pass over the shingles
+    // ([[graft.functions.MinHash8]]): same values as the built-in
+    // transform(md5)+substring+array_min chain the oracle mirrors, minus
+    // ten interpreted array passes per row.
+    val cand = lshCandidates(lshSignatures(s, base))
     val a = base.select(col("doc_id").as("id1"), col("sh").as("sh1"))
     val b = base.select(col("doc_id").as("id2"), col("sh").as("sh2"))
     cand
@@ -156,7 +168,9 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jacc"))
 
   /** The d02 pipeline as DuckDB CTEs ending in `pairs(id1, id2, jacc)`. */
-  private def lshPairsSql: String = {
+  /** The d02 canopy as DuckDB CTEs ending in `cand(id1, id2)` — shared by
+    * d02's Jaccard verify and d11's edit-distance verify. */
+  private def lshCandidatesSql: String = {
     val mins = (0 until NumHashes)
       .map { i =>
         val seed = if (i < 4) "a" else "b"
@@ -174,7 +188,11 @@ object Dedup {
       cand AS (SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
                FROM bands b1 JOIN bands b2
                  ON b1.band_idx = b2.band_idx AND b1.band_val = b2.band_val
-                AND b1.doc_id < b2.doc_id),
+                AND b1.doc_id < b2.doc_id)"""
+  }
+
+  private def lshPairsSql: String = {
+    s"""$lshCandidatesSql,
       scored AS (SELECT c.id1, c.id2,
                         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
                         CAST(len(a.sh) AS DOUBLE) AS n1,
@@ -782,46 +800,46 @@ object Dedup {
       ORDER BY c.doc_id"""),
   )
 
-  /** Edit-distance fuzzy matching — the character-level dedup tier the
-    * token/bit-level methods (d02 shingles, d03/d04 SimHash) miss: OCR
+  /** Edit-distance fuzzy matching — the character-level verifier the
+    * token/bit-level scores (d02 Jaccard, d03/d04 SimHash) miss: OCR
     * noise, typo variants, template fills that shift a few characters.
-    * Classic blocked shape: a cheap canopy key bounds the candidate set,
-    * then exact levenshtein (codegen built-in, identical semantics in
-    * both engines) scores only within blocks, on a fixed 60-char prefix
-    * so the cost per pair is bounded regardless of document length.
-    * Fixtures separate cleanly: true near-dups sit at distance ≤ 10,
-    * everything else > 20, so the threshold is not doing the work.
+    * Production architecture, made literal here: d02's banded-LSH canopy
+    * generates the candidate pairs (shared [[lshCandidates]] /
+    * `lshCandidatesSql` stage, so the two verifiers can never see
+    * different canopies), and exact levenshtein (codegen built-in,
+    * identical semantics in both engines) scores ONLY those candidates,
+    * on a fixed 60-char prefix so per-pair cost is bounded regardless of
+    * document length. A first draft blocked on `lang` instead — 5 block
+    * values ⇒ an effectively quadratic self-join that took 400 s at
+    * sf0.1; the LSH canopy is the difference between a demo and an
+    * operator.
     *
-    * Scale shape: one shuffle on the block key; pairs are per-block
-    * bounded. lang is the canopy HERE because the oracle must mirror it
-    * exactly; a 100 TB run blocks on a discriminating cheap key instead —
-    * d02's LSH band or t04's fingerprint prefix — with this same
-    * verify-on-candidates scoring stage unchanged. */
+    * Scale shape: identical to d02 through the candidate stage (band
+    * equi-join, verify-on-candidates); the levenshtein stage is linear
+    * in candidates. */
   private val d11 = Q(
     "d11_dedup_editdistance",
     (s, d) => {
+      val base = shingled(s, d).localCheckpoint(true)
+      val cand = lshCandidates(lshSignatures(s, base))
       val k = T.documents(s, d)
-        .select(
-          col("doc_id"),
-          col("lang"),
-          substring(col("text"), 1, 60).as("pfx"))
-      val a = k.select(
-        col("lang"), col("doc_id").as("id1"), col("pfx").as("pfx1"))
-      val b = k.select(
-        col("lang").as("lang2"), col("doc_id").as("id2"), col("pfx").as("pfx2"))
-      a.join(b, col("lang") === col("lang2") && col("id1") < col("id2"))
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("pfx"))
+      cand
+        .join(k.select(col("doc_id").as("id1"), col("pfx").as("pfx1")), "id1")
+        .join(k.select(col("doc_id").as("id2"), col("pfx").as("pfx2")), "id2")
         .select(
           col("id1"), col("id2"),
           levenshtein(col("pfx1"), col("pfx2")).as("dist"))
         .filter(col("dist") <= 10)
         .orderBy(col("id1"), col("id2"))
     },
-    Some("""
-      WITH k AS (
-        SELECT doc_id, lang, substr(text, 1, 60) AS pfx FROM documents)
-      SELECT a.doc_id AS id1, b.doc_id AS id2,
-             CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
-      FROM k a JOIN k b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    Some(s"""
+      WITH $lshCandidatesSql,
+      k AS (SELECT doc_id, substr(text, 1, 60) AS pfx FROM documents)
+      SELECT c.id1, c.id2, CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
+      FROM cand c
+      JOIN k a ON a.doc_id = c.id1
+      JOIN k b ON b.doc_id = c.id2
       WHERE levenshtein(a.pfx, b.pfx) <= 10
       ORDER BY id1, id2"""),
   )

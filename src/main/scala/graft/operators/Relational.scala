@@ -2437,10 +2437,99 @@ object Relational {
       ORDER BY priority"""),
   )
 
+  /** Top-k sketch re-aggregation — q63's store-sketches-not-counts
+    * lifecycle for the frequent-items sketch: per-day
+    * approx_top_k_accumulate states are stored, combined up to week
+    * level, and estimated once — the incremental-rollup pattern that
+    * answers "weekly top users" at 100 TB without re-scanning history
+    * (yesterday's daily states are already on disk; today's scan is the
+    * only new work). At oracle scale the 1024-slot sketch tracks every
+    * user, so the estimate is exact; the full estimate is re-ranked with
+    * a user_id tiebreak and cut to 5 per week, making boundary ties
+    * deterministic in both engines. */
+  private val q79 = Q(
+    "q79_topk_sketch_reagg",
+    (s, d) => {
+      T.events(s, d).createOrReplaceTempView("g79_events")
+      val est = s.sql("""
+        WITH daily AS (
+          SELECT date_trunc('WEEK', ts) AS week, to_date(ts) AS day,
+                 approx_top_k_accumulate(user_id, 1024) AS sk
+          FROM g79_events GROUP BY 1, 2),
+        weekly AS (
+          SELECT week, approx_top_k_combine(sk, 1024) AS sk
+          FROM daily GROUP BY week)
+        SELECT week, explode(approx_top_k_estimate(sk, 1024)) AS t
+        FROM weekly""")
+      val byWeek = Window.partitionBy(col("week"))
+        .orderBy(col("t.count").desc, col("t.item"))
+      est
+        .withColumn("rk", row_number().over(byWeek))
+        .filter(col("rk") <= 5)
+        .select(
+          date_format(col("week"), "yyyy-MM-dd").as("week_start"),
+          col("t.item").as("user_id"),
+          col("t.count").as("n"))
+        .orderBy(col("week_start"), col("n").desc, col("user_id"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT date_trunc('week', ts) AS week, user_id, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      ranked AS (
+        SELECT week, user_id, n,
+               row_number() OVER (PARTITION BY week
+                 ORDER BY n DESC, user_id) AS rk
+        FROM counts)
+      SELECT strftime(week, '%Y-%m-%d') AS week_start, user_id, n
+      FROM ranked
+      WHERE rk <= 5
+      ORDER BY week_start, n DESC, user_id"""),
+  )
+
+  /** Outer generate — explode_outer's null-preserving fan-out, the
+    * Generate-path semantics q21's inner explode and t10's custom
+    * Generator both skip: a document whose filtered array is EMPTY must
+    * survive as one null row (inner explode silently drops it — the
+    * classic silent-data-loss bug in per-token pipelines that still need
+    * per-document accounting). The rollup counts preserved-null rows and
+    * real tokens from the SAME exploded relation, so the preservation is
+    * what the oracle gates. Map-side Generate + one k-row rollup. */
+  private val q81 = Q(
+    "q81_explode_outer",
+    (s, d) =>
+      T.documents(s, d)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          expr("filter(split(text, ' '), w -> length(w) >= 7)").as("lw"))
+        .select(col("doc_id"), col("lang"), explode_outer(col("lw")).as("w"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("w").isNull, 1L).otherwise(0L)).as("n_without"),
+          count(col("w")).as("n_words"))
+        .orderBy(col("lang")),
+    Some("""
+      WITH arr AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '),
+                 w -> length(w) >= 7) AS lw
+        FROM documents)
+      SELECT lang,
+             count(*) AS n_rows,
+             CAST(sum(CASE WHEN t.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_without,
+             count(t.w) AS n_words
+      FROM arr LEFT JOIN LATERAL (SELECT unnest(lw) AS w) t ON TRUE
+      GROUP BY lang
+      ORDER BY lang"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
-    q68, q69, q70, q71, q72, q74, q75, q76, q77, q78)
+    q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81)
 }

@@ -997,6 +997,144 @@ object Streaming {
       ORDER BY user_id, event_type"""),
   )
 
+  /** q80's processor: transformWithState WITH INITIAL STATE — the state
+    * bootstrap lifecycle (warm-starting a streaming job from a batch
+    * backfill) that q73's cold-start processor doesn't exercise.
+    * handleInitialState seeds a per-key ValueState from the batch
+    * relation before any stream row arrives; the stream then counts
+    * events on top and flushes bootstrap + stream totals on timer
+    * expiry. */
+  private final class BootstrappedCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, java.sql.Timestamp), (Long, Long, Long), Long] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var boot: org.apache.spark.sql.streaming.ValueState[Long]    = _
+    @transient private var nEvents: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var timerMs: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var lastMs: org.apache.spark.sql.streaming.ValueState[Long]  = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      boot = getHandle.getValueState("boot", Encoders.scalaLong, TTLConfig.NONE)
+      nEvents = getHandle.getValueState("nEvents", Encoders.scalaLong, TTLConfig.NONE)
+      timerMs = getHandle.getValueState("timerMs", Encoders.scalaLong, TTLConfig.NONE)
+      lastMs = getHandle.getValueState("lastMs", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInitialState(
+        user: Long, nOrders: Long, timers: TimerValues): Unit =
+      boot.update(nOrders)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var n    = if (nEvents.exists()) nEvents.get() else 0L
+      var last = if (lastMs.exists()) lastMs.get() else 0L
+      rows.foreach { case (_, ts) =>
+        n += 1
+        if (ts.getTime > last) last = ts.getTime
+      }
+      nEvents.update(n)
+      lastMs.update(last)
+      val next = math.max(last + 3600L * 1000L, timers.getCurrentWatermarkInMs + 1)
+      if (timerMs.exists()) getHandle.deleteTimer(timerMs.get())
+      getHandle.registerTimer(next)
+      timerMs.update(next)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        user: Long,
+        timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      val b = if (boot.exists()) boot.get() else 0L
+      val n = if (nEvents.exists()) nEvents.get() else 0L
+      boot.clear(); nEvents.clear(); timerMs.clear(); lastMs.clear()
+      Iterator.single((user, b, n))
+    }
+  }
+
+  /** Streaming job warm-started from a batch backfill —
+    * transformWithState's initial-state variant under the oracle gate:
+    * per-customer order counts seed the per-key state
+    * (handleInitialState), the event stream counts on top, and the flush
+    * emits bootstrap + stream totals together, proving the seed survived
+    * into the streaming lifecycle. Keys with history but no live traffic
+    * never see a stream row or a timer, so the batch side appends them
+    * after the run (an anti-join on the emitted keys) — the honest
+    * at-scale split: the state store holds only LIVE keys, the dormant
+    * tail stays in batch storage. Oracle: FULL OUTER of the two
+    * aggregates, all-integer.
+    *
+    * Scale posture: the backfill arrives pre-aggregated (one row per
+    * key), RocksDB holds live keys only, eviction on flush — the
+    * bootstrap pattern every lambda-architecture migration needs. */
+  private val q80 = Q(
+    "q80_stream_tws_bootstrap",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val log = ensureLog(s, d, copies = 1, sentinel = true)
+      val ordersAgg = T.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"))
+        .agg(count(lit(1)).as("n_orders"))
+      val initKV = ordersAgg
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      val streamed =
+        try {
+          s.conf.set(provKey,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val stream = s.readStream
+            .format("kinesislike")
+            .option("path", log)
+            .option("startingPosition", "trim_horizon")
+            .load()
+          val ev = parsed(stream)
+            .withWatermark("ts", "1 second")
+            .select(col("user_id"), col("ts"))
+            .as[(Long, java.sql.Timestamp)]
+          val flushed = ev
+            .groupByKey(_._1)
+            .transformWithState(
+              new BootstrappedCountProcessor,
+              TimeMode.EventTime(), OutputMode.Append(), initKV)
+            .toDF("user_id", "n_orders", "n_events")
+          runToMemory(s, flushed, "append")
+        } finally prev match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None    => s.conf.unset(provKey)
+        }
+      val live = streamed.filter(col("user_id") >= 0)
+      val dormant = ordersAgg
+        .join(live.select(col("user_id")), Seq("user_id"), "left_anti")
+        .select(col("user_id"), col("n_orders"), lit(0L).as("n_events"))
+      live
+        .unionByName(dormant)
+        .select(
+          col("user_id"), col("n_orders"), col("n_events"),
+          (col("n_orders") + col("n_events")).as("total"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey AS user_id, count(*) AS n_orders
+        FROM orders GROUP BY 1),
+      e AS (
+        SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
+      SELECT coalesce(o.user_id, e.user_id) AS user_id,
+             coalesce(o.n_orders, 0) AS n_orders,
+             coalesce(e.n_events, 0) AS n_events,
+             coalesce(o.n_orders, 0) + coalesce(e.n_events, 0) AS total
+      FROM o FULL OUTER JOIN e ON o.user_id = e.user_id
+      ORDER BY user_id"""),
+  )
+
   val all: Seq[Q] =
-    Seq(q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61, q66, q73)
+    Seq(q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61, q66, q73, q80)
 }

@@ -265,7 +265,7 @@ class PlanAuditSpec extends SparkSpec {
       "q39_stream_custom_state", "q45_stream_dedup_bounded",
       "q46_stream_sink_exactly_once", "q56_stream_restart",
       "q61_stream_outer_join", "q66_stream_store_compaction",
-      "q73_stream_transform_with_state")
+      "q73_stream_transform_with_state", "q80_stream_tws_bootstrap")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(boundedBroadcastCross)
       .filterNot(streaming) // streaming plans are audited via their specs
