@@ -1135,6 +1135,76 @@ object Streaming {
       ORDER BY user_id"""),
   )
 
-  val all: Seq[Q] =
-    Seq(q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61, q66, q73, q80)
+  /** Streaming FULL OUTER interval join — the last member of the
+    * stream-join family (q36 inner, q61 left-outer): attribution that
+    * must also surface the orphaned clicks, not just the
+    * click-less purchases. Both watermarked sides hold bounded state;
+    * matches emit when found, and each side's unmatched rows null-pad
+    * and emit when ITS watermark passes the interval bound — q61's
+    * expiry semantics, applied symmetrically. The sentinel rides both
+    * side filters so the final watermark flushes both stores; sentinel
+    * rows pair with each other (equal user and timestamp) and are
+    * dropped by the purchase/click type filter at the sink.
+    *
+    * Scale posture: state per side is bounded by watermark × interval,
+    * keys shuffle once onto the join partitioning — the same plan the
+    * inner join runs, plus the two expiry emission paths. */
+  private val q82 = Q(
+    "q82_stream_full_outer_join",
+    (s, d) => {
+      val log = ensureLog(s, d, copies = 1, sentinel = true)
+      def side(): DataFrame = s.readStream
+        .format("kinesislike")
+        .option("path", log)
+        .option("startingPosition", "trim_horizon")
+        .load()
+      val purchases = parsed(side())
+        .filter(col("event_type").isin("purchase", "sentinel"))
+        .select(
+          col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"),
+          col("event_type").as("p_type"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = parsed(side())
+        .filter(col("event_type").isin("click", "sentinel"))
+        .select(
+          col("user_id").as("c_user"),
+          col("event_id").as("click_id"),
+          col("ts").as("c_ts"),
+          col("event_type").as("c_type"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(
+        clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "fullOuter")
+      runToMemory(s, joined, "append")
+        .filter(
+          col("p_type") === "purchase" ||
+            (col("p_type").isNull && col("c_type") === "click"))
+        .select(
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'click')
+      SELECT coalesce(p.event_id, -1) AS purchase_id,
+             coalesce(c.event_id, -1) AS click_id
+      FROM p FULL JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      ORDER BY purchase_id, click_id"""),
+  )
+
+  val all: Seq[Q] = Seq(
+    q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61, q66, q73, q80,
+    q82)
 }

@@ -265,7 +265,8 @@ class PlanAuditSpec extends SparkSpec {
       "q39_stream_custom_state", "q45_stream_dedup_bounded",
       "q46_stream_sink_exactly_once", "q56_stream_restart",
       "q61_stream_outer_join", "q66_stream_store_compaction",
-      "q73_stream_transform_with_state", "q80_stream_tws_bootstrap")
+      "q73_stream_transform_with_state", "q80_stream_tws_bootstrap",
+      "q82_stream_full_outer_join")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(boundedBroadcastCross)
       .filterNot(streaming) // streaming plans are audited via their specs

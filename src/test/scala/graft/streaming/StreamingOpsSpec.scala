@@ -154,6 +154,129 @@ class StreamingOpsSpec extends SparkSpec {
       .toDF("user_id", "n_events", "max_value")
   }
 
+  /** transformWithState analog of [[userStateAgg]]: per-user count+max in
+    * ValueStates with an explicit replaced event-time timer. Used by the
+    * TWS restart test to prove state AND registered timers recover from
+    * the checkpoint. */
+  private final class TwsCountMax
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Double), (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var n: ValueState[Long]      = _
+    @transient private var mx: ValueState[Double]   = _
+    @transient private var lastMs: ValueState[Long] = _
+    @transient private var timer: ValueState[Long]  = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      n = getHandle.getValueState("n", Encoders.scalaLong, TTLConfig.NONE)
+      mx = getHandle.getValueState("mx", Encoders.scalaDouble, TTLConfig.NONE)
+      lastMs = getHandle.getValueState("lastMs", Encoders.scalaLong, TTLConfig.NONE)
+      timer = getHandle.getValueState("timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        tv: TimerValues): Iterator[(Long, Long, Double)] = {
+      var cnt  = if (n.exists()) n.get() else 0L
+      var m    = if (mx.exists()) mx.get() else Double.MinValue
+      var last = if (lastMs.exists()) lastMs.get() else 0L
+      rows.foreach { case (_, ts, v) =>
+        cnt += 1; if (v > m) m = v
+        if (ts.getTime > last) last = ts.getTime
+      }
+      n.update(cnt); mx.update(m); lastMs.update(last)
+      val next = math.max(last + 3600L * 1000L, tv.getCurrentWatermarkInMs + 1)
+      if (timer.exists()) getHandle.deleteTimer(timer.get())
+      getHandle.registerTimer(next)
+      timer.update(next)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(
+        user: Long,
+        tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, Long, Double)] = {
+      val out =
+        (user, if (n.exists()) n.get() else 0L, if (mx.exists()) mx.get() else 0.0)
+      n.clear(); mx.clear(); lastMs.clear(); timer.clear()
+      Iterator.single(out)
+    }
+  }
+
+  test("transformWithState state and registered timers survive a query " +
+    "restart on the RocksDB store: run-1 accumulations emit after run 2") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir  = Files.createTempDirectory("kl_tws_resume")
+    val ckpt = Files.createTempDirectory("kl_tws_resume_ck")
+    val out  = Files.createTempDirectory("kl_tws_resume_out")
+    def writeLines(lines: Seq[String], append: Boolean): Unit = {
+      val p     = dir.resolve("shard-00000.log")
+      val bytes = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+      if (append)
+        Files.write(p, bytes, java.nio.file.StandardOpenOption.APPEND)
+      else Files.write(p, bytes)
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev    = spark.conf.getOption(provKey)
+    def runOnce(): Unit = {
+      val ev = spark.readStream
+        .format("kinesislike")
+        .option("path", dir.toString)
+        .option("startingPosition", "trim_horizon")
+        .load()
+        .select(from_json(col("data").cast("string"), stateEventSchema).as("e"))
+        .select(col("e.user_id"), col("e.ts"), col("e.value"))
+        .withWatermark("ts", "1 second")
+        .as[(Long, java.sql.Timestamp, Double)]
+      val q = ev.groupByKey(_._1)
+        .transformWithState(
+          new TwsCountMax, TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "n_events", "max_value")
+        .writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_events",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("max_value",
+        org.apache.spark.sql.types.DoubleType)))
+    try {
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      writeLines(
+        Seq(stateRec(0, 1000000L, 1, 1.0), stateRec(1, 2000000L, 2, 5.0),
+          stateRec(2, 3000000L, 1, 3.0)),
+        append = false)
+      runOnce()
+      assert(spark.read.schema(outSchema).parquet(out.toString).count() == 0,
+        "no timer should have fired yet")
+      writeLines(
+        Seq(stateRec(3, 30L * 24 * 3600 * 1000000L, 99, 0.0)),
+        append = true)
+      runOnce()
+      val rows2 = spark.read.schema(outSchema).parquet(out.toString)
+        .filter(col("user_id") < 99)
+        .orderBy(col("user_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      assert(rows2 == Seq((1L, 2L, 3.0), (2L, 1L, 5.0)),
+        s"state+timers must survive the restart: $rows2")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
+
   test("flatMapGroupsWithState state survives a query restart: counts " +
     "accumulated before the stop are emitted after it") {
     import org.apache.spark.sql.functions._
