@@ -118,8 +118,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // cpus recorded so round-over-round artifacts state their parallelism
+    // basis (local[cpus] = shuffle partitions); totals at different cpus
+    // are not comparable.
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus}"""
     println(line)
     // Durable artifact with the same content, so the full per-query map
     // survives any stdout truncation and the judge can read it from the
