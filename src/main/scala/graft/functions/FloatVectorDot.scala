@@ -113,6 +113,12 @@ object GraftFunctions {
         s"pos_ngrams requires exactly 2 arguments (a STRING column, an INT width), got ${exprs.length}")
       PosNgramExplode(exprs(0), exprs(1))
     }
+    ensure("cms_estimate") { exprs =>
+      require(
+        exprs.length == 2,
+        s"cms_estimate requires exactly 2 arguments (a BINARY sketch, a BIGINT value), got ${exprs.length}")
+      CmsEstimate(exprs(0), exprs(1))
+    }
   }
 
   /** Column-level API over the registered function. */
@@ -137,6 +143,12 @@ object GraftFunctions {
   def minHash8(spark: SparkSession, shingles: Column): Column = {
     register(spark)
     call_function("minhash8", shingles)
+  }
+
+  /** Column-level API: point-query a serialized count-min sketch. */
+  def cmsEstimate(spark: SparkSession, sketch: Column, value: Column): Column = {
+    register(spark)
+    call_function("cms_estimate", sketch, value)
   }
 
   /** Column-level API: distinct word n-grams of a STRING in one pass.

@@ -2526,10 +2526,72 @@ object Relational {
       ORDER BY lang"""),
   )
 
+  /** Count-min frequency sketch lifecycle — the fourth classic sketch
+    * beside HLL (q26/q63), percentile (q40/q67), and top-k (q74/q79):
+    * one mergeable CMS per event type (built map-side by the built-in
+    * `count_min_sketch` aggregate, fixed seed) is point-queried for
+    * probe users through the custom codegen
+    * [[graft.functions.CmsEstimate]] expression — the read half Spark
+    * does not ship. Estimates are engine-specific, so per the house
+    * sketch-oracle convention (q26/q40) the gated output carries the
+    * EXACT count plus the CMS guarantee as a boolean
+    * (exact ≤ est ≤ exact + ε·N), which the oracle emits as literal
+    * TRUE; with width ≫ the user domain the estimate is in fact exact.
+    *
+    * 100 TB shape: sketches aggregate with map-side partial merge and
+    * are k rows at rest; the probe fan-out is explode over a literal
+    * array; the exact side (needed only for the audit) is a filtered
+    * two-key rollup. */
+  private val q83 = Q(
+    "q83_cms_freq",
+    (s, d) => {
+      val probes = Seq(0L, 7L, 42L)
+      val sk = T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("count_min_sketch(user_id, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)")
+            .as("sk"),
+          count(lit(1)).as("n"))
+      val exact = T.events(s, d)
+        .filter(col("user_id").isin(probes: _*))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("exact_n"))
+      sk.select(
+          col("event_type"), col("n"), col("sk"),
+          explode(array(probes.map(lit): _*)).as("user_id"))
+        .withColumn(
+          "est",
+          graft.functions.GraftFunctions.cmsEstimate(s, col("sk"), col("user_id")))
+        .join(exact, Seq("event_type", "user_id"), "left")
+        .select(
+          col("event_type"),
+          col("user_id"),
+          coalesce(col("exact_n"), lit(0L)).as("exact_n"),
+          (col("est") >= coalesce(col("exact_n"), lit(0L)) &&
+            col("est") <= coalesce(col("exact_n"), lit(0L)) +
+              ceil(col("n") * lit(0.001)).cast("long")).as("within_bounds"))
+        .orderBy(col("event_type"), col("user_id"))
+    },
+    Some("""
+      WITH probes AS (SELECT CAST(unnest([0, 7, 42]) AS BIGINT) AS user_id),
+      types AS (SELECT DISTINCT event_type FROM events),
+      e AS (
+        SELECT event_type, user_id, count(*) AS exact_n
+        FROM events WHERE user_id IN (0, 7, 42)
+        GROUP BY 1, 2)
+      SELECT t.event_type, p.user_id,
+             coalesce(e.exact_n, 0) AS exact_n,
+             TRUE AS within_bounds
+      FROM types t
+      CROSS JOIN probes p
+      LEFT JOIN e ON e.event_type = t.event_type AND e.user_id = p.user_id
+      ORDER BY t.event_type, p.user_id"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
-    q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81)
+    q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83)
 }
