@@ -277,6 +277,65 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState results are microbatch-slicing invariant: any " +
+    "maxRecordsPerBatch yields the same per-user aggregates (RocksDB)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kl_tws_inv")
+    val recs = (0L until 20L).map(i =>
+      stateRec(i, (i + 1) * 1000000L, i % 3, i * 1.5))
+    val sentinel = stateRec(99, 40L * 24 * 3600 * 1000000L, -1, 0.0)
+    Files.write(
+      dir.resolve("shard-00000.log"),
+      ((recs :+ sentinel).mkString("\n") + "\n#CLOSED\n").getBytes("UTF-8"))
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev    = spark.conf.getOption(provKey)
+    def run(cap: String, tag: String): Seq[(Long, Long, Double)] = {
+      val ckpt = Files.createTempDirectory(s"kl_tws_inv_ck_$tag")
+      val sink = s"tws_inv_sink_$tag"
+      val ev = spark.readStream
+        .format("kinesislike")
+        .option("path", dir.toString)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap)
+        .load()
+        .select(from_json(col("data").cast("string"), stateEventSchema).as("e"))
+        .select(col("e.user_id"), col("e.ts"), col("e.value"))
+        .withWatermark("ts", "1 second")
+        .as[(Long, java.sql.Timestamp, Double)]
+      val q = ev.groupByKey(_._1)
+        .transformWithState(
+          new TwsCountMax, TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "n_events", "max_value")
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sink)
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    }
+    try {
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val results = Seq("1", "3", "7", "1000").map(c => run(c, s"c$c"))
+      assert(results.head.nonEmpty, "expected per-user aggregates to emit")
+      assert(results.distinct.size == 1,
+        s"TWS state must not depend on batch slicing: $results")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
+
   test("flatMapGroupsWithState state survives a query restart: counts " +
     "accumulated before the stop are emitted after it") {
     import org.apache.spark.sql.functions._
