@@ -245,6 +245,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q79/q83: sketch builds aggregate map-side (partial_ before the " +
+    "exchange) — the mergeable-sketch property their lifecycles rely on") {
+    assert(plan("q79_topk_sketch_reagg")
+      .contains("partial_approx_top_k_accumulate"),
+      "q79's day-level sketch build must partial-aggregate map-side")
+    assert(plan("q83_cms_freq").contains("partial_count_min_sketch"),
+      "q83's CMS build must partial-aggregate map-side")
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
