@@ -2358,27 +2358,44 @@ object Relational {
     * (deterministically, by event_id), and the pipeline must COUNT the
     * rejects and aggregate the survivors rather than fail the job. Spark:
     * from_json yields NULL on unparseable input; DuckDB mirrors with
-    * json_valid. Map-only + one k-row rollup. */
+    * json_valid. Reject counting is pinned to WHOLE-RECORD validity by
+    * disabling spark.sql.json.enablePartialResults for the query (restored
+    * after, the q73/q80 conf convention): partial-results parsing is
+    * version-sensitive, and a Spark that salvages the parsed-before-EOF
+    * field would silently diverge from the oracle's json_valid.
+    * Map-only + one k-row rollup. */
   private val q77 = Q(
     "q77_json_malformed",
-    (s, d) =>
-      T.events(s, d)
-        .withColumn(
-          "raw",
-          expr("""CASE WHEN event_id % 10 = 0
-                       THEN substring(props, 1, length(props) - 1)
-                       ELSE props END"""))
-        .withColumn("parsed", expr("from_json(raw, 'k INT')"))
-        .groupBy(col("event_type"))
-        .agg(
-          count(lit(1)).as("n"),
-          // Count rejects on the FIELD, not the struct: PERMISSIVE
-          // from_json may surface corrupt input as either a null struct
-          // or a struct of nulls depending on version — k is null under
-          // both (and never null in well-formed fixture payloads).
-          sum(when(col("parsed.k").isNull, 1L).otherwise(0L)).as("n_bad"),
-          sum(col("parsed.k")).cast("long").as("sum_k"))
-        .orderBy(col("event_type")),
+    (s, d) => {
+      val prKey = "spark.sql.json.enablePartialResults"
+      val prev  = s.conf.getOption(prKey)
+      val plan =
+        try {
+          s.conf.set(prKey, "false")
+          T.events(s, d)
+            .withColumn(
+              "raw",
+              expr("""CASE WHEN event_id % 10 = 0
+                           THEN substring(props, 1, length(props) - 1)
+                           ELSE props END"""))
+            .withColumn("parsed", expr("from_json(raw, 'k INT')"))
+            .groupBy(col("event_type"))
+            .agg(
+              count(lit(1)).as("n"),
+              // Count rejects on the FIELD, not the struct: PERMISSIVE
+              // from_json may surface corrupt input as either a null struct
+              // or a struct of nulls depending on version — k is null under
+              // both (and never null in well-formed fixture payloads).
+              sum(when(col("parsed.k").isNull, 1L).otherwise(0L)).as("n_bad"),
+              sum(col("parsed.k")).cast("long").as("sum_k"))
+            .orderBy(col("event_type"))
+            .localCheckpoint(eager = true)
+        } finally prev match {
+          case Some(v) => s.conf.set(prKey, v)
+          case None    => s.conf.unset(prKey)
+        }
+      plan
+    },
     Some("""
       WITH mangled AS (
         SELECT event_type,
@@ -2591,10 +2608,213 @@ object Relational {
       ORDER BY t.event_type, p.user_id"""),
   )
 
+  /** SCD2 dimension build from a change log — the lakehouse operator that
+    * turns an event stream into a versioned dimension: per key, order the
+    * log, keep only rows where the tracked attribute CHANGED (change
+    * detection via lag), then close each version with the next change's
+    * timestamp (lead) — half-open [effective_from, effective_to) spans
+    * with an is_current flag on the open tail. Events stand in as the
+    * change log with event_type as the tracked attribute.
+    *
+    * 100 TB shape: one shuffle on the key; the lag filter, row_number
+    * versioning, and lead span-close all share the SAME (key, ts, id)
+    * window sort, so Catalyst plans a single Sort+Window chain — change
+    * detection costs one pass, not three. */
+  private val q85 = Q(
+    "q85_scd2_dimension",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .select(
+          col("user_id"),
+          col("version"),
+          col("event_type").as("attr"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("effective_from"),
+          coalesce(
+            date_format(col("next_ts"), "yyyy-MM-dd HH:mm:ss"),
+            lit("9999-12-31 00:00:00")).as("effective_to"),
+          col("next_ts").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    },
+    Some("""
+      WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      changes AS (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS version,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_ts
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type)
+      SELECT user_id, CAST(version AS INT) AS version, event_type AS attr,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS effective_from,
+             coalesce(strftime(next_ts, '%Y-%m-%d %H:%M:%S'),
+                      '9999-12-31 00:00:00') AS effective_to,
+             next_ts IS NULL AS is_current
+      FROM changes
+      ORDER BY user_id, version"""),
+  )
+
+  /** Equi-width histogram via width_bucket — the profiling primitive
+    * behind every data-quality dashboard and range-partition planner:
+    * order totals bucketed into 12 × 50k bins per priority class. The
+    * oracle mirrors Spark's width_bucket arithmetic exactly (floor of a
+    * double division by an exactly-representable width, 0 / n+1 sentinel
+    * buckets for out-of-range), so both engines bin identically.
+    *
+    * 100 TB shape: the bucket is a map-side scalar; the rollup carries
+    * (priorities × bins) groups — partial-agg friendly, k rows at rest. */
+  private val q86 = Q(
+    "q86_histogram",
+    (s, d) =>
+      T.orders(s, d)
+        .select(
+          col("o_orderpriority").as("priority"),
+          col("o_totalprice").as("x"))
+        .withColumn(
+          "bucket", expr("width_bucket(x, 0.0D, 600000.0D, 12)"))
+        .groupBy(col("priority"), col("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("x")), 2).as("total"))
+        .select(
+          col("priority"),
+          col("bucket"),
+          // Closed-form bin edges from the bucket index, so the output
+          // is a ready-to-plot histogram, not just indexes.
+          ((col("bucket") - 1) * 50000.0).as("bin_lo"),
+          (col("bucket") * 50000.0).as("bin_hi"),
+          col("n"),
+          col("total"))
+        .orderBy(col("priority"), col("bucket")),
+    Some("""
+      WITH binned AS (
+        SELECT o_orderpriority AS priority,
+               CASE WHEN o_totalprice < 0.0 THEN 0
+                    WHEN o_totalprice >= 600000.0 THEN 13
+                    ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1
+               END AS bucket,
+               o_totalprice AS x
+        FROM orders)
+      SELECT priority, bucket,
+             CAST((bucket - 1) * 50000.0 AS DOUBLE) AS bin_lo,
+             CAST(bucket * 50000.0 AS DOUBLE) AS bin_hi,
+             count(*) AS n, round(sum(x), 2) AS total
+      FROM binned
+      GROUP BY priority, bucket
+      ORDER BY priority, bucket"""),
+  )
+
+  /** Data-quality audit — the health check a 100 TB pipeline runs before
+    * promoting a snapshot: referential-integrity orphan counts (facts
+    * pointing at missing dimension keys), null-rate, domain-range, and
+    * key-uniqueness violations, one row per check with an integer ppm
+    * rate. A failing check gates the publish; this query IS the gate's
+    * evidence table.
+    *
+    * 100 TB shape: each orphan check is one left join on its key (the
+    * dim side broadcast when small, SMJ when fact-fact) aggregated to a
+    * single row; null/range checks are map-only scans; uniqueness is a
+    * two-level rollup (count per key, then count of violators) — no
+    * check ever collects rows, only counts. */
+  private val q87 = Q(
+    "q87_dq_audit",
+    (s, d) => {
+      def row(name: String, agg: DataFrame): DataFrame =
+        agg.select(
+          lit(name).as("check_name"),
+          col("n_total"),
+          col("n_bad"),
+          expr("n_bad * 1000000 div n_total").as("bad_ppm"))
+      val orphanOrders = T.orders(s, d)
+        .join(
+          broadcast(T.customer(s, d).select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_bad"))
+      val orphanLines = T.lineitem(s, d)
+        .join(
+          T.orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_bad"))
+      val nullProps = T.events(s, d)
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("props").isNull || col("props") === "", 1L)
+            .otherwise(0L)).as("n_bad"))
+      val dateRange = T.orders(s, d)
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(
+            col("o_orderdate") < lit("1992-01-01") ||
+              col("o_orderdate") >= lit("1999-01-01"),
+            1L).otherwise(0L)).as("n_bad"))
+      val dupEvents = T.events(s, d)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("k"))
+        .agg(
+          sum(col("k")).as("n_total"),
+          sum(when(col("k") > 1, col("k")).otherwise(0L)).as("n_bad"))
+      row("lineitem_orphan_orderkey", orphanLines)
+        .unionByName(row("orders_date_in_range", dateRange))
+        .unionByName(row("orders_orphan_custkey", orphanOrders))
+        .unionByName(row("events_dup_event_id", dupEvents))
+        .unionByName(row("events_null_props", nullProps))
+        .orderBy(col("check_name"))
+    },
+    Some("""
+      WITH checks AS (
+        SELECT 'lineitem_orphan_orderkey' AS check_name,
+               count(*) AS n_total,
+               CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bad
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'orders_date_in_range', count(*),
+               CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                               OR o_orderdate >= TIMESTAMP '1999-01-01'
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_orphan_custkey', count(*),
+               CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'events_dup_event_id',
+               CAST(sum(k) AS BIGINT),
+               CAST(sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT)
+        FROM (SELECT event_id, count(*) AS k FROM events GROUP BY 1)
+        UNION ALL
+        SELECT 'events_null_props', count(*),
+               CAST(sum(CASE WHEN props IS NULL OR props = '' THEN 1
+                             ELSE 0 END) AS BIGINT)
+        FROM events)
+      SELECT check_name, n_total, n_bad,
+             n_bad * 1000000 // n_total AS bad_ppm
+      FROM checks
+      ORDER BY check_name"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
-    q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83)
+    q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
+    q86, q87)
 }

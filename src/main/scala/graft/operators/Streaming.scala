@@ -918,6 +918,14 @@ object Streaming {
       // One live timer per key: replace, never accumulate (a stale timer
       // would flush mid-stream). Never at-or-behind the current
       // watermark — Spark accepts only future expirations.
+      //
+      // Lateness bound: a key whose events straddle a >1 h event-time gap
+      // (or arrive >1 h late relative to the watermark) can flush MORE
+      // than once — the timer fires and clears state while later rows are
+      // still in flight, reopening it. The sink therefore sum-merges on
+      // (user, type) (see q73's post-sink rollup), so multi-flush keys
+      // still reconcile exactly; "one flush per key" is the common case,
+      // not a correctness precondition.
       val next = math.max(last + 3600L * 1000L, timers.getCurrentWatermarkInMs + 1)
       if (timerMs.exists()) getHandle.deleteTimer(timerMs.get())
       getHandle.registerTimer(next)
@@ -980,13 +988,16 @@ object Streaming {
           case Some(v) => s.conf.set(provKey, v)
           case None    => s.conf.unset(provKey)
         }
+      // Sum-merge on key: a >1h event-time gap (or >1h-late arrival) can
+      // legitimately flush a key twice (state cleared then reopened); the
+      // rollup folds any such split back together, so the append output
+      // reconciles under ANY microbatch slicing or lateness profile.
       out
         .filter(col("user_id") >= 0)
-        .select(
-          col("user_id"),
-          col("event_type"),
-          col("n"),
-          round(col("sum_value"), 2).as("total_value"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(
+          sum(col("n")).as("n"),
+          round(sum(col("sum_value")), 2).as("total_value"))
         .orderBy(col("user_id"), col("event_type"))
     },
     Some("""
@@ -1038,6 +1049,8 @@ object Streaming {
       }
       nEvents.update(n)
       lastMs.update(last)
+      // Same lateness bound as UserTypeStatsProcessor: >1h gaps can
+      // multi-flush a key; q80's sink sum-merges so that stays exact.
       val next = math.max(last + 3600L * 1000L, timers.getCurrentWatermarkInMs + 1)
       if (timerMs.exists()) getHandle.deleteTimer(timerMs.get())
       getHandle.registerTimer(next)
@@ -1061,11 +1074,15 @@ object Streaming {
     * per-customer order counts seed the per-key state
     * (handleInitialState), the event stream counts on top, and the flush
     * emits bootstrap + stream totals together, proving the seed survived
-    * into the streaming lifecycle. Keys with history but no live traffic
-    * never see a stream row or a timer, so the batch side appends them
-    * after the run (an anti-join on the emitted keys) — the honest
-    * at-scale split: the state store holds only LIVE keys, the dormant
-    * tail stays in batch storage. Oracle: FULL OUTER of the two
+    * into the streaming lifecycle. The initial-state relation is
+    * SEMI-JOINED to the keys expected live (distinct stream users from
+    * batch storage) before it reaches handleInitialState — seeding every
+    * historical key would park dormant state in RocksDB with no timer to
+    * ever evict it. Keys with history but no live traffic are never
+    * seeded, never see a stream row or a timer, and the batch side
+    * appends them after the run (an anti-join on the emitted keys) — the
+    * honest at-scale split: the state store holds only LIVE keys, the
+    * dormant tail stays in batch storage. Oracle: FULL OUTER of the two
     * aggregates, all-integer.
     *
     * Scale posture: the backfill arrives pre-aggregated (one row per
@@ -1080,7 +1097,14 @@ object Streaming {
       val ordersAgg = T.orders(s, d)
         .groupBy(col("o_custkey").as("user_id"))
         .agg(count(lit(1)).as("n_orders"))
+      // Seed ONLY keys expected on the stream: a key seeded but never
+      // visited gets no timer, so its boot state would sit in RocksDB for
+      // the life of the query. The expected-live set comes from batch
+      // storage (the event lake's distinct users) — at scale, "users
+      // active in the recent period".
+      val expectedLive = T.events(s, d).select(col("user_id")).distinct()
       val initKV = ordersAgg
+        .join(expectedLive, Seq("user_id"), "left_semi")
         .as[(Long, Long)]
         .groupByKey(_._1)
         .mapValues(_._2)
@@ -1110,7 +1134,15 @@ object Streaming {
           case Some(v) => s.conf.set(provKey, v)
           case None    => s.conf.unset(provKey)
         }
-      val live = streamed.filter(col("user_id") >= 0)
+      // Sum-merge on key (the q73 convention): a multi-flush key emits
+      // (boot, n1) then (0, n2) — boot clears on first flush — so the
+      // rollup reconstructs (boot, n1+n2) exactly.
+      val live = streamed
+        .filter(col("user_id") >= 0)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(col("n_orders")).as("n_orders"),
+          sum(col("n_events")).as("n_events"))
       val dormant = ordersAgg
         .join(live.select(col("user_id")), Seq("user_id"), "left_anti")
         .select(col("user_id"), col("n_orders"), lit(0L).as("n_events"))
@@ -1204,7 +1236,69 @@ object Streaming {
       ORDER BY purchase_id, click_id"""),
   )
 
+  /** Streaming LEFT SEMI interval join — the fourth and last join type
+    * Structured Streaming serves (q36 inner, q61 left-outer, q82
+    * full-outer): "which purchases had ANY click in the trailing hour",
+    * emitting each qualifying purchase exactly once, never the click
+    * payload. Semi is the cheapest member of the family at scale: the
+    * left row emits on its FIRST match (or immediately on arrival if a
+    * match is already in the right store) and is marked done, so no
+    * match multiplicity ever amplifies the output, and unmatched rows
+    * simply age out of the state store at watermark with no emission
+    * path at all. The sentinel rides both sides (equal user+timestamp,
+    * so it matches itself and flushes both stores at the end) and is
+    * dropped by the type tag at the sink.
+    *
+    * Scale posture: state per side bounded by watermark × interval, one
+    * shuffle onto the join keys — q36's plan minus the output fan-out. */
+  private val q84 = Q(
+    "q84_stream_semi_join",
+    (s, d) => {
+      val log = ensureLog(s, d, copies = 1, sentinel = true)
+      def side(): DataFrame = s.readStream
+        .format("kinesislike")
+        .option("path", log)
+        .option("startingPosition", "trim_horizon")
+        .load()
+      val purchases = parsed(side())
+        .filter(col("event_type").isin("purchase", "sentinel"))
+        .select(
+          col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"),
+          col("event_type").as("p_type"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = parsed(side())
+        .filter(col("event_type").isin("click", "sentinel"))
+        .select(
+          col("user_id").as("c_user"),
+          col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(
+        clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "leftSemi")
+      runToMemory(s, joined, "append")
+        .filter(col("p_type") === "purchase")
+        .select(col("purchase_id"), col("p_user").as("user_id"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      SELECT p.event_id AS purchase_id, p.user_id
+      FROM events p
+      WHERE p.event_type = 'purchase'
+        AND EXISTS (
+          SELECT 1 FROM events c
+          WHERE c.event_type = 'click'
+            AND c.user_id = p.user_id
+            AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)
+      ORDER BY purchase_id"""),
+  )
+
   val all: Seq[Q] = Seq(
     q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61, q66, q73, q80,
-    q82)
+    q82, q84)
 }
