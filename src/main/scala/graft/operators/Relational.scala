@@ -2810,11 +2810,87 @@ object Relational {
       ORDER BY check_name"""),
   )
 
+  /** Ordered funnel analysis — the product-analytics staple that needs
+    * ORDER, not just presence: users who viewed, then clicked AT OR AFTER
+    * their first view, then purchased at or after that click, rolled up
+    * by market segment with integer-ppm conversion rates. Built as the
+    * canonical staged min-reduction (first view → first qualifying click
+    * → first qualifying purchase); a presence-only semi-join triple would
+    * count backwards journeys.
+    *
+    * 100 TB shape: each stage is one hash aggregate keyed on user_id, and
+    * every stage-to-stage join is ALSO on user_id, so all five operators
+    * share one shuffle partitioning (stages after the first join against
+    * already-reduced one-row-per-user sets); the dimension join is
+    * broadcast; output is segment-cardinality. */
+  private val q88 = Q(
+    "q88_funnel",
+    (s, d) => {
+      val f = T.events(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = f.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = f.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") >= col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = f.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") >= col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .join(
+          broadcast(T.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment"))),
+          col("user_id") === col("c_custkey"), "left")
+        .groupBy(
+          coalesce(col("c_mktsegment"), lit("<unknown>")).as("segment"))
+        .agg(
+          count(lit(1)).as("n_view"),
+          count(col("c_ts")).as("n_click"),
+          count(col("p_ts")).as("n_purchase"))
+        .select(
+          col("segment"), col("n_view"), col("n_click"), col("n_purchase"),
+          expr("n_click * 1000000 div n_view").as("click_ppm"),
+          expr("n_purchase * 1000000 div n_view").as("purchase_ppm"))
+        .orderBy(col("segment"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT user_id, event_type, ts FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')),
+      v AS (
+        SELECT user_id, min(ts) AS v_ts FROM f
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT f.user_id, min(f.ts) AS c_ts
+        FROM f JOIN v USING (user_id)
+        WHERE f.event_type = 'click' AND f.ts >= v.v_ts GROUP BY 1),
+      p AS (
+        SELECT f.user_id, min(f.ts) AS p_ts
+        FROM f JOIN c USING (user_id)
+        WHERE f.event_type = 'purchase' AND f.ts >= c.c_ts GROUP BY 1),
+      staged AS (
+        SELECT coalesce(cu.c_mktsegment, '<unknown>') AS segment,
+               count(*) AS n_view, count(c.c_ts) AS n_click,
+               count(p.p_ts) AS n_purchase
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        LEFT JOIN customer cu ON v.user_id = cu.c_custkey
+        GROUP BY 1)
+      SELECT segment, n_view, n_click, n_purchase,
+             n_click * 1000000 // n_view AS click_ppm,
+             n_purchase * 1000000 // n_view AS purchase_ppm
+      FROM staged
+      ORDER BY segment"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
-    q86, q87)
+    q86, q87, q88)
 }

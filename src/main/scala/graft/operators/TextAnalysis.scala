@@ -576,6 +576,85 @@ object TextAnalysis {
       ORDER BY actual_lang, pred_lang"""),
   )
 
+  /** BM25 retrieval scoring — the ranking function behind virtually every
+    * lexical search/dedup-retrieval stack (and the lexical half of hybrid
+    * RAG retrieval): score every document against a fixed query term set
+    * with the Robertson/Okapi formula (k1 = 1.2, b = 0.75, idf =
+    * ln(1 + (N − df + 0.5)/(df + 0.5))), emit the top 20. Shares t05/t06's
+    * tokenizer definition (whitespace split) so term statistics cannot
+    * drift between the stats and retrieval queries. Ranking happens on the
+    * ROUNDED score with doc_id tie-break — the t06 rule, so a last-ulp
+    * ln() divergence cannot reorder near-ties.
+    *
+    * Scale shape: the query-term filter pushes into the explode output
+    * BEFORE the (doc, term) rollup, so only |Q| terms' postings ever
+    * shuffle; df and the corpus stats are broadcast scalars (|Q| rows and
+    * 1 row); the final top-20 is TakeOrderedAndProject, never a global
+    * sort. */
+  private val t13 = Q(
+    "t13_bm25",
+    (s, d) => {
+      val qTerms = Seq("spark", "vector", "merge")
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(
+          col("doc_id"),
+          col("ws"),
+          size(col("ws")).cast("double").as("dl"))
+      // dl values are whole numbers, so both engines' avg() sums are
+      // exact in double and avgdl is bit-identical.
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn(
+          "contrib",
+          log(lit(1.0) +
+            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * (lit(1.2) + lit(1.0))) /
+            (col("tf") +
+              lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("contrib")), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, ws
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+      words AS (SELECT doc_id, dl, unnest(ws) AS term FROM docs),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM words
+        WHERE term IN ('spark', 'vector', 'merge')
+        GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      SELECT t.doc_id,
+             round(sum(
+               ln(CAST(1.0 AS DOUBLE) +
+                  (s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                    / (d.df + CAST(0.5 AS DOUBLE)))
+               * (t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+               / (t.tf + CAST(1.2 AS DOUBLE)
+                   * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE) * t.dl / s.avgdl))), 4)
+               AS score
+      FROM tf t JOIN dfreq d USING (term), stats s
+      GROUP BY t.doc_id
+      ORDER BY score DESC, doc_id ASC
+      LIMIT 20"""),
+  )
+
   val all: Seq[Q] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }
