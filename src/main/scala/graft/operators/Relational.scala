@@ -2886,11 +2886,70 @@ object Relational {
       ORDER BY segment"""),
   )
 
+  /** Range-partitioned global sort — THE distributed total-order
+    * primitive (the shape behind every `ORDER BY` write, sorted export,
+    * and quantile-sharded layout at 100 TB): `repartitionByRange` samples
+    * the sort key, cuts boundaries, and gives every partition a disjoint
+    * key range, so a global order costs one shuffle + per-partition sorts
+    * — never a single-reducer sort. The sampled boundaries are
+    * engine-private (no oracle can reproduce them), so the gate follows
+    * the house sketch-oracle convention (q83): emit the INVARIANTS — row
+    * conservation, exact global min/max, partition-count bounds, and the
+    * adjacent-range non-overlap booleans — which the oracle recomputes
+    * exactly or pins as literal TRUE. The per-partition (lo, hi) audit
+    * runs as a min/max rollup on spark_partition_id, and the non-overlap
+    * check is a lag window over ≤16 rows.
+    *
+    * 100 TB shape: one range Exchange over the data (the thing being
+    * proven), one 16-row rollup, one 16-row window — the audit itself
+    * adds no data-scale work. */
+  private val q89 = Q(
+    "q89_range_partition_sort",
+    (s, d) => {
+      val parts = T.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .repartitionByRange(16, col("o_totalprice"), col("o_orderkey"))
+        .select(
+          spark_partition_id().as("pid"),
+          col("o_totalprice"), col("o_orderkey"))
+      val perPid = parts
+        .groupBy(col("pid"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+      val w = Window.orderBy(col("lo"), col("pid"))
+      perPid
+        .withColumn("prev_hi", lag(col("hi"), 1).over(w))
+        .agg(
+          sum(col("n")).as("n_rows"),
+          count(lit(1)).as("n_parts"),
+          round(min(col("lo")), 2).as("global_lo"),
+          round(max(col("hi")), 2).as("global_hi"),
+          // Disjoint ranges: every partition starts at or after the
+          // previous one's max (ties of the first sort key may straddle
+          // a boundary because o_orderkey breaks them).
+          min(when(col("prev_hi").isNull || col("prev_hi") <= col("lo"), true)
+            .otherwise(false)).as("ranges_disjoint"))
+        .select(
+          col("n_rows"),
+          (col("n_parts") >= 1 && col("n_parts") <= 16).as("n_parts_ok"),
+          col("global_lo"), col("global_hi"), col("ranges_disjoint"))
+    },
+    Some("""
+      SELECT count(*) AS n_rows,
+             TRUE AS n_parts_ok,
+             round(min(o_totalprice), 2) AS global_lo,
+             round(max(o_totalprice), 2) AS global_hi,
+             TRUE AS ranges_disjoint
+      FROM orders"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
-    q86, q87, q88)
+    q86, q87, q88, q89)
 }

@@ -868,5 +868,121 @@ object Similarity {
       LIMIT 10"""),
   )
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
+  /** Product quantization (PQ) with an ADC scan — the codebook
+    * compression tier of the ANN stack (s05 is scalar int8 at 4×; PQ here
+    * is 64 floats → 4 byte-codes, 64×): split each vector into M=4
+    * 16-dim subvectors, quantize each against a per-subspace codebook of
+    * 16 codewords (deterministically seeded from vec_ids 1–16, the s02
+    * fixture-seed convention — s09 shows the learned path), then answer
+    * the query WITHOUT touching original vectors: an asymmetric-distance
+    * (ADC) table of query·codeword inner products (M×16 = 64 entries,
+    * broadcast) is summed over each vector's 4 codes. Emits approx and
+    * exact inner products side by side so the compression error is
+    * visible in the gated output.
+    *
+    * Per-subspace distances and ADC cells round to 9 dp before the
+    * argmin/sum (the s02 cell-rank rule) so accumulation-order noise
+    * cannot flip a code assignment between engines; the argmin itself is
+    * a min(struct(d2, code)) partial aggregate — no window, no sort.
+    *
+    * 100 TB shape: encoding is the real PQ build cost — a map-side
+    * explode joined to a BROADCAST codebook (M×k×16 = 1024 rows), with
+    * map-side combine collapsing to n×M rows before the one shuffle on
+    * vec_id; the ADC table is 64 broadcast rows; the scan itself never
+    * shuffles the corpus and ends in TakeOrderedAndProject. Codes at
+    * rest are 4 bytes/vector — the index that lets a 100 TB corpus sit
+    * in RAM. */
+  private val s11 = Q(
+    "s11_ann_pq_adc",
+    (s, d) => {
+      val e = T.embeddings(s, d)
+      def subExplode(df: DataFrame): DataFrame = df
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(
+          col("vec_id"), col("label"),
+          (expr("pos div 16") + 1).cast("int").as("m"),
+          (pmod(col("pos"), lit(16)) + 1).cast("int").as("j"),
+          col("v").cast("double").as("v"))
+      val cb = subExplode(e.filter(col("vec_id").between(1, 16)))
+        .select(col("vec_id").cast("int").as("code"), col("m"), col("j"),
+          col("v").as("cval"))
+      val corpus = subExplode(e.filter(col("vec_id") =!= 0))
+      val dist = corpus
+        .join(broadcast(cb), Seq("m", "j"))
+        .withColumn("diff", col("v") - col("cval"))
+        .groupBy(col("vec_id"), col("label"), col("m"), col("code"))
+        .agg(round(sum(col("diff") * col("diff")), 9).as("d2"))
+      val codes = dist
+        .groupBy(col("vec_id"), col("label"), col("m"))
+        .agg(min(struct(col("d2"), col("code"))).as("best"))
+        .select(col("vec_id"), col("label"), col("m"),
+          col("best.code").as("code"))
+      val adc = subExplode(e.filter(col("vec_id") === 0))
+        .select(col("m"), col("j"), col("v").as("qval"))
+        .join(broadcast(cb), Seq("m", "j"))
+        .groupBy(col("m"), col("code"))
+        .agg(round(sum(col("qval") * col("cval")), 9).as("t"))
+      val approx = codes
+        .join(broadcast(adc), Seq("m", "code"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(round(sum(col("t")), 6).as("approx_ip"))
+        .orderBy(col("approx_ip").desc, col("vec_id"))
+        .limit(10)
+      val qRow = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      approx
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .crossJoin(broadcast(qRow))
+        .select(
+          col("vec_id"), col("label"), col("approx_ip"),
+          round(dot(s, col("embedding"), col("qv")), 6).as("exact_ip"))
+        .orderBy(col("approx_ip").desc, col("vec_id"))
+    },
+    Some("""
+      WITH cb AS (
+        SELECT CAST(c.vec_id AS INT) AS code, m.m, j.j,
+               CAST(c.embedding[(m.m - 1) * 16 + j.j] AS DOUBLE) AS cval
+        FROM embeddings c, range(1, 5) m(m), range(1, 17) j(j)
+        WHERE c.vec_id BETWEEN 1 AND 16),
+      dist AS (
+        SELECT e.vec_id, e.label, cb.m, cb.code,
+               round(sum(
+                 (CAST(e.embedding[(cb.m - 1) * 16 + cb.j] AS DOUBLE) - cb.cval)
+                 * (CAST(e.embedding[(cb.m - 1) * 16 + cb.j] AS DOUBLE) - cb.cval)),
+                 9) AS d2
+        FROM embeddings e, cb
+        WHERE e.vec_id <> 0
+        GROUP BY 1, 2, 3, 4),
+      codes AS (
+        SELECT vec_id, label, m, code
+        FROM (SELECT vec_id, label, m, code,
+                     row_number() OVER (PARTITION BY vec_id, m
+                                        ORDER BY d2, code) AS rk
+              FROM dist)
+        WHERE rk = 1),
+      adc AS (
+        SELECT cb.m, cb.code,
+               round(sum(CAST(q.embedding[(cb.m - 1) * 16 + cb.j] AS DOUBLE)
+                         * cb.cval), 9) AS t
+        FROM embeddings q, cb
+        WHERE q.vec_id = 0
+        GROUP BY 1, 2),
+      approx AS (
+        SELECT c.vec_id, c.label, round(sum(a.t), 6) AS approx_ip
+        FROM codes c JOIN adc a USING (m, code)
+        GROUP BY 1, 2
+        ORDER BY approx_ip DESC, vec_id
+        LIMIT 10)
+      SELECT ap.vec_id, ap.label, ap.approx_ip,
+             round(list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))),
+               6) AS exact_ip
+      FROM approx ap
+      JOIN embeddings e ON e.vec_id = ap.vec_id
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      ORDER BY ap.approx_ip DESC, ap.vec_id"""),
+  )
+
+  val all: Seq[Q] =
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
 }

@@ -58,6 +58,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q11_topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("q85: change detection, versioning, and span-close share ONE " +
+    "shuffle and sort (lag + row_number + lead on the same window spec)") {
+    // Exchanges are inserted by the executedPlan preparations, so audit
+    // that representation (sparkPlan has no Exchange/Sort nodes yet).
+    val p = SparkEntry.queries("q85_scd2_dimension")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // Exactly one hash Exchange on user_id (the final orderBy adds a
+    // range Exchange; that one is presentation, not the operator).
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"window chain must reuse one user_id shuffle:\n$p")
+    // Both Window nodes ride ONE (user_id, ts, event_id) sort.
+    assert("Sort \\[user_id[^\\n]*ts[^\\n]*event_id".r
+      .findAllIn(p).size == 1, s"windows must share the sort:\n$p")
+  }
+
+  test("q89: the global order is RangePartitioning, never a single " +
+    "reducer") {
+    val p = plan("q89_range_partition_sort")
+    assert(p.contains("rangepartitioning(o_totalprice"),
+      s"expected a range Exchange on the sort key:\n$p")
+    assert(!p.contains("SinglePartition) , ENSURE"), p)
+  }
+
   test("q42: bucketed join carries the bucket spec into the scan") {
     // (The zero-Exchange property itself is asserted in BucketedJoinSpec
     // on the executed plan; here just confirm the scan is bucket-aware.)
@@ -265,7 +288,8 @@ class PlanAuditSpec extends SparkSpec {
     val boundedBroadcastCross = Set(
       "s01_ann_brute_topk", "s02_ann_ivf", "s03_ann_join", "s04_ann_lsh",
       "s06_kmeans_assign", "s07_kmeans_mstep", "s08_ann_recall",
-      "s09_ann_ivf_kmeans", "s10_ann_rerank", "t06_tfidf", "t13_bm25",
+      "s09_ann_ivf_kmeans", "s10_ann_rerank", "s11_ann_pq_adc",
+      "t06_tfidf", "t13_bm25",
       // p05 crosses the k-row weight table with its 1-row grand total.
       "p05_mixture_sample")
     val streaming = Set(
