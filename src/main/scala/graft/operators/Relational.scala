@@ -2945,11 +2945,66 @@ object Relational {
       FROM orders"""),
   )
 
+  /** Statistical anomaly detection — the z-score monitor a pipeline runs
+    * over every numeric column before trusting a batch: per-group mean
+    * and sample stddev set a μ+3σ threshold, and the same scan flags and
+    * sums the exceedances. The threshold is ROUNDED (6 dp) before the
+    * comparison on both engines, so a last-ulp difference in the
+    * aggregate cannot move the boundary between them.
+    *
+    * 100 TB shape: two passes over the fact (one k-row stats rollup,
+    * broadcast back; one flagging scan) — the textbook two-phase pattern
+    * that avoids any windowed re-sort of the full data. */
+  private val q90 = Q(
+    "q90_anomaly_zscore",
+    (s, d) => {
+      val stats = T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          avg(col("value")).as("mu"),
+          stddev_samp(col("value")).as("sd"))
+        .select(
+          col("event_type"),
+          round(col("mu"), 6).as("mean_r"),
+          round(col("sd"), 6).as("sd_r"),
+          round(col("mu") + lit(3.0) * col("sd"), 6).as("threshold"))
+      T.events(s, d)
+        .join(broadcast(stats), "event_type")
+        .groupBy(col("event_type"), col("mean_r"), col("sd_r"),
+          col("threshold"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value") > col("threshold"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          round(sum(when(col("value") > col("threshold"), col("value"))
+            .otherwise(lit(0.0))), 2).as("outlier_sum"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH stats AS (
+        SELECT event_type,
+               round(avg(value), 6) AS mean_r,
+               round(stddev_samp(value), 6) AS sd_r,
+               round(avg(value) + CAST(3.0 AS DOUBLE) * stddev_samp(value),
+                     6) AS threshold
+        FROM events GROUP BY 1)
+      SELECT e.event_type, s.mean_r, s.sd_r, s.threshold,
+             count(*) AS n,
+             CAST(sum(CASE WHEN e.value > s.threshold THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outliers,
+             round(sum(CASE WHEN e.value > s.threshold THEN e.value
+                            ELSE CAST(0.0 AS DOUBLE) END), 2)
+               AS outlier_sum
+      FROM events e JOIN stats s USING (event_type)
+      GROUP BY 1, 2, 3, 4
+      ORDER BY e.event_type"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
-    q86, q87, q88, q89)
+    q86, q87, q88, q89, q90)
 }

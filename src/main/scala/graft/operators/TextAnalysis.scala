@@ -655,6 +655,54 @@ object TextAnalysis {
       LIMIT 20"""),
   )
 
+  /** Unigram language-model surprisal — the cheapest member of the
+    * perplexity-filter family every pre-training corpus runs (docs whose
+    * mean negative log-likelihood under a corpus LM is extreme are
+    * boilerplate, noise, or wrong-language): train the unigram LM on the
+    * corpus itself (term counts, add-one smoothing), then score each
+    * document's avg −ln p(term) in nats/token. Shares the t05 tokenizer.
+    *
+    * 100 TB shape: the LM is the t05 term-count rollup, BROADCAST back
+    * against the exploded corpus (at real scale: top-K vocabulary + an
+    * OOV bucket keeps the broadcast bounded); scoring is map-side + one
+    * doc_id rollup. Rounded at 4 dp per the t06 rule. */
+  private val t14 = Q(
+    "t14_unigram_surprisal",
+    (s, d) => {
+      val words = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf  = words.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val tot = tf.agg(sum(col("cnt")).as("total"), count(lit(1)).as("vocab"))
+      words
+        .join(broadcast(tf), "term")
+        .crossJoin(broadcast(tot))
+        .withColumn(
+          "nll",
+          -log((col("cnt") + lit(1.0)) / (col("total") + col("vocab"))))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round(sum(col("nll")) / count(lit(1)), 4).as("avg_nll"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tf AS (SELECT term, count(*) AS cnt FROM words GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab
+        FROM tf)
+      SELECT w.doc_id, count(*) AS n_tokens,
+             round(sum(-ln((t.cnt + CAST(1.0 AS DOUBLE))
+                           / (tot.total + tot.vocab))) / count(*), 4)
+               AS avg_nll
+      FROM words w JOIN tf t USING (term), tot
+      GROUP BY w.doc_id
+      ORDER BY w.doc_id"""),
+  )
+
   val all: Seq[Q] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
+      t14)
 }
