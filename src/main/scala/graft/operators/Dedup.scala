@@ -844,8 +844,93 @@ object Dedup {
       ORDER BY id1, id2"""),
   )
 
+  /** LSH canopy quality audit — s08's recall discipline applied to the
+    * dedup side: how many TRUE near-dup pairs (exact Jaccard ≥ 0.2) does
+    * d02's banded-MinHash candidate stage actually surface, and how many
+    * of its candidates are real? Ground truth needs all-pairs exact
+    * Jaccard — the cost LSH exists to avoid — so the audit computes it
+    * over a BOUNDED deterministic sample (md5-nibble < '8', the q55
+    * convention; in production the sample is a fixed absolute size, so
+    * the quadratic stays O(sample²) forever while the canopy under audit
+    * is the same full-corpus stage the pipeline runs). The ≥ 0.2
+    * threshold is evaluated as `5·inter ≥ union` — pure integers, so the
+    * boundary cannot drift between engines. Single-row output of counts
+    * and integer-ppm recall/precision.
+    *
+    * 100 TB shape: the canopy is d02's shared stage unchanged; truth is
+    * sample² with the sample broadcast against itself; the full-outer
+    * reconcile of two pair-sets shuffles only pair keys. */
+  private val d12 = Q(
+    "d12_lsh_canopy_audit",
+    (s, d) => {
+      val base = shingled(s, d).localCheckpoint(true)
+      val samp = base
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+      val truth = samp.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+        .join(
+          samp.select(col("doc_id").as("id2"), col("sh").as("sh2")),
+          col("id1") < col("id2"))
+        .withColumn(
+          "inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+        .withColumn(
+          "uni",
+          size(col("sh1")).cast("long") + size(col("sh2")).cast("long")
+            - col("inter"))
+        .filter(col("inter") * 5 >= col("uni"))
+        .select(col("id1"), col("id2"))
+      val ids = samp.select(col("doc_id"))
+      val cand = lshCandidates(lshSignatures(s, base))
+        .join(broadcast(ids.select(col("doc_id").as("id1"))),
+          Seq("id1"), "left_semi")
+        .join(broadcast(ids.select(col("doc_id").as("id2"))),
+          Seq("id2"), "left_semi")
+      val merged = cand.withColumn("in_cand", lit(1L))
+        .join(truth.withColumn("in_true", lit(1L)),
+          Seq("id1", "id2"), "fullOuter")
+        .agg(
+          sum(coalesce(col("in_cand"), lit(0L))).as("n_cand"),
+          sum(coalesce(col("in_true"), lit(0L))).as("n_true"),
+          sum(when(col("in_cand") === 1 && col("in_true") === 1, 1L)
+            .otherwise(0L)).as("n_hit"))
+      merged
+        .crossJoin(broadcast(ids.agg(count(lit(1)).as("n_docs"))))
+        .select(
+          col("n_docs"), col("n_true"), col("n_cand"), col("n_hit"),
+          expr("n_hit * 1000000 div greatest(n_true, 1)").as("recall_ppm"),
+          expr("n_hit * 1000000 div greatest(n_cand, 1)").as("precision_ppm"))
+    },
+    Some(s"""
+      WITH $lshCandidatesSql,
+      samp AS (
+        SELECT doc_id, sh FROM base
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+      truth AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM samp a JOIN samp b ON a.doc_id < b.doc_id
+        WHERE 5 * len(list_intersect(a.sh, b.sh))
+              >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+      scand AS (
+        SELECT c.id1, c.id2 FROM cand c
+        WHERE substr(md5(CAST(c.id1 AS VARCHAR)), 1, 1) < '8'
+          AND substr(md5(CAST(c.id2 AS VARCHAR)), 1, 1) < '8'),
+      merged AS (
+        SELECT CAST(sum(CASE WHEN c.id1 IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cand,
+               CAST(sum(CASE WHEN t.id1 IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN c.id1 IS NOT NULL AND t.id1 IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        FROM scand c FULL JOIN truth t
+          ON c.id1 = t.id1 AND c.id2 = t.id2)
+      SELECT (SELECT count(*) FROM samp) AS n_docs,
+             n_true, n_cand, n_hit,
+             n_hit * 1000000 // greatest(n_true, 1) AS recall_ppm,
+             n_hit * 1000000 // greatest(n_cand, 1) AS precision_ppm
+      FROM merged"""),
+  )
+
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
 }
 
 /** Shared sign-LSH band SQL builders over [[graft.functions.SignDots16]]'s

@@ -3000,11 +3000,68 @@ object Relational {
       ORDER BY e.event_type"""),
   )
 
+  /** Composed analytics — the TPC-H Q10 shape end-to-end in ONE query:
+    * returned-item revenue per customer for a quarter, a 4-table join
+    * (fact-fact lineitem⋈orders on the key, broadcast customer-side
+    * dimensions), a date-range filter that pushes into the orders scan, a
+    * returnflag filter that pushes into the lineitem scan, a high-
+    * cardinality rollup, and a global top-20 planned as
+    * TakeOrderedAndProject. The individual shapes are q01–q11's; this row
+    * proves they COMPOSE — one plan, every piece in its right place.
+    * Ranked on the rounded revenue with custkey tie-break (t06 rule). */
+  private val q91 = Q(
+    "q91_tpch_composed",
+    (s, d) => {
+      val o = T.orders(s, d)
+        .filter(
+          col("o_orderdate") >= lit("1996-10-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = T.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val c = T.customer(s, d)
+        .join(
+          broadcast(T.nation(s, d)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"), col("n_name"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+          col("c_mktsegment"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"),
+          round(max(col("c_acctbal")), 2).as("acctbal"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT c.c_custkey, c.c_name, n.n_name, c.c_mktsegment,
+             round(sum(l.l_extendedprice
+                       * (CAST(1.0 AS DOUBLE) - l.l_discount)), 2) AS revenue,
+             count(*) AS n_items,
+             round(max(c.c_acctbal), 2) AS acctbal
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_mktsegment
+      ORDER BY revenue DESC, c.c_custkey
+      LIMIT 20"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
-    q86, q87, q88, q89, q90)
+    q86, q87, q88, q89, q90, q91)
 }

@@ -291,7 +291,11 @@ class PlanAuditSpec extends SparkSpec {
       "s09_ann_ivf_kmeans", "s10_ann_rerank", "s11_ann_pq_adc",
       "t06_tfidf", "t13_bm25", "t14_unigram_surprisal",
       // p05 crosses the k-row weight table with its 1-row grand total.
-      "p05_mixture_sample")
+      "p05_mixture_sample",
+      // d12's ground truth is all-pairs exact Jaccard over a BOUNDED
+      // deterministic sample — the quadratic is the audit's design,
+      // confined to sample² (see its scaladoc), never the corpus.
+      "d12_lsh_canopy_audit")
     val streaming = Set(
       "q28_stream_window", "q29_stream_dedup", "q30_stream_session",
       "q36_stream_join", "q37_stream_sliding", "q38_stream_static_join",
