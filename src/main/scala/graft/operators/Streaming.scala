@@ -1236,9 +1236,10 @@ object Streaming {
       ORDER BY purchase_id, click_id"""),
   )
 
-  /** Streaming LEFT SEMI interval join — the fourth and last join type
-    * Structured Streaming serves (q36 inner, q61 left-outer, q82
-    * full-outer): "which purchases had ANY click in the trailing hour",
+  /** Streaming LEFT SEMI interval join — the last semantically distinct
+    * member of the stream-join family (q36 inner, q61 left-outer, q82
+    * full-outer; right-outer is q61 with the sides swapped):
+    * "which purchases had ANY click in the trailing hour",
     * emitting each qualifying purchase exactly once, never the click
     * payload. Semi is the cheapest member of the family at scale: the
     * left row emits on its FIRST match (or immediately on arrival if a
