@@ -116,6 +116,9 @@ object Streaming {
   // Kinesis streams run many shards); 16 keeps per-user ordering
   // (user % shards) while letting the read+decode actually parallelize.
   private val NumShards = 16
+  /** Bumped whenever the shard-log payload format changes (v2 = µs-
+    * precision timestamps); part of every fixture dir name. */
+  private val LayoutVersion = 2
 
   /** Build (once per sf dir + copies) the shard log replayed by these
     * queries. Lives under java.io.tmpdir; idempotent via the log's ready
@@ -136,18 +139,23 @@ object Streaming {
     // count `_c<digits>[_sent]` naming — both exact patterns, never a raw
     // string prefix, so a sibling dataset named "<base>_something" can't
     // have its live fixtures swept.
+    // v2: payload timestamps carry MICROSECOND precision (the lossless
+    // format q92's session arithmetic needs; v1 logs truncated to ms via
+    // to_json's default formatter). The version is part of the dir name
+    // so a format change can never silently reuse a stale fixture.
     val quoted = java.util.regex.Pattern.quote(base)
     val staleLayouts = Seq(
+      (quoted + "_v\\d+_s\\d+_.*").r,
       (quoted + "_s\\d+_.*").r,
       (quoted + "_c\\d+(_sent)?").r)
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter { f =>
         staleLayouts.exists(_.matches(f.getName)) &&
-          !f.getName.startsWith(s"${base}_s${NumShards}_")
+          !f.getName.startsWith(s"${base}_v${LayoutVersion}_s${NumShards}_")
       }
       .foreach(graft.Fs.deleteRecursively)
-    val baseDir =
-      new java.io.File(root, s"${base}_s${NumShards}_c1").getAbsolutePath
+    val baseDir = new java.io.File(
+      root, s"${base}_v${LayoutVersion}_s${NumShards}_c1").getAbsolutePath
     KinesisLikeLog.writeFromEvents(s, d, baseDir, numShards = NumShards)
     if (copies == 1 && !sentinel) baseDir
     else {
@@ -155,7 +163,8 @@ object Streaming {
       // read of events.parquet happens once per sf dir, not per variant.
       val suffix = if (sentinel) "_sent" else ""
       val dir = new java.io.File(
-        root, s"${base}_s${NumShards}_c$copies$suffix").getAbsolutePath
+        root,
+        s"${base}_v${LayoutVersion}_s${NumShards}_c$copies$suffix").getAbsolutePath
       KinesisLikeLog.derive(baseDir, dir, copies, sentinel)
       dir
     }
@@ -1299,7 +1308,87 @@ object Streaming {
       ORDER BY purchase_id"""),
   )
 
+  /** Streaming sessionization with a DYNAMIC gap — q30's operator where
+    * the inactivity timeout depends on the EVENT (views cool off in
+    * 30 min, everything else holds the session for an hour), the shape
+    * real engagement analytics needs (mobile taps vs long-form playback
+    * don't share a timeout). Spark merges the per-event intervals
+    * [ts, ts+gap) transitively inside each key; the oracle reproduces
+    * exactly that union-of-intervals sweep with a running max of
+    * interval ends (a lag-based gap check would MISS sessions bridged by
+    * a long-gap event spanning a short-gap one). Both sides are
+    * end-exclusive, so an event landing exactly on a session's end
+    * starts a new one in both engines — no off-by-one epsilon needed.
+    * Session duration sums are integer microseconds (exact compare).
+    *
+    * Scale posture: state per key is the open sessions inside the
+    * watermark — identical to q30; the gap expression is evaluated
+    * per-row map-side and adds nothing to state. */
+  private val q92 = Q(
+    "q92_stream_session_dynamic",
+    (s, d) => {
+      val log = ensureLog(s, d, copies = 1, sentinel = true)
+      val stream = s.readStream
+        .format("kinesislike")
+        .option("path", log)
+        .option("startingPosition", "trim_horizon")
+        .load()
+      val sessions = parsed(stream)
+        .withWatermark("ts", "1 second")
+        .groupBy(
+          session_window(
+            col("ts"),
+            when(col("event_type") === "view", "30 minutes")
+              .otherwise("1 hour")),
+          col("user_id"))
+        .agg(count(lit(1)).as("sess_len"))
+      runToMemory(s, sessions, "append")
+        .filter(col("user_id") >= 0)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          max(col("sess_len")).as("max_sess_len"),
+          sum(col("sess_len")).as("n_events"),
+          sum(unix_micros(col("session_window.end"))
+            - unix_micros(col("session_window.start"))).as("total_sess_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, ts,
+               ts + CASE WHEN event_type = 'view' THEN INTERVAL 30 MINUTE
+                         ELSE INTERVAL 60 MINUTE END AS iend
+        FROM events),
+      m AS (
+        SELECT user_id, event_id, ts, iend,
+               max(iend) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_end
+        FROM e),
+      f AS (
+        SELECT user_id, event_id, ts, iend,
+               CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END
+                 AS new_sess
+        FROM m),
+      sess AS (
+        SELECT user_id, ts, iend,
+               sum(new_sess) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM f),
+      per_sess AS (
+        SELECT user_id, sess_id, count(*) AS sess_len,
+               epoch_us(max(iend)) - epoch_us(min(ts)) AS dur_us
+        FROM sess GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_sessions, max(sess_len) AS max_sess_len,
+             CAST(sum(sess_len) AS BIGINT) AS n_events,
+             CAST(sum(dur_us) AS BIGINT) AS total_sess_us
+      FROM per_sess
+      GROUP BY user_id
+      ORDER BY user_id"""),
+  )
+
   val all: Seq[Q] = Seq(
     q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61, q66, q73, q80,
-    q82, q84)
+    q82, q84, q92)
 }

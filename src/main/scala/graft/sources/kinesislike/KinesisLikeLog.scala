@@ -190,9 +190,17 @@ object KinesisLikeLog {
         col("event_id"),
         unix_micros(col("ts")).as("micros"),
         col("user_id"),
-        to_json(struct(
-          col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"), col("props"))).as("payload"))
+        // Explicit µs-precision timestamp format: to_json's default
+        // truncates to milliseconds, which silently loses the fixture's
+        // microsecond tails (v2 log layout; session-duration arithmetic
+        // downstream needs the exact instants the parquet carries).
+        to_json(
+          struct(
+            col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props")),
+          java.util.Map.of(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+          .as("payload"))
       .orderBy(col("event_id"))
     val writers = (0 until numShards).map { i =>
       Files.newBufferedWriter(

@@ -303,7 +303,8 @@ class PlanAuditSpec extends SparkSpec {
       "q46_stream_sink_exactly_once", "q56_stream_restart",
       "q61_stream_outer_join", "q66_stream_store_compaction",
       "q73_stream_transform_with_state", "q80_stream_tws_bootstrap",
-      "q82_stream_full_outer_join", "q84_stream_semi_join")
+      "q82_stream_full_outer_join", "q84_stream_semi_join",
+      "q92_stream_session_dynamic")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(boundedBroadcastCross)
       .filterNot(streaming) // streaming plans are audited via their specs
