@@ -555,5 +555,88 @@ object Pipeline {
       ORDER BY w.source"""),
   )
 
-  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05)
+  /** Train/validation split with a LEAKAGE audit — the check that makes
+    * a held-out set trustworthy: split the corpus deterministically
+    * (md5-nibble 'f' ⇒ val, the q55/q57 hash-sampling convention, so the
+    * split is reproducible and monotone under corpus growth), then ask
+    * how many val documents share verbatim 5-gram shingles with ANY
+    * train document — d09's decontamination shape turned inward on the
+    * pipeline's own split. A leaked val doc scores the model on text it
+    * trained on; this row is the evidence the eval is clean (or the list
+    * of what to drop).
+    *
+    * 100 TB shape: the val side is a bounded fraction by construction —
+    * its gram table BROADCASTS (d09's probe pattern) and the train side
+    * stays map-only into one (val_id, gram) distinct + rollup; the
+    * summary is a single row. */
+  private val p06 = Q(
+    "p06_split_leakage",
+    (s, d) => {
+      val split = T.documents(s, d)
+        .withColumn(
+          "bucket",
+          when(substring(md5(col("doc_id").cast("string")), 1, 1) === "f",
+            "val").otherwise("train"))
+      val grams = split
+        .select(col("doc_id"), col("bucket"),
+          graft.functions.GraftFunctions.wordNgrams(s, col("text"), 5)
+            .as("g5"))
+        .filter(size(col("g5")) >= 1)
+        .select(col("doc_id"), col("bucket"), explode(col("g5")).as("gram"))
+      val valGrams = grams.filter(col("bucket") === "val")
+        .select(col("doc_id").as("val_id"), col("gram"))
+      val hits = grams.filter(col("bucket") === "train")
+        .join(broadcast(valGrams), "gram")
+        .select(col("val_id"), col("gram"))
+        .distinct()
+        .groupBy(col("val_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      val counts = split.agg(
+        sum(when(col("bucket") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("bucket") === "val", 1L).otherwise(0L)).as("n_val"))
+      val leak = hits.agg(
+        count(lit(1)).as("n_val_leaked"),
+        coalesce(sum(col("n_shared")), lit(0L)).as("n_shared_grams"))
+      counts
+        .crossJoin(broadcast(leak))
+        .select(
+          col("n_train"), col("n_val"), col("n_val_leaked"),
+          col("n_shared_grams"),
+          expr("n_val_leaked * 1000000 div n_val").as("leak_ppm"))
+    },
+    Some("""
+      WITH split AS (
+        SELECT doc_id, text,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'
+                    THEN 'val' ELSE 'train' END AS bucket
+        FROM documents),
+      grams AS (
+        SELECT doc_id, bucket,
+               unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                      || ws[i+3] || ' ' || ws[i+4]))) AS gram
+        FROM (SELECT doc_id, bucket, string_split(text, ' ') AS ws
+              FROM split WHERE len(string_split(text, ' ')) >= 5)),
+      hits AS (
+        SELECT v.doc_id AS val_id, count(DISTINCT v.gram) AS n_shared
+        FROM (SELECT doc_id, gram FROM grams WHERE bucket = 'val') v
+        JOIN (SELECT DISTINCT gram FROM grams WHERE bucket = 'train') t
+          ON v.gram = t.gram
+        GROUP BY v.doc_id),
+      counts AS (
+        SELECT CAST(sum(CASE WHEN bucket = 'train' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN bucket = 'val' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_val
+        FROM split),
+      leak AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_val_leaked,
+               CAST(coalesce(sum(n_shared), 0) AS BIGINT) AS n_shared_grams
+        FROM hits)
+      SELECT c.n_train, c.n_val, l.n_val_leaked, l.n_shared_grams,
+             l.n_val_leaked * 1000000 // c.n_val AS leak_ppm
+      FROM counts c, leak l"""),
+  )
+
+  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06)
 }

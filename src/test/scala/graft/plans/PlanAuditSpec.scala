@@ -290,8 +290,9 @@ class PlanAuditSpec extends SparkSpec {
       "s06_kmeans_assign", "s07_kmeans_mstep", "s08_ann_recall",
       "s09_ann_ivf_kmeans", "s10_ann_rerank", "s11_ann_pq_adc",
       "t06_tfidf", "t13_bm25", "t14_unigram_surprisal",
-      // p05 crosses the k-row weight table with its 1-row grand total.
-      "p05_mixture_sample",
+      // p05 crosses the k-row weight table with its 1-row grand total;
+      // p06 crosses its two single-row summary aggregates.
+      "p05_mixture_sample", "p06_split_leakage",
       // d12's ground truth is all-pairs exact Jaccard over a BOUNDED
       // deterministic sample — the quadratic is the audit's design,
       // confined to sample² (see its scaladoc), never the corpus.
