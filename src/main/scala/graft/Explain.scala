@@ -1,6 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
-object ExplainR8 {
+
+/** Dev utility: print the formatted physical plan of registered queries.
+  * Usage: sbt "runMain graft.Explain <queryName> [more...]" */
+object Explain {
   def main(args: Array[String]): Unit = {
     val s = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
