@@ -3057,11 +3057,70 @@ object Relational {
       LIMIT 20"""),
   )
 
+  /** Nested array-of-structs tier — the document-model shape (an order
+    * with its line items INSIDE it) that q21's scalar-array and q76's map
+    * HOFs don't reach: build the nested record with
+    * collect_list(struct(...)), NORMALIZE its order with sort_array
+    * (collect_list order is partition-dependent — unsorted nested arrays
+    * are a nondeterminism bug, not a style choice; linenumber is unique
+    * per order so the struct sort is total), then compute entirely inside
+    * the nested value: lambda projection, filtered existence, a
+    * sequential double fold (deterministic because the array order is),
+    * and positional access. Every HOF is codegen (no UDFs).
+    *
+    * 100 TB shape: one shuffle to nest (the groupBy), then map-only —
+    * exactly how document stores are built from relational facts. */
+  private val q93 = Q(
+    "q93_nested_structs",
+    (s, d) =>
+      T.lineitem(s, d)
+        .select(col("l_orderkey"),
+          struct(
+            col("l_linenumber").as("ln"),
+            col("l_quantity").as("qty"),
+            col("l_extendedprice").as("price")).as("item"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("item"))).as("items"))
+        .select(
+          col("l_orderkey"),
+          size(col("items")).as("n_lines"),
+          round(
+            expr("aggregate(items, 0.0D, (acc, x) -> acc + x.price)"), 2)
+            .as("total_price"),
+          expr("array_max(transform(items, x -> x.qty))")
+            .cast("double").as("max_qty"),
+          expr("element_at(items, 1).price").as("first_line_price"),
+          (expr("size(filter(items, x -> x.price > 50000.0D))") > 0)
+            .as("has_big_line"))
+        .filter(col("n_lines") >= 5)
+        .orderBy(col("l_orderkey")),
+    Some("""
+      WITH nested AS (
+        SELECT l_orderkey,
+               list_sort(list(struct_pack(
+                 ln := l_linenumber, qty := l_quantity,
+                 price := l_extendedprice))) AS items
+        FROM lineitem
+        GROUP BY l_orderkey)
+      SELECT l_orderkey,
+             len(items) AS n_lines,
+             round(list_sum(list_transform(items, x -> x.price)), 2)
+               AS total_price,
+             CAST(list_max(list_transform(items, x -> x.qty)) AS DOUBLE)
+               AS max_qty,
+             items[1].price AS first_line_price,
+             len(list_filter(items, x -> x.price > CAST(50000.0 AS DOUBLE)))
+               > 0 AS has_big_line
+      FROM nested
+      WHERE len(items) >= 5
+      ORDER BY l_orderkey"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
-    q86, q87, q88, q89, q90, q91)
+    q86, q87, q88, q89, q90, q91, q93)
 }

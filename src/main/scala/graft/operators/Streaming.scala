@@ -1388,7 +1388,99 @@ object Streaming {
       ORDER BY user_id"""),
   )
 
+  /** Streaming DEAD-LETTER routing — the ingest-robustness tier q77
+    * proves in batch, run as a live pipeline: every microbatch splits
+    * into parseable rows (delivered to the main store) and rejects
+    * (delivered to a dead-letter store with their provenance), each
+    * store behind its OWN [[graft.streaming.IdempotentSink]] batchId
+    * ledger — one source batch, two exactly-once commits; a replayed
+    * batch re-offers both and each skips independently. Corruption is
+    * q77's deterministic rule (event_id % 10 truncates the payload), and
+    * spark.sql.json.enablePartialResults is pinned false for the run so
+    * reject counting stays whole-record (restored after, the q73/q80
+    * conf convention). Nothing is dropped: main + DLQ partition the
+    * input exactly, which is what the oracle checks per event type.
+    *
+    * Scale posture: the split is two map-side filters over the cached
+    * microbatch (one source read); each store write is the q46 rename
+    * commit — the standard quarantine topology every 100 TB ingest
+    * runs. */
+  private val q94 = Q(
+    "q94_stream_dead_letter",
+    (s, d) => {
+      val log  = ensureLog(s, d, copies = 1)
+      val main = scratchDir("graft_store_main")
+      val dlq  = scratchDir("graft_store_dlq")
+      val mainSink = new graft.streaming.IdempotentSink(main)
+      val dlqSink  = new graft.streaming.IdempotentSink(dlq)
+      val prKey = "spark.sql.json.enablePartialResults"
+      val prev  = s.conf.getOption(prKey)
+      try {
+        s.conf.set(prKey, "false")
+        val stream = s.readStream
+          .format("kinesislike")
+          .option("path", log)
+          .option("startingPosition", "trim_horizon")
+          .load()
+        val rows = parsed(stream)
+          .withColumn(
+            "raw",
+            expr("""CASE WHEN event_id % 10 = 0
+                         THEN substring(props, 1, length(props) - 1)
+                         ELSE props END"""))
+          .withColumn("k", expr("from_json(raw, 'k INT').k"))
+          .select(col("event_id"), col("event_type"), col("k"))
+        val ckpt = scratchDir("graft_ckpt_dlq")
+        val q = rows.writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val batch = b.persist()
+            try {
+              mainSink(batch.filter(col("k").isNotNull), id)
+              dlqSink(
+                batch.filter(col("k").isNull)
+                  .select(col("event_id"), col("event_type")), id)
+            } finally { batch.unpersist(); () }
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally prev match {
+        case Some(v) => s.conf.set(prKey, v)
+        case None    => s.conf.unset(prKey)
+      }
+      val good = s.read.parquet(main)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"))
+        .select(lit("main").as("store"), col("event_type"), col("n"),
+          col("sum_k"))
+      val bad = s.read.parquet(dlq)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("dlq").as("store"), col("event_type"), col("n"),
+          lit(0L).as("sum_k"))
+      good.unionByName(bad).orderBy(col("store"), col("event_type"))
+    },
+    Some("""
+      WITH mangled AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 10 = 0
+                    THEN substr(props, 1, length(props) - 1)
+                    ELSE props END AS raw
+        FROM events)
+      SELECT 'dlq' AS store, event_type, count(*) AS n,
+             CAST(0 AS BIGINT) AS sum_k
+      FROM mangled WHERE NOT json_valid(raw)
+      GROUP BY event_type
+      UNION ALL
+      SELECT 'main', event_type, count(*),
+             CAST(sum(CAST(raw ->> 'k' AS INT)) AS BIGINT)
+      FROM mangled WHERE json_valid(raw)
+      GROUP BY event_type
+      ORDER BY store, event_type"""),
+  )
+
   val all: Seq[Q] = Seq(
     q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61, q66, q73, q80,
-    q82, q84, q92)
+    q82, q84, q92, q94)
 }
