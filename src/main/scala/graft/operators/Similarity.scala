@@ -62,8 +62,9 @@ object Similarity {
     * cells by centroid·query, probe top-2 cells only, exact rank inside.
     * Centroid ranking is rounded to 9 dp so summation-order noise cannot
     * flip cell selection between engines. */
-  /** IVF nprobe=2 top-10 — shared by s02 and s08's recall audit. */
-  private def ivf10(s: SparkSession, d: String): DataFrame = {
+  /** IVF top-10 at a given nprobe — shared by s02 (nprobe=2), s08's
+    * recall audit, and s12's nprobe tuning curve. */
+  private def ivfProbe(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val e    = T.embeddings(s, d)
     val rest = e.filter(col("vec_id") =!= 0)
     val qRow = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -78,7 +79,7 @@ object Similarity {
       .groupBy(col("label"))
       .agg(round(sum(col("c") * col("qval").cast("double")), 9).as("cd"))
       .orderBy(col("cd").desc, col("label"))
-      .limit(2)
+      .limit(nprobe)
       .select(col("label"))
     rest
       .join(broadcast(cellRank), "label")
@@ -90,6 +91,10 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
   }
+
+  /** IVF nprobe=2 top-10 — the s02/s08 probe. */
+  private def ivf10(s: SparkSession, d: String): DataFrame =
+    ivfProbe(s, d, 2)
 
   private val s02 = Q(
     "s02_ann_ivf",
@@ -983,6 +988,73 @@ object Similarity {
       ORDER BY ap.approx_ip DESC, ap.vec_id"""),
   )
 
+  /** IVF nprobe tuning curve — the accuracy/cost dial every IVF
+    * deployment publishes before picking an operating point: recall@10
+    * vs the brute-force ground truth (s01's shared [[brute10]]) at
+    * nprobe = 1..4, through the same [[ivfProbe]] code path the
+    * registered s02 query runs. Recall is monotone in nprobe by
+    * construction (probing more cells only adds candidates); the curve
+    * shows where it saturates — the cell count you actually pay for.
+    *
+    * Scale posture: each probe is s02's plan (centroids broadcast,
+    * probed cells partition-pruned at scale, TakeOrderedAndProject);
+    * the curve is 4 probes over the same cached shapes, and the audit
+    * joins are 10-row sets. */
+  private val s12 = Q(
+    "s12_ann_nprobe_curve",
+    (s, d) => {
+      val exact = brute10(s, d).select(col("vec_id"))
+      (1 to 4).map { np =>
+        ivfProbe(s, d, np).select(col("vec_id"))
+          .join(exact, "vec_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(
+            lit(np).as("nprobe"), lit(10L).as("k"), col("n_hits"),
+            (col("n_hits") * 10).as("recall_pct"))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("nprobe"))
+    }, {
+      val probes = (1 to 4).map { np =>
+        s"""cellrank$np AS (
+        SELECT label, round(sum(c * CAST(qv[i] AS DOUBLE)), 9) AS cd
+        FROM cent, q GROUP BY label ORDER BY cd DESC, label LIMIT $np),
+      ivf$np AS (
+        SELECT e.vec_id
+        FROM embeddings e JOIN cellrank$np USING (label), q
+        WHERE e.vec_id <> 0
+        ORDER BY round(list_sum(list_transform(range(1, 65),
+            i -> CAST(e.embedding[i] AS DOUBLE)
+               * CAST(q.qv[i] AS DOUBLE))), 6) DESC, e.vec_id
+        LIMIT 10)"""
+      }.mkString(",\n      ")
+      val rows = (1 to 4).map { np =>
+        s"""SELECT $np AS nprobe, 10 AS k, count(*) AS n_hits,
+               count(*) * 10 AS recall_pct
+        FROM ivf$np JOIN exact USING (vec_id)"""
+      }.mkString("\n        UNION ALL\n        ")
+      Some(s"""
+      WITH exact AS (
+        SELECT e.vec_id
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) qe
+        WHERE e.vec_id <> 0
+        ORDER BY round(list_sum(list_transform(range(1, 65),
+            i -> CAST(e.embedding[i] AS DOUBLE)
+               * CAST(qe.embedding[i] AS DOUBLE))), 6) DESC, e.vec_id
+        LIMIT 10),
+      cent AS (
+        SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS c
+        FROM embeddings, range(1, 65) t(i)
+        WHERE vec_id <> 0
+        GROUP BY label, i),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      $probes
+      SELECT nprobe, k, n_hits, recall_pct FROM (
+        $rows) u
+      ORDER BY nprobe""")
+    },
+  )
+
   val all: Seq[Q] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12)
 }

@@ -289,6 +289,7 @@ class PlanAuditSpec extends SparkSpec {
       "s01_ann_brute_topk", "s02_ann_ivf", "s03_ann_join", "s04_ann_lsh",
       "s06_kmeans_assign", "s07_kmeans_mstep", "s08_ann_recall",
       "s09_ann_ivf_kmeans", "s10_ann_rerank", "s11_ann_pq_adc",
+      "s12_ann_nprobe_curve",
       "t06_tfidf", "t13_bm25", "t14_unigram_surprisal",
       // p05 crosses the k-row weight table with its 1-row grand total;
       // p06 crosses its two single-row summary aggregates.
