@@ -417,5 +417,61 @@ object Multimodal {
       ORDER BY media_type, bin"""),
   )
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
+  /** Chunk-level content-addressed dedup — the STORAGE-tier dedup under
+    * the document-level pack (d01 dedups records; a blob store dedups
+    * fixed-size CHUNKS, which is how petabytes of media with shared
+    * prefixes/segments actually shrink): split each payload into
+    * 256-byte chunks, address each by hash, and report per media type
+    * how many stored chunks collapse into distinct ones. ASCII fixture
+    * ⇒ byte == char, so the oracle mirrors the chunking with substr
+    * (the m02/m03 trick) and the whole row is integer-exact.
+    *
+    * 100 TB shape: chunking is a map-side explode over a computed
+    * index range; the distinct-count is one shuffle on the chunk hash —
+    * the CAS ingest path, with the hash as the storage key. */
+  private val m07 = Q(
+    "m07_media_chunk_dedup",
+    (s, d) => {
+      val chunks = T.documents(s, d)
+        .filter("length(CAST(text AS BINARY)) = length(text)")
+        .selectExpr(
+          "doc_id",
+          """CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS media_type""",
+          "text")
+        .select(col("media_type"),
+          explode(expr(
+            """transform(sequence(0, CAST(ceil(length(text) / 256.0) AS INT) - 1),
+                         i -> md5(substring(text, i * 256 + 1, 256)))"""))
+            .as("chunk_hash"))
+      chunks
+        .groupBy(col("media_type"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_hash")).as("n_distinct"))
+        .select(
+          col("media_type"), col("n_chunks"), col("n_distinct"),
+          expr("(n_chunks - n_distinct) * 1000000 div n_chunks")
+            .as("dedup_ppm"))
+        .orderBy(col("media_type"))
+    },
+    Some("""
+      WITH chunks AS (
+        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               md5(substr(text, i * 256 + 1, 256)) AS chunk_hash
+        FROM documents,
+             LATERAL (SELECT unnest(range(0,
+               CAST(ceil(length(text) / 256.0) AS INT))) AS i) t
+        WHERE octet_length(CAST(text AS BLOB)) = length(text))
+      SELECT media_type, count(*) AS n_chunks,
+             count(DISTINCT chunk_hash) AS n_distinct,
+             (count(*) - count(DISTINCT chunk_hash)) * 1000000 // count(*)
+               AS dedup_ppm
+      FROM chunks
+      GROUP BY media_type
+      ORDER BY media_type"""),
+  )
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07)
 }

@@ -3116,11 +3116,55 @@ object Relational {
       ORDER BY l_orderkey"""),
   )
 
+  /** Incremental rollup maintenance — the materialized-view lifecycle
+    * for ALGEBRAIC aggregates: yesterday's per-key states (count + sum,
+    * the mergeable decomposition that also serves avg — never the avg
+    * itself, which does not merge) combined with today's delta states
+    * must equal the full recompute, key for key. q58 proves this for
+    * latest-wins ROW semantics, q63/q79 for sketches; this row is the
+    * plain-sums member that makes the store-states-not-results rule
+    * explicit. The oracle IS the full recompute over the whole table.
+    *
+    * 100 TB shape: each side is one partial-aggregated rollup on the
+    * key, the merge is a k-row unionByName + second rollup — the daily
+    * incremental job never rescans history. */
+  private val q95 = Q(
+    "q95_incremental_rollup",
+    (s, d) => {
+      val cutoff = lit("2024-01-29 00:00:00").cast("timestamp")
+      def states(part: DataFrame): DataFrame = part
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value")).as("sum_v"))
+      val base  = states(T.events(s, d).filter(col("ts") < cutoff))
+      val delta = states(T.events(s, d).filter(col("ts") >= cutoff))
+      base.unionByName(delta)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("n")).as("n"),
+          sum(col("sum_v")).as("merged_sum"))
+        .select(
+          col("event_type"),
+          col("n"),
+          round(col("merged_sum"), 2).as("total_value"),
+          round(col("merged_sum") / col("n"), 6).as("avg_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             round(sum(value), 2) AS total_value,
+             round(sum(value) / count(*), 6) AS avg_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
-    q86, q87, q88, q89, q90, q91, q93)
+    q86, q87, q88, q89, q90, q91, q93, q95)
 }
