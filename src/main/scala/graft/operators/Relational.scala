@@ -3160,11 +3160,46 @@ object Relational {
       ORDER BY event_type"""),
   )
 
+  /** Interpolated percentiles — the CONTINUOUS tier completing the
+    * quantile column: q40 is the sketch, q67 the exact discrete rank;
+    * this is exact percentile_cont (linear interpolation at index
+    * p·(n−1), the classic definition both engines implement), computed
+    * once per group via the multi-percentile array form so the sort is
+    * paid once for all three points. Rounded at 6 dp so an
+    * interpolation-arithmetic ulp cannot split the engines.
+    *
+    * 100 TB shape: exact percentiles need the group's values — one
+    * shuffle on the group key, k rows out; when the group won't fit,
+    * q40's sketch is the documented fallback. */
+  private val q96 = Q(
+    "q96_percentile_cont",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("ps"))
+        .select(
+          col("event_type"), col("n"),
+          round(element_at(col("ps"), 1), 6).as("p50"),
+          round(element_at(col("ps"), 2), 6).as("p90"),
+          round(element_at(col("ps"), 3), 6).as("p99"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type, count(*) AS n,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.9), 6) AS p90,
+             round(quantile_cont(value, 0.99), 6) AS p99
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
-    q86, q87, q88, q89, q90, q91, q93, q95)
+    q86, q87, q88, q89, q90, q91, q93, q95, q96)
 }
