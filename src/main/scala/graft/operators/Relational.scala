@@ -3195,11 +3195,107 @@ object Relational {
       ORDER BY event_type"""),
   )
 
+  /** Time-weighted average (TWAP) — the time-in-state operator behind
+    * market data, sensor rollups, and billing meters: a value holds from
+    * its event until the NEXT event, so the mean must weight by holding
+    * duration, not by observation count (a burst of identical readings
+    * would otherwise dominate). lead() supplies each interval's end; the
+    * last observation per key has no duration and drops out. Weights are
+    * integer microseconds (exact in both engines); only the final ratio
+    * is floating, rounded at 6 dp.
+    *
+    * 100 TB shape: one shuffle on the key, one window pass, one rollup —
+    * and the window and rollup share the partitioning. */
+  private val q97 = Q(
+    "q97_time_weighted_avg",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn(
+          "dur_us",
+          unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+        .filter(col("dur_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum(col("dur_us")).as("total_dur_us"),
+          round(
+            sum(col("value") * col("dur_us")) / sum(col("dur_us")), 6)
+            .as("twap"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH spans AS (
+        SELECT user_id, value,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+                 - epoch_us(ts) AS dur_us
+        FROM events)
+      SELECT user_id, count(*) AS n_intervals,
+             CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+             round(sum(value * dur_us) / sum(dur_us), 6) AS twap
+      FROM spans
+      WHERE dur_us IS NOT NULL
+      GROUP BY user_id
+      ORDER BY user_id"""),
+  )
+
+  /** Null-safe join semantics — `<=>` (IS NOT DISTINCT FROM), the
+    * equality tier a plain equi-join silently gets wrong: rows whose key
+    * IS NULL drop out of `=` joins, so a dimension with an explicit
+    * "unclassified" NULL member never matches them. Keys are made
+    * nullable with nullif (urgent orders lose their class), the
+    * dimension is built WITH a NULL member, and the null-safe join
+    * routes every fact row to exactly one dimension row — including the
+    * NULL↔NULL matches the standard join would discard.
+    *
+    * 100 TB shape: `<=>` on a broadcast dim plans a BroadcastHashJoin
+    * (null-safe equality is still hash-able — Spark treats NULL as a
+    * regular key value here), so the safety costs nothing. */
+  private val q98 = Q(
+    "q98_nullsafe_join",
+    (s, d) => {
+      val facts = T.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          col("o_totalprice"),
+          expr("nullif(substring(o_orderpriority, 1, 1), '1')").as("pk"))
+      val dim = facts.select(col("pk")).distinct()
+        .withColumn(
+          "label",
+          coalesce(concat(lit("class_"), col("pk")), lit("unclassified")))
+      facts
+        .join(broadcast(dim), facts("pk") <=> dim("pk"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH facts AS (
+        SELECT o_orderkey, o_totalprice,
+               nullif(substr(o_orderpriority, 1, 1), '1') AS pk
+        FROM orders),
+      dim AS (
+        SELECT pk,
+               coalesce('class_' || pk, 'unclassified') AS label
+        FROM (SELECT DISTINCT pk FROM facts))
+      SELECT d.label, count(*) AS n,
+             round(sum(f.o_totalprice), 2) AS total
+      FROM facts f JOIN dim d ON f.pk IS NOT DISTINCT FROM d.pk
+      GROUP BY d.label
+      ORDER BY d.label"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
-    q86, q87, q88, q89, q90, q91, q93, q95, q96)
+    q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98)
 }
