@@ -131,33 +131,34 @@ object Multimodal {
     * video pipeline needs (schema, offsets, per-frame checksum), with the
     * decode itself standing on binary substring. Fully oracle-checkable:
     * both engines slice the same blob and md5 the slice. */
-  private val m03 = Q(
-    "m03_frame_sample",
-    (s, d) =>
-      T.documents(s, d)
-        .selectExpr(
-          "doc_id",
-          "CAST(text AS BINARY) AS payload",
-          "length(CAST(text AS BINARY)) AS n")
-        .filter("doc_id % 3 = 2 AND n >= 16 AND n = length(text)")
-        .select(
-          col("doc_id"),
-          col("payload"),
-          explode(expr("sequence(0, CAST((n - 16) div 32 AS INT))"))
-            .as("frame_idx"))
-        .selectExpr(
-          "doc_id",
-          "frame_idx",
-          "frame_idx * 32 + 1 AS frame_off",
-          "md5(substring(payload, frame_idx * 32 + 1, 16)) AS frame_hash")
-        .orderBy(col("doc_id"), col("frame_idx")),
-    // DuckDB quirks absorbed here: generate_series as a TABLE function
-    // rejects lateral column refs (scalar-list + unnest instead), and
-    // this build has no BLOB substr — the VARCHAR slice is byte-identical
-    // for the ASCII fixture (md5(VARCHAR) hashes UTF-8 bytes; the Spark
-    // side stays genuinely binary).
-    Some("""
-      WITH v AS (
+  /** The m03 frame derivation (video payloads → 16-byte frames every 32
+    * bytes, hash per frame) — shared by m03's listing and m08's
+    * cross-video duplicate-frame audit so the frame definition cannot
+    * drift between them. */
+  private def videoFrames(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    T.documents(s, d)
+      .selectExpr(
+        "doc_id",
+        "CAST(text AS BINARY) AS payload",
+        "length(CAST(text AS BINARY)) AS n")
+      .filter("doc_id % 3 = 2 AND n >= 16 AND n = length(text)")
+      .select(
+        col("doc_id"),
+        col("payload"),
+        explode(expr("sequence(0, CAST((n - 16) div 32 AS INT))"))
+          .as("frame_idx"))
+      .selectExpr(
+        "doc_id",
+        "frame_idx",
+        "frame_idx * 32 + 1 AS frame_off",
+        "md5(substring(payload, frame_idx * 32 + 1, 16)) AS frame_hash")
+
+  /** The m03 frame derivation as DuckDB CTEs ending in
+    * `frames_h(doc_id, frame_idx, frame_off, frame_hash)`. */
+  private val videoFramesSql = """
+      v AS (
         SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
         FROM documents
         WHERE doc_id % 3 = 2
@@ -165,12 +166,27 @@ object Multimodal {
       frames AS (
         SELECT doc_id, text,
                unnest(generate_series(0, CAST((n - 16) // 32 AS INT))) AS i
-        FROM v WHERE n >= 16)
-      SELECT doc_id,
-             CAST(i AS INT) AS frame_idx,
-             CAST(i * 32 + 1 AS INT) AS frame_off,
-             md5(substr(text, CAST(i * 32 + 1 AS BIGINT), 16)) AS frame_hash
-      FROM frames
+        FROM v WHERE n >= 16),
+      frames_h AS (
+        SELECT doc_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST(i * 32 + 1 AS INT) AS frame_off,
+               md5(substr(text, CAST(i * 32 + 1 AS BIGINT), 16))
+                 AS frame_hash
+        FROM frames)"""
+
+  private val m03 = Q(
+    "m03_frame_sample",
+    (s, d) => videoFrames(s, d).orderBy(col("doc_id"), col("frame_idx")),
+    // DuckDB quirks absorbed here: generate_series as a TABLE function
+    // rejects lateral column refs (scalar-list + unnest instead), and
+    // this build has no BLOB substr — the VARCHAR slice is byte-identical
+    // for the ASCII fixture (md5(VARCHAR) hashes UTF-8 bytes; the Spark
+    // side stays genuinely binary).
+    Some(s"""
+      WITH $videoFramesSql
+      SELECT doc_id, frame_idx, frame_off, frame_hash
+      FROM frames_h
       ORDER BY doc_id, frame_idx"""),
   )
 
@@ -473,5 +489,49 @@ object Multimodal {
       ORDER BY media_type"""),
   )
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07)
+  /** Cross-video duplicate-frame audit — keyframe-level near-dup
+    * detection over m03's SHARED frame derivation (one frame definition
+    * for listing and audit): a frame hash appearing in more than one
+    * video marks shared footage (intros, templates, re-uploads); each
+    * video reports how much of it is shared material, in integer ppm.
+    * This is the video analog of d08's containment — segment-level
+    * overlap the whole-payload checksum (m01) cannot see.
+    *
+    * 100 TB shape: one shuffle on the frame hash (the content-addressed
+    * key), then one rollup per video; at scale the hash table IS the
+    * frame store index, so the audit rides an existing asset. */
+  private val m08 = Q(
+    "m08_frame_dedup",
+    (s, d) => {
+      val f = videoFrames(s, d).select(col("doc_id"), col("frame_hash"))
+      val spread = f.groupBy(col("frame_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      f.join(spread, "frame_hash")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_frames"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .select(
+          col("doc_id"), col("n_frames"), col("n_shared"),
+          expr("n_shared * 1000000 div n_frames").as("shared_ppm"))
+        .filter(col("n_shared") > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $videoFramesSql,
+      spread AS (
+        SELECT frame_hash, count(DISTINCT doc_id) AS n_docs
+        FROM frames_h GROUP BY 1)
+      SELECT f.doc_id, count(*) AS n_frames,
+             CAST(sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+             CAST(sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               * 1000000 // count(*) AS shared_ppm
+      FROM frames_h f JOIN spread s USING (frame_hash)
+      GROUP BY f.doc_id
+      HAVING sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) > 0
+      ORDER BY f.doc_id"""),
+  )
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
 }

@@ -3195,6 +3195,49 @@ object Relational {
       ORDER BY event_type"""),
   )
 
+  /** Equi-DEPTH histogram — q86's complement: instead of fixed-width
+    * bins with varying counts, ntile(8) cuts each group into bins of
+    * (near-)equal population and reports each bin's value range — the
+    * boundary report a range-partitioner, histogram-equalizer, or
+    * data-profile page actually wants on skewed data, where equi-width
+    * bins collapse into one overloaded bucket. The ntile ordering is
+    * made total with the key tie-break, so both engines cut identically.
+    *
+    * 100 TB shape: one shuffle on the group key, one window pass, one
+    * k×8-row rollup. For a GLOBAL equi-depth profile at scale,
+    * q40's approx_percentile sketch is the documented path — a global
+    * ntile would single-partition the sort. */
+  private val q99 = Q(
+    "q99_histogram_equidepth",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("priority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T.orders(s, d)
+        .select(col("o_orderpriority").as("priority"),
+          col("o_totalprice"), col("o_orderkey"))
+        .withColumn("bucket", ntile(8).over(w))
+        .groupBy(col("priority"), col("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("priority"), col("bucket"))
+    },
+    Some("""
+      WITH binned AS (
+        SELECT o_orderpriority AS priority, o_totalprice,
+               ntile(8) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders)
+      SELECT priority, bucket, count(*) AS n,
+             round(min(o_totalprice), 2) AS lo,
+             round(max(o_totalprice), 2) AS hi
+      FROM binned
+      GROUP BY priority, bucket
+      ORDER BY priority, bucket"""),
+  )
+
   /** Time-weighted average (TWAP) — the time-in-state operator behind
     * market data, sensor rollups, and billing meters: a value holds from
     * its event until the NEXT event, so the mean must weight by holding
@@ -3297,5 +3340,5 @@ object Relational {
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
-    q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98)
+    q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99)
 }
