@@ -866,17 +866,22 @@ object Dedup {
       val base = shingled(s, d).localCheckpoint(true)
       val samp = base
         .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
-      val truth = samp.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+      // Length-ratio prefilter (lossless): jacc ≤ min/max, so jacc ≥ 1/5
+      // REQUIRES 5·min(|A|,|B|) ≥ max(|A|,|B|) — the standard set-size
+      // filter every similarity-join runs before paying the intersection.
+      // Inside the pair-join condition it prunes before any array work.
+      val sized = samp.select(
+        col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
+      val truth = sized
+        .select(col("doc_id").as("id1"), col("sh").as("sh1"), col("n").as("n1"))
         .join(
-          samp.select(col("doc_id").as("id2"), col("sh").as("sh2")),
-          col("id1") < col("id2"))
+          sized.select(
+            col("doc_id").as("id2"), col("sh").as("sh2"), col("n").as("n2")),
+          col("id1") < col("id2") &&
+            col("n1") * 5 >= col("n2") && col("n2") * 5 >= col("n1"))
         .withColumn(
           "inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
-        .withColumn(
-          "uni",
-          size(col("sh1")).cast("long") + size(col("sh2")).cast("long")
-            - col("inter"))
-        .filter(col("inter") * 5 >= col("uni"))
+        .filter(col("inter") * 5 >= col("n1") + col("n2") - col("inter"))
         .select(col("id1"), col("id2"))
       val ids = samp.select(col("doc_id"))
       val cand = lshCandidates(lshSignatures(s, base))
@@ -906,7 +911,9 @@ object Dedup {
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
       truth AS (
         SELECT a.doc_id AS id1, b.doc_id AS id2
-        FROM samp a JOIN samp b ON a.doc_id < b.doc_id
+        FROM samp a JOIN samp b
+          ON a.doc_id < b.doc_id
+         AND 5 * len(a.sh) >= len(b.sh) AND 5 * len(b.sh) >= len(a.sh)
         WHERE 5 * len(list_intersect(a.sh, b.sh))
               >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
       scand AS (
@@ -929,8 +936,69 @@ object Dedup {
       FROM merged"""),
   )
 
+  /** Jaccard threshold sweep — s12's tuning-curve discipline applied to
+    * dedup policy: how many verified pairs (and how many distinct
+    * documents) survive at Jaccard ≥ 20/90/95/100%, all scored once over
+    * d02's SHARED canopy (one candidate generation, four policies — the
+    * at-scale shape: the expensive stage is amortized, the threshold is
+    * a cheap re-filter). Thresholds evaluate as pure integer
+    * cross-multiplications (10·inter ≥ t·union), so no boundary can
+    * drift between engines. The curve is what a dedup owner reads to
+    * pick the aggressiveness dial: each step's pair loss IS the
+    * documents you stop merging.
+    *
+    * 100 TB shape: identical to d02 through scoring; the sweep adds four
+    * k-row rollups over the already-scored pairs. */
+  private val d13 = Q(
+    "d13_jaccard_threshold_sweep",
+    (s, d) => {
+      val scored = lshScored(s, d)
+        .withColumn("inter_l", col("inter").cast("long"))
+        .withColumn(
+          "union_l",
+          col("n1").cast("long") + col("n2").cast("long") - col("inter").cast("long"))
+      // Threshold points straddle the fixture's bimodal pair mass
+      // (near-miss ≈0.9 vs verbatim-dup ≈1.0); 100% means IDENTICAL
+      // shingle sets, the exact-dup tier d01 catches by content hash.
+      Seq(20, 90, 95, 100).map { t =>
+        scored
+          .filter(col("inter_l") * 100 >= col("union_l") * t)
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            countDistinct(col("id1")).as("n_left"),
+            countDistinct(col("id2")).as("n_right"))
+          .select(
+            lit(t).as("threshold_pct"),
+            col("n_pairs"), col("n_left"), col("n_right"))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("threshold_pct"))
+    },
+    Some {
+      val rows = Seq(20, 90, 95, 100).map { t =>
+        s"""SELECT $t AS threshold_pct,
+               count(*) AS n_pairs,
+               count(DISTINCT id1) AS n_left,
+               count(DISTINCT id2) AS n_right
+        FROM scored
+        WHERE inter * 100 >= (n1 + n2 - inter) * $t"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH $lshCandidatesSql,
+      scored AS (
+        SELECT c.id1, c.id2,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+               CAST(len(a.sh) AS BIGINT) AS n1,
+               CAST(len(b.sh) AS BIGINT) AS n2
+        FROM cand c JOIN base a ON a.doc_id = c.id1
+                    JOIN base b ON b.doc_id = c.id2)
+      SELECT threshold_pct, n_pairs, n_left, n_right FROM (
+        $rows) u
+      ORDER BY threshold_pct"""
+    },
+  )
+
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13)
 }
 
 /** Shared sign-LSH band SQL builders over [[graft.functions.SignDots16]]'s

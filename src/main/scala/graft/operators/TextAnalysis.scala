@@ -702,7 +702,53 @@ object TextAnalysis {
       ORDER BY w.doc_id"""),
   )
 
+  /** Lexical diversity — type-token ratio and hapax rate, the
+    * vocabulary-richness signals under t07's trigram repetition:
+    * template spam repeats a tiny vocabulary (low TTR), while natural
+    * prose keeps a long tail of once-used words (high hapax share).
+    * Entirely integer arithmetic (ppm ratios over exact counts), so the
+    * row is exact in both engines — no rounding convention needed.
+    *
+    * 100 TB shape: one explode + per-doc two-level rollup, all keyed on
+    * doc_id — map-side combine does the heavy lifting. */
+  private val t15 = Q(
+    "t15_lexical_diversity",
+    (s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("k"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("k")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("k") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+          expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, term, count(*) AS k
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY 1, 2),
+      per_doc AS (
+        SELECT doc_id,
+               CAST(sum(k) AS BIGINT) AS n_tokens,
+               count(*) AS n_types,
+               CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax
+        FROM tf GROUP BY 1)
+      SELECT doc_id, n_tokens, n_types, n_hapax,
+             n_types * 1000000 // n_tokens AS ttr_ppm,
+             n_hapax * 1000000 // n_types AS hapax_ppm
+      FROM per_doc
+      ORDER BY doc_id"""),
+  )
+
   val all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14)
+      t14, t15)
 }
