@@ -599,4 +599,101 @@ class StreamingOpsSpec extends SparkSpec {
       assert(registry.snapshot.get("listener_err_stream") == Some(false))
     } finally spark.streams.removeListener(listener)
   }
+
+  /** A shard-log line whose JSON payload carries an explicit event_type
+    * (stateRec pins it to "e") — needed by the dynamic-gap session test,
+    * whose gap expression dispatches on the type. */
+  private def typedRec(
+      seq: Long, us: Long, user: Long, tpe: String): String = {
+    val payload =
+      s"""{"event_id":$seq,"ts":"${java.time.Instant.EPOCH.plus(us,
+        java.time.temporal.ChronoUnit.MICROS)}","user_id":$user,""" +
+        s""""event_type":"$tpe","value":1.0,"props":"{}"}"""
+    val b64 = java.util.Base64.getEncoder.encodeToString(payload.getBytes("UTF-8"))
+    s"$seq\t$us\t$user\t$b64"
+  }
+
+  test("dynamic-gap session_window results are microbatch-slicing " +
+    "invariant: sessions that span batch boundaries merge identically") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    val MIN = 60L * 1000000L
+    // user 1: three views 20 min apart (30-min view gap ⇒ ONE session,
+    // only if merging works across batch boundaries); user 2: clicks
+    // 50 min apart (60-min click gap ⇒ one session), then a 2-hour
+    // silence ⇒ a second session; user 3: view then a click 40 min later
+    // (view gap 30 min expires ⇒ two sessions even though the CLICK gap
+    // would have bridged them — the per-event gap is the point).
+    // Log order = event-time order (the source replays in sequence, and
+    // the 1-second watermark would drop genuinely late rows — in-order
+    // arrival is the property the shard log actually guarantees).
+    val recs = Seq(
+      typedRec(0, 0 * MIN, 1, "view"),
+      typedRec(1, 0 * MIN, 2, "click"),
+      typedRec(2, 0 * MIN, 3, "view"),
+      typedRec(3, 20 * MIN, 1, "view"),
+      typedRec(4, 40 * MIN, 1, "view"),
+      typedRec(5, 40 * MIN, 3, "click"),
+      typedRec(6, 50 * MIN, 2, "click"),
+      typedRec(7, 230 * MIN, 2, "click"),
+      typedRec(8, 40L * 24 * 60 * MIN, 99, "view")) // watermark sentinel
+    val dir = Files.createTempDirectory("kl_dyn_sess")
+    Files.write(
+      dir.resolve("shard-00000.log"),
+      (recs.mkString("\n") + "\n#CLOSED\n").getBytes("UTF-8"))
+    def run(cap: String, tag: String): Seq[(Long, String, Long)] = {
+      val ckpt = Files.createTempDirectory(s"kl_dyn_sess_ck_$tag")
+      val sink = s"dyn_sess_sink_$tag"
+      val ev = spark.readStream
+        .format("kinesislike")
+        .option("path", dir.toString)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", cap)
+        .load()
+        .select(from_json(col("data").cast("string"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType)))).as("e"))
+        .select(col("e.user_id"), col("e.ts"), col("e.event_type"))
+        .withWatermark("ts", "1 second")
+      val q = ev
+        .groupBy(
+          session_window(
+            col("ts"),
+            when(col("event_type") === "view", "30 minutes")
+              .otherwise("1 hour")),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sink)
+        .filter(col("user_id") < 99)
+        .select(
+          col("user_id"),
+          date_format(col("session_window.start"), "HH:mm").as("start"),
+          col("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+        .toSeq
+    }
+    val results = Seq("1", "2", "5", "1000").map(c => run(c, s"c$c"))
+    assert(results.head == Seq(
+      (1L, "00:00", 3L), // one merged 3-view session
+      (2L, "00:00", 2L), (2L, "03:50", 1L), // silence splits user 2
+      (3L, "00:00", 1L), (3L, "00:40", 1L)), // view gap expires first
+      s"unexpected session set: ${results.head}")
+    assert(results.distinct.size == 1,
+      s"sessions must not depend on batch slicing: $results")
+  }
 }
