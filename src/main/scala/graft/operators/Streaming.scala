@@ -1480,7 +1480,107 @@ object Streaming {
       ORDER BY store, event_type"""),
   )
 
+  /** Streaming UNION of two independent sources — the multi-region /
+    * multi-topic ingest topology: two separately-replayed logs (each its
+    * own source instance with its own offsets and shard set) merge into
+    * ONE downstream aggregation, with a region tag carried through so
+    * the rollup proves rows from BOTH legs arrived. Watermarks combine
+    * across legs as the MIN of the two (Spark's multi-source rule), so
+    * one slow region correctly holds back emission for both — exactly
+    * the semantics a cross-region merge needs.
+    *
+    * Scale posture: each leg scales by its own shard count; the union
+    * itself is free (no shuffle — partitions concatenate) and the only
+    * stateful stage is the downstream windowed rollup. */
+  private val q100 = Q(
+    "q100_stream_union",
+    (s, d) => {
+      val log = ensureLog(s, d, copies = 1, sentinel = true)
+      def leg(region: String): DataFrame = {
+        val stream = s.readStream
+          .format("kinesislike")
+          .option("path", log)
+          .option("startingPosition", "trim_horizon")
+          .load()
+        parsed(stream).withColumn("region", lit(region))
+      }
+      val agg = leg("east")
+        .unionByName(leg("west"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+          window(col("ts"), "6 hours"), col("region"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      runToMemory(s, agg, "append")
+        .filter(col("event_type") =!= "sentinel")
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("region"), col("event_type"), col("n"), col("total"))
+        .orderBy(col("window_start"), col("region"), col("event_type"))
+    },
+    // Each region leg replays the full log, so the oracle is the same
+    // 6-hour rollup cross-joined with the two region tags.
+    Some("""
+      SELECT strftime(to_timestamp(
+               CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600),
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+             r.region, event_type, count(*) AS n,
+             round(sum(value), 2) AS total
+      FROM events, (SELECT unnest(['east', 'west']) AS region) r
+      GROUP BY 1, 2, 3
+      ORDER BY window_start, region, event_type"""),
+  )
+
+  /** Stream-static LEFT ANTI join — q38's missing-member sibling and the
+    * LIVE version of q87's referential-integrity check: events whose
+    * user has no customer record surface AS THEY ARRIVE (quarantine/
+    * alerting), instead of in a nightly batch audit. Stateless on the
+    * stream side — the static dimension is broadcast per microbatch, no
+    * watermark or state store involved — so the operator costs what a
+    * map-side filter costs.
+    *
+    * Scale posture: identical to q38 (broadcast dim), with anti instead
+    * of inner semantics; a dimension too large to broadcast shuffles
+    * both sides on the key, same as batch. */
+  private val q101 = Q(
+    "q101_stream_static_anti",
+    (s, d) => {
+      val log = ensureLog(s, d, copies = 1)
+      val stream = s.readStream
+        .format("kinesislike")
+        .option("path", log)
+        .option("startingPosition", "trim_horizon")
+        .load()
+      // "In good standing" dimension slice: every fixture event user IS
+      // a customer, so the live orphan check screens against the ACTIVE
+      // subset (non-negative balance) — the realistic shape anyway: the
+      // reference set is a filtered dimension, not the raw table.
+      val customers = T.customer(s, d)
+        .filter(col("c_acctbal") >= 0)
+        .select(col("c_custkey"))
+      val orphans = parsed(stream)
+        .join(broadcast(customers),
+          col("user_id") === col("c_custkey"), "left_anti")
+      val out = runToMemory(s, orphans, "append")
+      out
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_orphaned"),
+          countDistinct(col("user_id")).as("n_orphan_users"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_orphaned,
+             count(DISTINCT user_id) AS n_orphan_users
+      FROM events e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_custkey = e.user_id AND c.c_acctbal >= 0)
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   val all: Seq[Q] = Seq(
     q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61, q66, q73, q80,
-    q82, q84, q92, q94)
+    q82, q84, q92, q94, q100, q101)
 }
