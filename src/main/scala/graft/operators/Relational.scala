@@ -3334,11 +3334,78 @@ object Relational {
       ORDER BY d.label"""),
   )
 
+  /** Period-over-period report — a window over an AGGREGATED series
+    * (every prior window query runs over raw rows): monthly revenue per
+    * market segment, with the previous month's value, the absolute
+    * delta, and the signed change in integer ppm pulled in by lag()
+    * OVER the monthly rollup. The composition matters at scale: the
+    * window runs over k×months rows, not the fact table — aggregate
+    * first, analyze the series second.
+    *
+    * Money stays summed-then-rounded; the ppm change divides the two
+    * ROUNDED month totals cast to integer cents, so the ratio is exact
+    * integer arithmetic in both engines. */
+  private val q102 = Q(
+    "q102_mom_change",
+    (s, d) => {
+      val monthly = T.orders(s, d)
+        .join(
+          broadcast(T.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(
+          col("c_mktsegment").as("segment"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+      val w = Window.partitionBy(col("segment")).orderBy(col("month"))
+      monthly
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        // round() before the long cast: revenue*100 sits within 1 ulp of
+        // an integer, and a raw double→long cast TRUNCATES in Spark while
+        // DuckDB's cast rounds — round() lands both on the integer.
+        .withColumn(
+          "cents", round(col("revenue") * 100).cast("long"))
+        .withColumn(
+          "prev_cents", round(col("prev_revenue") * 100).cast("long"))
+        .select(
+          col("segment"), col("month"), col("revenue"),
+          coalesce(col("prev_revenue"), lit(0.0)).as("prev_revenue"),
+          round(col("revenue") - coalesce(col("prev_revenue"), lit(0.0)), 2)
+            .as("delta"),
+          coalesce(
+            expr("(cents - prev_cents) * 1000000 div prev_cents"),
+            lit(0L)).as("change_ppm"))
+        .orderBy(col("segment"), col("month"))
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT c.c_mktsegment AS segment,
+               strftime(o.o_orderdate, '%Y-%m') AS month,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+      laged AS (
+        SELECT segment, month, revenue,
+               lag(revenue) OVER (PARTITION BY segment ORDER BY month)
+                 AS prev_revenue
+        FROM monthly)
+      SELECT segment, month, revenue,
+             coalesce(prev_revenue, 0.0) AS prev_revenue,
+             round(revenue - coalesce(prev_revenue, 0.0), 2) AS delta,
+             coalesce(
+               (CAST(round(revenue * 100) AS BIGINT)
+                - CAST(round(prev_revenue * 100) AS BIGINT)) * 1000000
+                 // CAST(round(prev_revenue * 100) AS BIGINT),
+               0) AS change_ppm
+      FROM laged
+      ORDER BY segment, month"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
-    q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99)
+    q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99, q102)
 }
