@@ -3334,6 +3334,113 @@ object Relational {
       ORDER BY d.label"""),
   )
 
+  /** Trailing-interval velocity rule — the TIME-typed RANGE frame (q51's
+    * frame is value-typed): for every event, how many events did the
+    * same user produce in the trailing hour INCLUDING this one, and does
+    * that breach the rate threshold — the fraud/abuse velocity primitive
+    * run at ingest. The frame orders on integer microseconds, so the
+    * window bound is exact arithmetic in both engines (inclusive on both
+    * ends by the RANGE definition). Flag counts roll up per event type.
+    *
+    * 100 TB shape: one shuffle on user_id, one sort, one running frame —
+    * the velocity state a streaming deployment would keep per key is
+    * exactly this frame's contents. */
+  private val q103 = Q(
+    "q103_velocity_flags",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      T.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("n_trailing_1h", count(lit(1)).over(w))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("n_trailing_1h") >= 4, 1L).otherwise(0L))
+            .as("n_flagged"),
+          max(col("n_trailing_1h")).as("max_velocity"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id, event_type,
+               count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                 AS n_trailing_1h
+        FROM events)
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CASE WHEN n_trailing_1h >= 4 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_flagged,
+             CAST(max(n_trailing_1h) AS BIGINT) AS max_velocity
+      FROM v
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
+  /** Source-precedence merge — q58's axis rotated from time to TRUST:
+    * when the same key arrives from multiple feeds, the highest-
+    * precedence source wins regardless of arrival order (corrections
+    * feed beats the bulk feed; manual override beats both). Simulated
+    * with a corrections feed carrying adjusted prices for every 10th
+    * order; the merge is one union + min(struct(precedence, ...)) per
+    * key — same single-shuffle shape as the CDC merge, different
+    * ordering dimension.
+    *
+    * 100 TB shape: one shuffle on the merge key; the rollup makes the
+    * winner counts per source visible, proving precedence engaged. */
+  private val q104 = Q(
+    "q104_precedence_merge",
+    (s, d) => {
+      // Money as exact integer cents throughout (round() before the cast
+      // per the q102 rule; the 10% uplift is integer `* 11 div 10`), so
+      // the merge and its totals carry no float at any stage.
+      val bulk = T.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          lit(2).as("prec"), lit("bulk").as("src"))
+      val corrections = T.orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT) * 11 div 10")
+            .as("cents"),
+          lit(1).as("prec"), lit("corrections").as("src"))
+      bulk.unionByName(corrections)
+        .groupBy(col("o_orderkey"))
+        .agg(min(struct(col("prec"), col("src"), col("cents"))).as("win"))
+        .select(col("o_orderkey"),
+          col("win.src").as("src"), col("win.cents").as("cents"))
+        .groupBy(col("src"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("cents")).as("total_cents"))
+        .orderBy(col("src"))
+    },
+    Some("""
+      WITH unioned AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+                 AS cents,
+               2 AS prec, 'bulk' AS src
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 11 // 10,
+               1, 'corrections'
+        FROM orders WHERE o_orderkey % 10 = 0),
+      won AS (
+        SELECT o_orderkey, src, cents,
+               row_number() OVER (PARTITION BY o_orderkey
+                                  ORDER BY prec, src, cents) AS rk
+        FROM unioned)
+      SELECT src, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM won WHERE rk = 1
+      GROUP BY src
+      ORDER BY src"""),
+  )
+
   /** Period-over-period report — a window over an AGGREGATED series
     * (every prior window query runs over raw rows): monthly revenue per
     * market segment, with the previous month's value, the absolute
@@ -3407,5 +3514,6 @@ object Relational {
     q31, q32, q33, q34, q35, q40, q41, q42, q43, q44, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
-    q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99, q102)
+    q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99, q102,
+    q103, q104)
 }
