@@ -3334,6 +3334,68 @@ object Relational {
       ORDER BY d.label"""),
   )
 
+  /** Cohort churn — the retention primitive every growth dashboard leads
+    * with: the distinct active-user sets of two adjacent periods, full-
+    * outer reconciled into retained / churned / new counts plus an
+    * integer-ppm retention rate. Built as two distinct-aggregates and
+    * one full-outer on the user key (q69's reconcile shape applied to
+    * set membership), so the fact table is reduced BEFORE any join.
+    *
+    * 100 TB shape: each period's distinct-set is one shuffle on user_id
+    * with map-side partial dedup; the reconcile joins two already-
+    * deduped sets on the same key. */
+  private val q105 = Q(
+    "q105_cohort_churn",
+    (s, d) => {
+      val cutoff = lit("2024-01-29 00:00:00").cast("timestamp")
+      val prev = T.events(s, d).filter(col("ts") < cutoff)
+        .select(col("user_id")).distinct().withColumn("in_prev", lit(1))
+      val cur = T.events(s, d).filter(col("ts") >= cutoff)
+        .select(col("user_id")).distinct().withColumn("in_cur", lit(1))
+      prev.join(cur, Seq("user_id"), "fullOuter")
+        .agg(
+          sum(when(col("in_prev") === 1, 1L).otherwise(0L)).as("n_prev"),
+          sum(when(col("in_cur") === 1, 1L).otherwise(0L)).as("n_cur"),
+          sum(when(col("in_prev") === 1 && col("in_cur") === 1, 1L)
+            .otherwise(0L)).as("n_retained"),
+          sum(when(col("in_prev") === 1 && col("in_cur").isNull, 1L)
+            .otherwise(0L)).as("n_churned"),
+          sum(when(col("in_prev").isNull && col("in_cur") === 1, 1L)
+            .otherwise(0L)).as("n_new"))
+        .select(
+          col("n_prev"), col("n_cur"), col("n_retained"),
+          col("n_churned"), col("n_new"),
+          expr("n_retained * 1000000 div greatest(n_prev, 1)")
+            .as("retention_ppm"))
+    },
+    Some("""
+      WITH prev AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ts < TIMESTAMP '2024-01-29 00:00:00'),
+      cur AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ts >= TIMESTAMP '2024-01-29 00:00:00'),
+      merged AS (
+        SELECT p.user_id AS pu, c.user_id AS cu
+        FROM prev p FULL JOIN cur c ON p.user_id = c.user_id)
+      SELECT CAST(sum(CASE WHEN pu IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_prev,
+             CAST(sum(CASE WHEN cu IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cur,
+             CAST(sum(CASE WHEN pu IS NOT NULL AND cu IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN pu IS NOT NULL AND cu IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+             CAST(sum(CASE WHEN pu IS NULL AND cu IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN pu IS NOT NULL AND cu IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+               // greatest(CAST(sum(CASE WHEN pu IS NOT NULL THEN 1
+                                        ELSE 0 END) AS BIGINT), 1)
+               AS retention_ppm
+      FROM merged"""),
+  )
+
   /** Trailing-interval velocity rule — the TIME-typed RANGE frame (q51's
     * frame is value-typed): for every event, how many events did the
     * same user produce in the trailing hour INCLUDING this one, and does
@@ -3515,5 +3577,5 @@ object Relational {
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
     q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99, q102,
-    q103, q104)
+    q103, q104, q105)
 }
