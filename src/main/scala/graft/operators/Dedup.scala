@@ -844,28 +844,50 @@ object Dedup {
       ORDER BY id1, id2"""),
   )
 
+  /** Size of d12's exact-Jaccard ground-truth sample — a FIXED ABSOLUTE
+    * count, never a corpus fraction, so the quadratic truth stage is
+    * O(K²) at every scale factor (a fraction would square with the
+    * corpus: at sf0.1 a 50% sample cost the r8 bench 225 s). */
+  private[graft] val TruthSampleK = 500
+
+  /** d12's ground-truth sample: the [[TruthSampleK]] documents whose
+    * md5(doc_id) sorts first — deterministic, engine-identical (DuckDB
+    * mirrors it as ORDER BY md5 LIMIT K), and distributed (Spark plans
+    * orderBy+limit as TakeOrderedAndProject: per-partition bounded heaps,
+    * no global sort — asserted in PlanAuditSpec). */
+  private[graft] def truthSample(base: DataFrame): DataFrame =
+    base
+      .withColumn("hh", md5(col("doc_id").cast("string")))
+      .orderBy(col("hh"), col("doc_id"))
+      .limit(TruthSampleK)
+      .select(col("doc_id"), col("sh"))
+
+  /** [[truthSample]] over the live corpus, for the plan-audit spec. */
+  private[graft] def truthSampleFor(s: SparkSession, d: String): DataFrame =
+    truthSample(shingled(s, d))
+
   /** LSH canopy quality audit — s08's recall discipline applied to the
     * dedup side: how many TRUE near-dup pairs (exact Jaccard ≥ 0.2) does
     * d02's banded-MinHash candidate stage actually surface, and how many
     * of its candidates are real? Ground truth needs all-pairs exact
     * Jaccard — the cost LSH exists to avoid — so the audit computes it
-    * over a BOUNDED deterministic sample (md5-nibble < '8', the q55
-    * convention; in production the sample is a fixed absolute size, so
-    * the quadratic stays O(sample²) forever while the canopy under audit
-    * is the same full-corpus stage the pipeline runs). The ≥ 0.2
-    * threshold is evaluated as `5·inter ≥ union` — pure integers, so the
-    * boundary cannot drift between engines. Single-row output of counts
-    * and integer-ppm recall/precision.
+    * over [[truthSample]]: the fixed K = [[TruthSampleK]] documents whose
+    * md5(doc_id) sorts first, so the quadratic stays O(K²) forever while
+    * the canopy under audit is the same full-corpus stage the pipeline
+    * runs. The ≥ 0.2 threshold is evaluated as `5·inter ≥ union` — pure
+    * integers, so the boundary cannot drift between engines. Single-row
+    * output of counts and integer-ppm recall/precision.
     *
     * 100 TB shape: the canopy is d02's shared stage unchanged; truth is
-    * sample² with the sample broadcast against itself; the full-outer
+    * K² with the K-row sample broadcast against itself; the full-outer
     * reconcile of two pair-sets shuffles only pair keys. */
   private val d12 = Q(
     "d12_lsh_canopy_audit",
     (s, d) => {
       val base = shingled(s, d).localCheckpoint(true)
-      val samp = base
-        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+      // K rows, read three times (truth self-join + two semi-join probes
+      // + the n_docs count): checkpoint so the top-K pass runs once.
+      val samp = truthSample(base).localCheckpoint(true)
       // Length-ratio prefilter (lossless): jacc ≤ min/max, so jacc ≥ 1/5
       // REQUIRES 5·min(|A|,|B|) ≥ max(|A|,|B|) — the standard set-size
       // filter every similarity-join runs before paying the intersection.
@@ -908,7 +930,8 @@ object Dedup {
       WITH $lshCandidatesSql,
       samp AS (
         SELECT doc_id, sh FROM base
-        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT $TruthSampleK),
       truth AS (
         SELECT a.doc_id AS id1, b.doc_id AS id2
         FROM samp a JOIN samp b
@@ -918,8 +941,8 @@ object Dedup {
               >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
       scand AS (
         SELECT c.id1, c.id2 FROM cand c
-        WHERE substr(md5(CAST(c.id1 AS VARCHAR)), 1, 1) < '8'
-          AND substr(md5(CAST(c.id2 AS VARCHAR)), 1, 1) < '8'),
+        JOIN samp s1 ON s1.doc_id = c.id1
+        JOIN samp s2 ON s2.doc_id = c.id2),
       merged AS (
         SELECT CAST(sum(CASE WHEN c.id1 IS NOT NULL THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_cand,

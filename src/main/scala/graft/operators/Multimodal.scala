@@ -456,9 +456,15 @@ object Multimodal {
                   WHEN 1 THEN 'audio' ELSE 'video' END AS media_type""",
           "text")
         .select(col("media_type"),
+          // Zero-length guard: sequence(0, -1) auto-DESCENDS to [0, -1]
+          // (two bogus chunk indexes) while the oracle's range(0, 0) is
+          // empty — an empty payload must yield zero chunks on both
+          // engines.
           explode(expr(
-            """transform(sequence(0, CAST(ceil(length(text) / 256.0) AS INT) - 1),
-                         i -> md5(substring(text, i * 256 + 1, 256)))"""))
+            """CASE WHEN length(text) > 0 THEN
+                 transform(sequence(0, CAST(ceil(length(text) / 256.0) AS INT) - 1),
+                           i -> md5(substring(text, i * 256 + 1, 256)))
+               ELSE CAST(array() AS ARRAY<STRING>) END"""))
             .as("chunk_hash"))
       chunks
         .groupBy(col("media_type"))

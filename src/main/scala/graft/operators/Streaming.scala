@@ -822,10 +822,13 @@ object Streaming {
     * resubscribe from the resume cursor / external-checkpoint restart;
     * KinesisLikeSourceSpec proves the same contract at the unit tier).
     * Run 1 drains the sentinel-free log under an admission limit sized
-    * to take ~6 microbatches (P6's rate control on the real read path —
+    * to take ~3 microbatches (P6's rate control on the real read path —
     * the limit bounds per-shard SEQUENCE advance, and sequence numbers
-    * are global event ids, so a whole-log seq range split by 6 gives ~6
-    * batches), each batch committing per-shard cursors + the running
+    * are global event ids, so a whole-log seq range split by 3 gives ~3
+    * batches — the fewest that still prove MULTI-batch cursor commits;
+    * r8 billed ~6 batches and the extra lifecycles were pure bench
+    * cost, not extra proof), each batch committing per-shard cursors
+    * + the running
     * watermark to the checkpoint and its closed windows to the
     * [[graft.streaming.IdempotentSink]] store. Run 2 then starts FRESH
     * from that checkpoint against the sentinel-extended log — the same
@@ -850,7 +853,7 @@ object Streaming {
       val ckpt  = scratchDir("graft_ckpt_restart")
       val store = scratchDir("graft_store_restart")
       val sink  = new graft.streaming.IdempotentSink(store)
-      val seqStep = math.max(1L, T.events(s, d).count() / 6L)
+      val seqStep = math.max(1L, T.events(s, d).count() / 3L)
       def agg(log: String, limit: Option[Long]): DataFrame = {
         val reader = s.readStream
           .format("kinesislike")
@@ -1484,10 +1487,13 @@ object Streaming {
     * multi-topic ingest topology: two separately-replayed logs (each its
     * own source instance with its own offsets and shard set) merge into
     * ONE downstream aggregation, with a region tag carried through so
-    * the rollup proves rows from BOTH legs arrived. Watermarks combine
-    * across legs as the MIN of the two (Spark's multi-source rule), so
-    * one slow region correctly holds back emission for both — exactly
-    * the semantics a cross-region merge needs.
+    * the rollup proves rows from BOTH legs arrived. Each leg carries its
+    * OWN withWatermark (inside `leg()`, before the union) — that is what
+    * engages Spark's min-across-watermarks policy, so one slow region
+    * correctly holds back emission for both, exactly the semantics a
+    * cross-region merge needs. (A single post-union watermark would let
+    * the faster leg advance the global watermark past the slower leg's
+    * in-flight rows — the r8 advisor's catch.)
     *
     * Scale posture: each leg scales by its own shard count; the union
     * itself is free (no shuffle — partitions concatenate) and the only
@@ -1502,11 +1508,12 @@ object Streaming {
           .option("path", log)
           .option("startingPosition", "trim_horizon")
           .load()
-        parsed(stream).withColumn("region", lit(region))
+        parsed(stream)
+          .withColumn("region", lit(region))
+          .withWatermark("ts", "1 hour")
       }
       val agg = leg("east")
         .unionByName(leg("west"))
-        .withWatermark("ts", "1 hour")
         .groupBy(
           window(col("ts"), "6 hours"), col("region"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))

@@ -277,6 +277,22 @@ class PlanAuditSpec extends SparkSpec {
       "q83's CMS build must partial-aggregate map-side")
   }
 
+  test("d12: the exact-Jaccard truth sample is a FIXED ABSOLUTE size — " +
+    "planned as TakeOrderedAndProject(K) and never more than K rows") {
+    // The r8 regression: a 50%-FRACTION sample made the truth stage
+    // O((N/2)²) — 225 s, 43% of the whole bench. This pins the contract
+    // from the operator's own scaladoc: the quadratic stays O(K²) at
+    // every scale factor. A future edit that reintroduces an unbounded
+    // (corpus-proportional) sample fails here, not the next 100 TB run.
+    val k    = graft.operators.Dedup.TruthSampleK
+    val samp = graft.operators.Dedup.truthSampleFor(spark, sf)
+    val p    = samp.queryExecution.sparkPlan.toString
+    assert(p.contains(s"TakeOrderedAndProject(limit=$k"),
+      s"truth sample must plan bounded per-partition heaps, not a " +
+        s"global sort or an unbounded filter:\n$p")
+    assert(samp.count() <= k, s"truth sample exceeded K=$k rows")
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
