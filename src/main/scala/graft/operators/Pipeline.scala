@@ -78,12 +78,19 @@ object Pipeline {
         col("doc_id") % 100 =!= 7)
   }
 
+  /** Bump whenever [[stageFrame]]'s definition changes: the version is
+    * part of the fixture path, so a warm tree can never serve a
+    * materialization of an older formula (the kinesislike `_v2_` log
+    * convention applied to the flag table). */
+  private val StageFrameVersion = "v1"
+
   /** Where the materialized stage-frame fixture lives for a given sf dir
     * (the q42/q48 derived-fixture convention: one deterministic parquet
     * per sf tag under the shared warehouse root). */
   private[graft] def stageFramePath(d: String): String = {
     val (tag, wh) = Relational.fixtureLoc(d)
-    new java.io.File(wh, s"graft_stage_frame_$tag").getAbsolutePath
+    new java.io.File(wh, s"graft_stage_frame_${StageFrameVersion}_$tag")
+      .getAbsolutePath
   }
 
   /** [[stageFrame]] served from a write-once parquet materialization —
