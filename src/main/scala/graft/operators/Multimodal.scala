@@ -445,6 +445,17 @@ object Multimodal {
     * 100 TB shape: chunking is a map-side explode over a computed
     * index range; the distinct-count is one shuffle on the chunk hash —
     * the CAS ingest path, with the hash as the storage key. */
+  /** The m07 chunker: 256-byte content-addressed chunk hashes of `text`.
+    * Zero-length guard: sequence(0, -1) auto-DESCENDS to [0, -1] (two
+    * bogus chunk indexes) while the oracle's range(0, 0) is empty — an
+    * empty payload must yield zero chunks on both engines (pinned by
+    * MultimodalEdgeSpec; the fixtures' min doc length can't reach it). */
+  private[graft] val chunkHashesExpr =
+    """CASE WHEN length(text) > 0 THEN
+         transform(sequence(0, CAST(ceil(length(text) / 256.0) AS INT) - 1),
+                   i -> md5(substring(text, i * 256 + 1, 256)))
+       ELSE CAST(array() AS ARRAY<STRING>) END"""
+
   private val m07 = Q(
     "m07_media_chunk_dedup",
     (s, d) => {
@@ -456,16 +467,7 @@ object Multimodal {
                   WHEN 1 THEN 'audio' ELSE 'video' END AS media_type""",
           "text")
         .select(col("media_type"),
-          // Zero-length guard: sequence(0, -1) auto-DESCENDS to [0, -1]
-          // (two bogus chunk indexes) while the oracle's range(0, 0) is
-          // empty — an empty payload must yield zero chunks on both
-          // engines.
-          explode(expr(
-            """CASE WHEN length(text) > 0 THEN
-                 transform(sequence(0, CAST(ceil(length(text) / 256.0) AS INT) - 1),
-                           i -> md5(substring(text, i * 256 + 1, 256)))
-               ELSE CAST(array() AS ARRAY<STRING>) END"""))
-            .as("chunk_hash"))
+          explode(expr(chunkHashesExpr)).as("chunk_hash"))
       chunks
         .groupBy(col("media_type"))
         .agg(

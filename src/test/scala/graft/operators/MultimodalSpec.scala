@@ -49,4 +49,20 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getString(3) == hist, s"byte_hist for doc ${r.getLong(0)}")
     }
   }
+
+  test("m07 chunker: empty payload yields zero chunks; boundary lengths " +
+    "chunk exactly") {
+    // The fixtures' min doc length is 47, so the zero-length branch is
+    // unreachable through the oracle gate — without the CASE guard,
+    // sequence(0, -1) auto-descends to [0, -1] and an empty document
+    // would emit two bogus chunks where DuckDB's range(0, 0) emits none.
+    import spark.implicits._
+    val sizes = Seq("" -> 0, "a" -> 1, ("x" * 256) -> 1, ("x" * 257) -> 2,
+      ("x" * 512) -> 2, ("x" * 513) -> 3)
+    val got = sizes.map(_._1).toDF("text")
+      .selectExpr(s"size(${Multimodal.chunkHashesExpr}) AS n")
+      .as[Int].collect().toSeq
+    assert(got == sizes.map(_._2),
+      s"chunk counts ${got} != expected ${sizes.map(_._2)}")
+  }
 }
