@@ -315,7 +315,15 @@ object Similarity {
     *
     * Scale posture: centroids BROADCAST (k rows), the corpus scan is
     * map-only, and the only shuffle is the k-row final rollup — the
-    * canonical distributed Lloyd iteration. */
+    * canonical distributed Lloyd iteration.
+    *
+    * Domain bound: the ppm-exact report (`floor(dist·1e6)` as BIGINT)
+    * overflows — loudly, under ANSI, on BOTH engines — when a component
+    * magnitude exceeds ~1.9e5 (dist ≤ 256·v² must stay under 2^63/1e6).
+    * Real embeddings sit five orders below that (fixture ~N(0, 0.1);
+    * edge-audited green through ±300 components and the all-zero
+    * vector), so the exact-integer design is kept over a silent float
+    * fallback. */
   private val s06 = Q(
     "s06_kmeans_assign",
     (s, d) => {
