@@ -606,10 +606,14 @@ object Pipeline {
     * trained on; this row is the evidence the eval is clean (or the list
     * of what to drop).
     *
-    * 100 TB shape: the val side is a bounded fraction by construction —
-    * its gram table BROADCASTS (d09's probe pattern) and the train side
-    * stays map-only into one (val_id, gram) distinct + rollup; the
-    * summary is a single row. */
+    * 100 TB shape: the val side is a FRACTION of the corpus — unlike
+    * d09's probe (a benchmark suite, absolutely bounded in production),
+    * it grows with the data, so its gram table must NOT carry a
+    * broadcast hint: at fixture scale AQE broadcasts it on its own; at
+    * 100 TB the correct plan is a shuffled hash join on the gram key
+    * (both sides large), which the hint-free join lets Spark pick. The
+    * train side stays map-only into one (val_id, gram) distinct +
+    * rollup; the summary is a single row. */
   private val p06 = Q(
     "p06_split_leakage",
     (s, d) => {
@@ -627,7 +631,7 @@ object Pipeline {
       val valGrams = grams.filter(col("bucket") === "val")
         .select(col("doc_id").as("val_id"), col("gram"))
       val hits = grams.filter(col("bucket") === "train")
-        .join(broadcast(valGrams), "gram")
+        .join(valGrams, "gram")
         .select(col("val_id"), col("gram"))
         .distinct()
         .groupBy(col("val_id"))
