@@ -2737,9 +2737,13 @@ object Relational {
           col("n_total"),
           col("n_bad"),
           expr("n_bad * 1000000 div n_total").as("bad_ppm"))
+      // No broadcast hint on customer: it is SF-scaled (billions of keys
+      // at 100 TB), so the orphan check must be free to plan a shuffled
+      // join at scale; size-based planning still broadcasts it in every
+      // tested regime.
       val orphanOrders = T.orders(s, d)
         .join(
-          broadcast(T.customer(s, d).select(col("c_custkey"))),
+          T.customer(s, d).select(col("c_custkey")),
           col("o_custkey") === col("c_custkey"), "left")
         .agg(
           count(lit(1)).as("n_total"),
@@ -2841,9 +2845,12 @@ object Relational {
         .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
       v.join(c, Seq("user_id"), "left")
         .join(p, Seq("user_id"), "left")
+        // Hint-free customer join: SF-scaled table, so the segment
+        // enrichment may shuffle at 100 TB; still auto-broadcast when it
+        // fits the threshold.
         .join(
-          broadcast(T.customer(s, d)
-            .select(col("c_custkey"), col("c_mktsegment"))),
+          T.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment")),
           col("user_id") === col("c_custkey"), "left")
         .groupBy(
           coalesce(col("c_mktsegment"), lit("<unknown>")).as("segment"))
@@ -3027,8 +3034,11 @@ object Relational {
           col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
           col("c_mktsegment"), col("n_name"))
+      // nation broadcasts (25 rows, hinted above); customer is SF-scaled,
+      // so its join carries NO hint — Q10's customer side must be free to
+      // shuffle at scale, and it still auto-broadcasts in tested regimes.
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
           col("c_mktsegment"))
         .agg(
@@ -3518,9 +3528,11 @@ object Relational {
     "q102_mom_change",
     (s, d) => {
       val monthly = T.orders(s, d)
+        // Hint-free: customer is SF-scaled (see q87/q91); auto-broadcasts
+        // when small, shuffles when it isn't.
         .join(
-          broadcast(T.customer(s, d)
-            .select(col("c_custkey"), col("c_mktsegment"))),
+          T.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(
           col("c_mktsegment").as("segment"),
