@@ -487,7 +487,13 @@ object Relational {
   )
 
   /** JSON extraction from the events.props payload (honors the reference's
-    * decode-JSON-payload semantics, subscribe_to_shard.ex:365-366). */
+    * decode-JSON-payload semantics, subscribe_to_shard.ex:365-366).
+    *
+    * STRICT-typed by design (like q53's variant path): a props payload
+    * whose `k` is not an integer fails the ANSI cast loudly on BOTH
+    * engines rather than silently nulling — q77 is the
+    * tolerate-and-count counterpart for schema-drifted input; route
+    * dirty feeds through it (or q94's dead-letter split) first. */
   private val q20 = Q(
     "q20_scalar_json",
     (s, d) =>
@@ -2176,7 +2182,14 @@ object Relational {
     * event owns one bin — so no post-join dedup is needed. The join is a
     * plain hash/SMJ on bin at any scale; bin width trades expansion factor
     * (window_len/bin + 1 rows per window) against per-bin selectivity.
-    * Windows here: 6-hourly starts, 1-day length (4× overlap). */
+    * Windows here: 6-hourly starts, 1-day length (4× overlap).
+    *
+    * Precision bound (applies to every round(sum(double), 2) money
+    * rollup in the pack): the cent digits are engine-stable while group
+    * sums stay within ~2^53/100; an extreme outlier value (≥ ~1e12 in
+    * one event) pushes accumulation-order noise past the cent and the
+    * two engines may round differently — the q104 integer-cents
+    * convention is the exact path when the domain allows such values. */
   private val q72 = Q(
     "q72_interval_join_binned",
     (s, d) => {
@@ -2402,14 +2415,26 @@ object Relational {
                CASE WHEN event_id % 10 = 0
                     THEN substr(props, 1, length(props) - 1)
                     ELSE props END AS raw
-        FROM events)
+        FROM events),
+      -- "bad" mirrors Spark's SCHEMA-BIND notion of corrupt, not mere
+      -- syntactic validity: a parseable record whose k is not an integer
+      -- (object/array/string/double k) is corrupt to from_json('k INT')
+      -- under enablePartialResults=false, so the oracle must grade it
+      -- bad too. CASE keeps json_type off malformed rows (it throws
+      -- where json_valid is merely false).
+      graded AS (
+        SELECT event_type, raw,
+               CASE WHEN json_valid(raw)
+                    THEN coalesce(json_type(raw, '$.k'), 'NULL')
+                         IN ('UBIGINT', 'BIGINT', 'NULL')
+                    ELSE FALSE END AS ok
+        FROM mangled)
       SELECT event_type, count(*) AS n,
-             CAST(sum(CASE WHEN json_valid(raw) THEN 0 ELSE 1 END)
-                  AS BIGINT) AS n_bad,
-             CAST(sum(CASE WHEN json_valid(raw)
+             CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_bad,
+             CAST(sum(CASE WHEN ok
                            THEN CAST(raw ->> 'k' AS INT) END) AS BIGINT)
                AS sum_k
-      FROM mangled
+      FROM graded
       GROUP BY event_type
       ORDER BY event_type"""),
   )

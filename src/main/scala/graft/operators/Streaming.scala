@@ -40,6 +40,13 @@ object Streaming {
     StructField("props", StringType),
   ))
 
+  /** The watermark-advance sentinel's user id (KinesisLikeLog appends it
+    * with `sentinel = true`). Sink-side filters must exclude EXACTLY this
+    * id — an earlier `user_id >= 0` filter also swallowed legitimate
+    * negative user ids, silently diverging from the oracle (which knows
+    * nothing of the sentinel convention) on any corpus that has them. */
+  private val SentinelUserId = -1L
+
   private val sinkCounter = new AtomicLong(0)
 
   /** Per-JVM scratch root for stream checkpoints and q46's external
@@ -343,7 +350,7 @@ object Streaming {
           col("user_id"))
         .agg(count(lit(1)).as("sess_len"))
       runToMemory(s, sessions, "append")
-        .filter(col("user_id") >= 0)
+        .filter(col("user_id") =!= SentinelUserId)
         .groupBy(col("user_id"))
         .agg(
           count(lit(1)).as("n_sessions"),
@@ -629,7 +636,7 @@ object Streaming {
         }
         .toDF("user_id", "n_events", "max_value")
       runToMemory(s, out, "append")
-        .filter(col("user_id") >= 0)
+        .filter(col("user_id") =!= SentinelUserId)
         .orderBy(col("user_id"))
     },
     Some("""
@@ -1005,7 +1012,7 @@ object Streaming {
       // rollup folds any such split back together, so the append output
       // reconciles under ANY microbatch slicing or lateness profile.
       out
-        .filter(col("user_id") >= 0)
+        .filter(col("user_id") =!= SentinelUserId)
         .groupBy(col("user_id"), col("event_type"))
         .agg(
           sum(col("n")).as("n"),
@@ -1150,7 +1157,7 @@ object Streaming {
       // (boot, n1) then (0, n2) — boot clears on first flush — so the
       // rollup reconstructs (boot, n1+n2) exactly.
       val live = streamed
-        .filter(col("user_id") >= 0)
+        .filter(col("user_id") =!= SentinelUserId)
         .groupBy(col("user_id"))
         .agg(
           sum(col("n_orders")).as("n_orders"),
@@ -1346,7 +1353,7 @@ object Streaming {
           col("user_id"))
         .agg(count(lit(1)).as("sess_len"))
       runToMemory(s, sessions, "append")
-        .filter(col("user_id") >= 0)
+        .filter(col("user_id") =!= SentinelUserId)
         .groupBy(col("user_id"))
         .agg(
           count(lit(1)).as("n_sessions"),
@@ -1470,15 +1477,25 @@ object Streaming {
                CASE WHEN event_id % 10 = 0
                     THEN substr(props, 1, length(props) - 1)
                     ELSE props END AS raw
-        FROM events)
+        FROM events),
+      -- Route on Spark's SCHEMA-BIND corruption (q77's rule): a record
+      -- whose k is valid JSON but not an integer is corrupt to
+      -- from_json('k INT') and belongs in the dead-letter store.
+      graded AS (
+        SELECT event_type, raw,
+               CASE WHEN json_valid(raw)
+                    THEN coalesce(json_type(raw, '$.k'), 'NULL')
+                         IN ('UBIGINT', 'BIGINT', 'NULL')
+                    ELSE FALSE END AS ok
+        FROM mangled)
       SELECT 'dlq' AS store, event_type, count(*) AS n,
              CAST(0 AS BIGINT) AS sum_k
-      FROM mangled WHERE NOT json_valid(raw)
+      FROM graded WHERE NOT ok
       GROUP BY event_type
       UNION ALL
       SELECT 'main', event_type, count(*),
              CAST(sum(CAST(raw ->> 'k' AS INT)) AS BIGINT)
-      FROM mangled WHERE json_valid(raw)
+      FROM graded WHERE ok
       GROUP BY event_type
       ORDER BY store, event_type"""),
   )

@@ -217,7 +217,11 @@ object KinesisLikeLog {
         val user   = r.getLong(2)
         val b64 = java.util.Base64.getEncoder
           .encodeToString(r.getString(3).getBytes(UTF_8))
-        val w = writers((user % numShards).toInt)
+        // floorMod: a partition-key hash must be non-negative for EVERY
+        // key — Scala % of a negative user_id is negative and would
+        // index out of bounds (Kinesis hashes the partition key; a raw
+        // modulo is only its stand-in when the key can't be negative).
+        val w = writers(java.lang.Math.floorMod(user, numShards.toLong).toInt)
         var c = 0
         while (c < copies) {
           w.write(s"$seq\t$micros\t$user\t$b64\n")
