@@ -27,6 +27,10 @@ object Dedup {
   private val NumHashes = 8
   private val BandSize  = 2 // → 4 bands of 2 hashes
 
+  /** d14's fixed "paragraph" width in words — the stand-in for newline
+    * paragraph boundaries the fixture corpus doesn't have. */
+  private val ChunkWords = 16
+
   /** documents spread across the session's parallelism: the fixture table
     * is a single parquet file (= one input partition), which would run
     * every CPU-bound signature/verify stage on one core; at warehouse
@@ -1020,8 +1024,88 @@ object Dedup {
     },
   )
 
+  /** Chunk-level exact dedup (CCNet/C4-style "paragraph" dedup): the
+    * corpus-global pass that removes REPEATED SPANS rather than repeated
+    * documents — boilerplate headers, license blocks, navigation chrome
+    * that recur across otherwise-distinct pages. The fixture corpus has
+    * no newline structure, so a "paragraph" is a fixed window of
+    * [[ChunkWords]] consecutive words (the same fixed-chunking convention
+    * m07 uses for bytes); each chunk is content-addressed with md5 and
+    * the FIRST occurrence corpus-wide (lowest doc_id, then chunk_idx) is
+    * the canonical copy — every later occurrence is a duplicated span.
+    * Emits the per-document retention profile a curation funnel consumes:
+    * chunk count, duplicated-span count, and exact integer retention ppm.
+    *
+    * Scale shape (100 TB): chunking is map-only (one fixed-size slice
+    * pass, no intermediate explode of shingle n-grams); the global
+    * first-occurrence rank is one shuffle on the 128-bit chunk hash —
+    * identical to d01's posture but at chunk granularity, so the shuffle
+    * carries (doc_id, chunk_idx, hash) triples, never the text itself;
+    * the per-doc rollup re-shuffles only those triples on doc_id.
+    * Window-rank over the hash (not a self-join) keeps it linear. */
+  private val d14 = Q(
+    "d14_paragraph_dedup",
+    (s, d) => {
+      val w      = split(col("text"), " ")
+      val nCh    = ceil(size(w) / lit(ChunkWords.toDouble)).cast("int")
+      val chunks = transform(
+        sequence(lit(0), nCh - 1),
+        i =>
+          struct(
+            i.as("idx"),
+            array_join(slice(w, i * ChunkWords + 1, lit(ChunkWords)), " ")
+              .as("chunk")))
+      val firstW = Window
+        .partitionBy(col("h"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+      docs(s, d)
+        .select(col("doc_id"), explode(chunks).as("c"))
+        .select(
+          col("doc_id"),
+          col("c.idx").as("chunk_idx"),
+          md5(col("c.chunk")).as("h"))
+        .withColumn("rk", row_number().over(firstW))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .select(
+          col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          expr("(n_chunks - n_dup_chunks) * 1000000 div n_chunks")
+            .as("retained_ppm"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+      chunks AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, CAST(ceil(len(w) / $ChunkWords.0) AS INT)),
+                 i -> {'idx': i,
+                      'chunk': array_to_string(
+                        w[i*$ChunkWords+1 : i*$ChunkWords+$ChunkWords],
+                        ' ')})) AS c
+        FROM ws),
+      flat AS (SELECT doc_id, c.idx AS chunk_idx, md5(c.chunk) AS h
+               FROM chunks),
+      ranked AS (
+        SELECT doc_id, chunk_idx,
+               row_number() OVER (PARTITION BY h
+                                  ORDER BY doc_id, chunk_idx) AS rk
+        FROM flat)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+             CAST((count(*) - sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END))
+                  * 1000000 // count(*) AS BIGINT) AS retained_ppm
+      FROM ranked GROUP BY doc_id ORDER BY doc_id"""),
+  )
+
   val all: Seq[Q] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
+      d14)
 }
 
 /** Shared sign-LSH band SQL builders over [[graft.functions.SignDots16]]'s

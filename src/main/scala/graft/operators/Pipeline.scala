@@ -683,5 +683,65 @@ object Pipeline {
       FROM counts c, leak l"""),
   )
 
-  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06)
+  /** p07's per-source cap K. 10 caps the 25-docs/source fixture corpus
+    * hard enough that both branches (kept and dropped) carry weight at
+    * every SF. Declared BEFORE p07: the oracle SQL string interpolates
+    * it eagerly at object init, where a forward reference would silently
+    * read 0. */
+  private val SourceCapK = 10
+
+  /** Per-source document caps — the web-scale "per-domain cap" every
+    * crawl-curation pipeline applies so one over-represented source
+    * (a mirror farm, one giant forum) cannot dominate the training mix.
+    * Within each source the cap keeps the K best documents by the
+    * retention policy d10 established (longest first by n_chars, ties to
+    * the lowest doc_id) and drops the rest; the report is the per-source
+    * before/after the mixture designer (p05) consumes — document counts
+    * kept/dropped and the character mass that survives the cap.
+    *
+    * Scale shape (100 TB): one shuffle on `source` for the rank window.
+    * Per-source partitions are exactly the skew the cap EXISTS to bound,
+    * so at warehouse scale the rank runs as d10 does: the window needs
+    * only (source, n_chars, doc_id) triples — the projection Spark
+    * pushes to the scan (text never shuffles) — and a two-level top-K
+    * (partial per-partition heap, then per-source) bounds any one
+    * source's spill. */
+  private val p07 = Q(
+    "p07_source_caps",
+    (s, d) => {
+      val capW = Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      T.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(capW))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("rk") <= SourceCapK, 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("rk") > SourceCapK, 1L).otherwise(0L))
+            .as("n_dropped"),
+          sum(when(col("rk") <= SourceCapK, col("n_chars")).otherwise(0L))
+            .as("kept_chars"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN rk <= $SourceCapK THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN rk > $SourceCapK THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dropped,
+             CAST(sum(CASE WHEN rk <= $SourceCapK THEN n_chars ELSE 0 END)
+                  AS BIGINT) AS kept_chars
+      FROM ranked GROUP BY source ORDER BY source"""),
+  )
+
+  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07)
 }

@@ -3607,6 +3607,55 @@ object Relational {
       ORDER BY segment, month"""),
   )
 
+  /** First-order Markov transition matrix over the event stream — the
+    * sequence-model view of user behavior (what follows what, and with
+    * what probability) that funnels (q88) and sessionization (q24) only
+    * see implicitly. Each user's events are ordered by (ts, event_id)
+    * — the same deterministic total order every sequence query here
+    * uses — and lag(1) pairs each event with its predecessor; the
+    * per-(prev, curr) counts normalize into row-stochastic transition
+    * probabilities as exact integer ppm (t15's convention), so the row
+    * is bit-identical in both engines with no float rounding contract.
+    *
+    * Scale shape (100 TB): one shuffle on user_id for the lag window
+    * (per-user sequences are short and skew-free), then the transition
+    * count aggregates with map-side combine onto a |event_types|² grid —
+    * tiny — and the normalizing sum is a window over that grid, not the
+    * raw events. */
+  private val q106 = Q(
+    "q106_markov_transitions",
+    (s, d) => {
+      val seqW = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      T.events(s, d)
+        .withColumn("prev", lag(col("event_type"), 1).over(seqW))
+        .filter(col("prev").isNotNull)
+        .select(col("prev"), col("event_type").as("curr"))
+        .groupBy(col("prev"), col("curr"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .withColumn(
+          "p_ppm",
+          expr(
+            "n_transitions * 1000000 div " +
+              "sum(n_transitions) OVER (PARTITION BY prev)"))
+        .orderBy(col("prev"), col("curr"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events),
+      trans AS (
+        SELECT prev, event_type AS curr, count(*) AS n
+        FROM seq WHERE prev IS NOT NULL GROUP BY prev, curr)
+      SELECT prev, curr, CAST(n AS BIGINT) AS n_transitions,
+             CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev)
+                  AS BIGINT) AS p_ppm
+      FROM trans ORDER BY prev, curr"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3614,5 +3663,5 @@ object Relational {
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
     q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99, q102,
-    q103, q104, q105)
+    q103, q104, q105, q106)
 }

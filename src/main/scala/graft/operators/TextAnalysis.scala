@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables => T}
 
 /** Text-analysis operators over the documents table: language-ID
@@ -748,7 +749,59 @@ object TextAnalysis {
       ORDER BY doc_id"""),
   )
 
+  /** Zipf-exponent fit per language — the corpus-health diagnostic that
+    * catches template/machine-generated text at the DISTRIBUTION level
+    * where t15's per-doc TTR cannot: natural language's rank-frequency
+    * curve is a power law (log-log slope near -1), while templated spam
+    * flattens it (near 0) and a degenerate generator steepens it. Fit is
+    * ordinary least squares of ln(freq) on ln(rank) over each language's
+    * top-100 terms via the codegen'd `regr_slope` aggregate — identical
+    * closed form in DuckDB, so only float accumulation order differs
+    * (round(_,3) absorbs it; the fit inputs themselves are exact integer
+    * counts). Rank ties break lexically so both engines rank
+    * identically.
+    *
+    * Scale shape (100 TB): explode → (lang, word) count with map-side
+    * combine, then per-lang top-100 by window rank — the rank shuffle
+    * carries only the DISTINCT vocabulary (tiny vs the corpus), and the
+    * regression is an O(1)-state aggregate over ≤100 rows per language. */
+  private val t16 = Q(
+    "t16_zipf_slope",
+    (s, d) => {
+      val rk = Window
+        .partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("word"))
+      T.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 100)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_terms"),
+          round(regr_slope(log(col("n")), log(col("rk"))), 3)
+            .as("zipf_slope"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH words AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      freq AS (SELECT lang, word, count(*) AS n
+               FROM words GROUP BY lang, word),
+      ranked AS (
+        SELECT lang, n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, word) AS rk
+        FROM freq)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+             round(regr_slope(ln(n), ln(rk)), 3) AS zipf_slope
+      FROM ranked WHERE rk <= 100
+      GROUP BY lang ORDER BY lang"""),
+  )
+
   val all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15)
+      t14, t15, t16)
 }
