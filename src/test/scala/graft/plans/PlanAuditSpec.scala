@@ -293,6 +293,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(samp.count() <= k, s"truth sample exceeded K=$k rows")
   }
 
+  test("p07: the cap rank never shuffles document text — the scan reads " +
+    "only (source, doc_id, n_chars) and the window keys on source") {
+    val p = plan("p07_source_caps")
+    assert(!p.contains("text"), s"text column read for a metadata cap:\n$p")
+    val exec = SparkEntry.queries("p07_source_caps")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(source".r.findAllIn(exec).size >= 1,
+      s"expected the rank window to shuffle on source:\n$exec")
+  }
+
+  test("d14: chunk dedup is window-rank over the chunk hash — no join " +
+    "of any kind in the plan") {
+    val p = plan("d14_paragraph_dedup")
+    assert(!p.contains("Join"), s"chunk dedup must not self-join:\n$p")
+    assert(p.contains("Window"), p)
+    // Chunking is map-only: exactly one Generate (the chunk explode),
+    // fed straight from the scan projection.
+    assert("Generate explode".r.findAllIn(p).size == 1, p)
+  }
+
+  test("t16: the Zipf rank shuffle carries only the distinct vocabulary " +
+    "(count aggregates before the window) and the OLS runs as one " +
+    "aggregate") {
+    val exec = SparkEntry.queries("t16_zipf_slope")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // Partial (lang, word) count must appear BELOW the window's
+    // lang-only exchange: the explode output aggregates map-side first.
+    val winAt = exec.indexOf("Window")
+    val aggAt = exec.lastIndexOf("HashAggregate")
+    assert(winAt >= 0 && aggAt > winAt,
+      s"expected the vocabulary count to aggregate before the rank:\n$exec")
+    assert(!exec.contains("Join"), exec)
+  }
+
+  test("q106: the transition matrix pays one user_id shuffle for the " +
+    "lag, and the normalizing sum windows over the tiny (prev, curr) " +
+    "grid, not the raw events") {
+    val exec = SparkEntry.queries("q106_markov_transitions")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id".r.findAllIn(exec).size == 1,
+      s"lag window must shuffle once on user_id:\n$exec")
+    assert("hashpartitioning\\(prev".r.findAllIn(exec).size >= 1,
+      s"normalization must key on prev (the aggregated grid):\n$exec")
+    assert(!exec.contains("Join"), exec)
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
