@@ -541,5 +541,103 @@ object Multimodal {
       ORDER BY f.doc_id"""),
   )
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
+  /** Aspect-ratio bucketing — the batch-assembly step image-training
+    * pipelines run so a batch shares one canvas shape (padding-free
+    * attention): every image snaps to the nearest of five standard
+    * aspect buckets (1:1, 4:3, 3:4, 16:9, 9:16). "Nearest" is argmin of
+    * |aspect − bucket| measured in exact integer ppm (aspect = width ·
+    * 10⁶ div height), with ties broken by the buckets' fixed declaration
+    * order — every comparison is integer, so both engines pick identical
+    * buckets with no float argmin hazard. Reports the per-bucket batch
+    * profile: image count, total source pixels, and mean source aspect.
+    *
+    * Scale shape (100 TB): the snap is pure map-side arithmetic on m01's
+    * derived dimensions (a literal 5-way CASE — no join against a bucket
+    * table, nothing broadcast), and the profile aggregates map-side onto
+    * a 5-row grid. */
+  private val m09 = Q(
+    "m09_aspect_buckets",
+    (s, d) => {
+      val arms = AspectBuckets
+        .map { case (nm, ppm) => s"abs(ar_ppm - ${ppm}L)" -> nm }
+      val best = arms.map(_._1).mkString("least(", ", ", ")")
+      val pick = arms
+        .map { case (e, nm) => s"WHEN $e = $best THEN '$nm'" }
+        .mkString("CASE ", " ", " END")
+      T.documents(s, d)
+        .filter("CAST(doc_id % 3 AS INT) = 0") // m01's media_type='image'
+        // EXIF-style orientation normalization: m01's derived dims are
+        // always landscape (w ≥ h by construction), so half the images
+        // carry a deterministic portrait orientation tag and transpose —
+        // the rotate-before-bucket step a real pipeline applies, and the
+        // reason the portrait arms of the bucket set are reachable.
+        .selectExpr(
+          "doc_id",
+          s"CAST($WidthExpr AS BIGINT) AS w0",
+          s"CAST($HeightExpr AS BIGINT) AS h0",
+          "CAST((doc_id div 3) % 2 AS INT) = 1 AS portrait")
+        .selectExpr(
+          "doc_id",
+          "CASE WHEN portrait THEN h0 ELSE w0 END AS width",
+          "CASE WHEN portrait THEN w0 ELSE h0 END AS height")
+        .selectExpr(
+          "doc_id", "width", "height",
+          "width * 1000000 div height AS ar_ppm")
+        .selectExpr("ar_ppm", "width * height AS pixels", s"$pick AS bucket")
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_images"),
+          sum(col("pixels")).as("total_pixels"),
+          expr("sum(ar_ppm) div count(1)").as("mean_ar_ppm"))
+        .orderBy(col("bucket"))
+    },
+    Some {
+      val arms = AspectBuckets
+        .map { case (nm, ppm) => s"abs(ar_ppm - $ppm)" -> nm }
+      val best = arms.map(_._1).mkString("least(", ", ", ")")
+      val pick = arms
+        .map { case (e, nm) => s"WHEN $e = $best THEN '$nm'" }
+        .mkString("CASE ", " ", " END")
+      s"""
+      WITH raw AS (
+        SELECT doc_id,
+               CAST($WidthExpr AS BIGINT) AS w0,
+               CAST($HeightExpr AS BIGINT) AS h0,
+               CAST((doc_id // 3) % 2 AS INT) = 1 AS portrait
+        FROM documents WHERE CAST(doc_id % 3 AS INT) = 0),
+      dims AS (
+        SELECT doc_id,
+               CASE WHEN portrait THEN h0 ELSE w0 END AS width,
+               CASE WHEN portrait THEN w0 ELSE h0 END AS height
+        FROM raw),
+      ar AS (
+        SELECT doc_id, width, height,
+               width * 1000000 // height AS ar_ppm
+        FROM dims),
+      snapped AS (
+        SELECT ar_ppm, width * height AS pixels, $pick AS bucket
+        FROM ar)
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_images,
+             CAST(sum(pixels) AS BIGINT) AS total_pixels,
+             CAST(sum(ar_ppm) // count(*) AS BIGINT) AS mean_ar_ppm
+      FROM snapped GROUP BY bucket ORDER BY bucket"""
+    },
+  )
+
+  /** m09's aspect buckets as (name, aspect·10⁶) — 1:1, 4:3, 3:4, 16:9,
+    * 9:16, each ppm value the same floor(w·10⁶/h) integer both engines
+    * compute. Declaration order is the argmin tie-break order. Declared
+    * before m09 would read it... kept immediately adjacent instead: m09
+    * references it lazily from inside both the Spark closure and the
+    * oracle `Some { }` block, so ordering is safe — but see p07 for why
+    * eager string interpolation must NOT forward-reference. */
+  private lazy val AspectBuckets: Seq[(String, Long)] = Seq(
+    "a_square_1_1"     -> 1000000L,
+    "b_landscape_4_3"  -> 1333333L,
+    "c_portrait_3_4"   -> 750000L,
+    "d_wide_16_9"      -> 1777777L,
+    "e_tall_9_16"      -> 562500L)
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
 }

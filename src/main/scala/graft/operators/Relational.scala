@@ -3656,6 +3656,77 @@ object Relational {
       FROM trans ORDER BY prev, curr"""),
   )
 
+  /** Last-touch attribution — every purchase is credited to the user's
+    * most recent PRECEDING non-purchase event (the "channel"), the
+    * classic marketing-attribution shape and the one window feature no
+    * other query exercises: last(_, ignoreNulls) over an UNBOUNDED
+    * PRECEDING .. 1 PRECEDING frame, i.e. a conditional carry-forward
+    * along the event sequence (q10's lag can only reach a FIXED offset
+    * back; attribution needs "latest matching", any distance back).
+    * Purchases with no prior event credit the 'direct' channel. Money
+    * rolls up as exact integer cents (q104's convention) and the
+    * touch-to-purchase latency as exact integer µs, so the row needs no
+    * float rounding contract.
+    *
+    * Scale shape (100 TB): one shuffle on user_id for the carry-forward
+    * window — same partitioning q24/q88/q106 ride — then a map-side
+    * combined aggregate onto the |event_types|-row channel grid. The
+    * running frame is O(1) state per row (Spark keeps the last non-null,
+    * not the frame). */
+  private val q107 = Q(
+    "q107_attribution",
+    (s, d) => {
+      val touch = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val nonPurchase = when(col("event_type") =!= "purchase",
+        col("event_type"))
+      val touchUs = when(col("event_type") =!= "purchase",
+        unix_micros(col("ts")))
+      T.events(s, d)
+        .withColumn("channel",
+          coalesce(last(nonPurchase, ignoreNulls = true).over(touch),
+            lit("direct")))
+        .withColumn("touch_us",
+          last(touchUs, ignoreNulls = true).over(touch))
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("channel"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)"))
+            .as("revenue_cents"),
+          sum(coalesce(unix_micros(col("ts")) - col("touch_us"), lit(0L)))
+            .as("gap_us_total"))
+        .select(
+          col("channel"), col("n_purchases"), col("revenue_cents"),
+          expr("gap_us_total div n_purchases").as("mean_gap_us"))
+        .orderBy(col("channel"))
+    },
+    Some("""
+      WITH touched AS (
+        SELECT event_type, ts, value,
+               coalesce(
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                   OVER w,
+                 'direct') AS channel,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN epoch_us(ts) END IGNORE NULLS)
+                 OVER w AS touch_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT channel,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+             CAST(sum(coalesce(epoch_us(ts) - touch_us, 0))
+                  // count(*) AS BIGINT) AS mean_gap_us
+      FROM touched WHERE event_type = 'purchase'
+      GROUP BY channel ORDER BY channel"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3663,5 +3734,5 @@ object Relational {
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
     q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99, q102,
-    q103, q104, q105, q106)
+    q103, q104, q105, q106, q107)
 }

@@ -77,6 +77,71 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("q107 last-touch attribution matches a sequential replay: latest " +
+    "preceding non-purchase wins, any distance back, else 'direct'") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+
+    // (channel, purchases, cents, gapTotalUs) accumulated by replay.
+    val acc = scala.collection.mutable
+      .Map[String, (Long, Long, Long)]().withDefaultValue((0L, 0L, 0L))
+    rows.groupBy(_._1).values.foreach { evs =>
+      var lastTouch: Option[(String, Long)] = None
+      evs.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).foreach { e =>
+        val tsUs = e._2.getTime * 1000L + (e._2.getNanos / 1000L) % 1000L
+        if (e._4 == "purchase") {
+          val (ch, gap) = lastTouch
+            .map { case (c, t) => (c, tsUs - t) }.getOrElse(("direct", 0L))
+          val (n, c, g) = acc(ch)
+          acc(ch) = (n + 1, c + math.round(e._5 * 100), g + gap)
+        } else lastTouch = Some((e._4, tsUs))
+      }
+    }
+    val expected = acc.toSeq.sortBy(_._1).map { case (ch, (n, c, g)) =>
+      (ch, n, c, g / n)
+    }
+    val got = SparkEntry.queries("q107_attribution")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+    assert(expected.exists(_._1 == "direct"),
+      "fixture must exercise the no-prior-touch branch")
+  }
+
+  test("m09 snaps every image to the integer-ppm-nearest aspect bucket " +
+    "with declaration-order tie-break, recomputed driver-side") {
+    val buckets = Seq(
+      "a_square_1_1" -> 1000000L, "b_landscape_4_3" -> 1333333L,
+      "c_portrait_3_4" -> 750000L, "d_wide_16_9" -> 1777777L,
+      "e_tall_9_16" -> 562500L)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 % 3 == 0)
+
+    val expected = docs.map { case (id, nc) =>
+      val (w0, h0) = (nc % 640 + 16, nc % 360 + 16)
+      val (w, h)   = if ((id / 3) % 2 == 1) (h0, w0) else (w0, h0)
+      val ar       = w * 1000000L / h
+      val bucket   = buckets.minBy { case (_, ppm) => math.abs(ar - ppm) }._1
+      (bucket, ar, w * h)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, rs) =>
+      (b, rs.length.toLong, rs.map(_._3).sum, rs.map(_._2).sum / rs.length)
+    }
+    val got = SparkEntry.queries("m09_aspect_buckets")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+    // Both orientations must reach the snap (portrait arms are only
+    // reachable through the transpose).
+    assert(expected.exists(_._1.startsWith("e_")) &&
+      expected.exists(_._1.startsWith("d_")),
+      "fixture must exercise both orientations")
+  }
+
   test("p07 keeps exactly the top-10-by-(n_chars desc, doc_id) documents " +
     "per source, recomputed driver-side") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
