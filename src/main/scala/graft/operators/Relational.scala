@@ -3727,6 +3727,51 @@ object Relational {
       GROUP BY channel ORDER BY channel"""),
   )
 
+  /** Behavioral path mining — the top-10 most common 3-step event paths
+    * across all users, the "how do users actually move through the
+    * product" view that q106's one-step transition matrix marginalizes
+    * away (a frequent A→B and a frequent B→C do not imply A→B→C; the
+    * trigram count measures it directly). Two lags on ONE window spec
+    * keep it to a single user_id shuffle+sort (q85's shared-window
+    * discipline), and the global top-10 rides the (n DESC, path) order
+    * with the path string as the unique tie-break, so the cut line is
+    * deterministic in both engines.
+    *
+    * Scale shape (100 TB): one user_id shuffle for both lags, map-side
+    * combined counts onto the |event_types|³ grid (≤125 rows here,
+    * bounded by the type vocabulary cubed — never by the corpus), and
+    * the limit plans as TakeOrderedAndProject: bounded per-partition
+    * heaps, no global sort. */
+  private val q108 = Q(
+    "q108_path_mining",
+    (s, d) => {
+      val seqW = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      T.events(s, d)
+        .withColumn("p1", lag(col("event_type"), 1).over(seqW))
+        .withColumn("p2", lag(col("event_type"), 2).over(seqW))
+        .filter(col("p2").isNotNull)
+        .select(concat_ws(">", col("p2"), col("p1"), col("event_type"))
+          .as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("path"))
+        .limit(10)
+    },
+    Some("""
+      WITH seq AS (
+        SELECT event_type,
+               lag(event_type, 1) OVER w AS p1,
+               lag(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT p2 || '>' || p1 || '>' || event_type AS path,
+             CAST(count(*) AS BIGINT) AS n_paths
+      FROM seq WHERE p2 IS NOT NULL
+      GROUP BY path ORDER BY n_paths DESC, path LIMIT 10"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3734,5 +3779,5 @@ object Relational {
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
     q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99, q102,
-    q103, q104, q105, q106, q107)
+    q103, q104, q105, q106, q107, q108)
 }

@@ -142,6 +142,30 @@ class CorpusStatsSpec extends SparkSpec {
       "fixture must exercise both orientations")
   }
 
+  test("q108 top paths match a trigram replay of each user's sequence " +
+    "and the cut line is the total (n DESC, path) order") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+    val counts = scala.collection.mutable.Map[String, Long]()
+    rows.groupBy(_._1).values.foreach { evs =>
+      evs.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).map(_._4)
+        .sliding(3).foreach {
+          case Array(a, b, c) =>
+            val p = s"$a>$b>$c"
+            counts(p) = counts.getOrElse(p, 0L) + 1L
+          case _ => ()
+        }
+    }
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = SparkEntry.queries("q108_path_mining")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === expected)
+  }
+
   test("p07 keeps exactly the top-10-by-(n_chars desc, doc_id) documents " +
     "per source, recomputed driver-side") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -339,6 +339,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exec.contains("Join"), exec)
   }
 
+  test("q108: both lags share one user_id shuffle+sort and the global " +
+    "top-10 is TakeOrderedAndProject, not sort-then-limit") {
+    val exec = SparkEntry.queries("q108_path_mining")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id".r.findAllIn(exec).size == 1,
+      s"the two lags must ride one shuffle:\n$exec")
+    assert("Sort \\[user_id".r.findAllIn(exec).size == 1,
+      s"the two lags must share one sort:\n$exec")
+    assert(exec.contains("TakeOrderedAndProject"), exec)
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
