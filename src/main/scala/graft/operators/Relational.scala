@@ -3772,6 +3772,126 @@ object Relational {
       GROUP BY path ORDER BY n_paths DESC, path LIMIT 10"""),
   )
 
+  /** Session market-basket analysis — which event types CO-OCCUR in the
+    * same 30-minute session, with the independence-baseline lift that
+    * separates "these go together" from "both are just common". Distinct
+    * from q106/q108, which count ORDERED adjacent steps: co-occurrence is
+    * unordered and session-scoped (a view and a purchase an hour of
+    * clicks apart in one session still pair). lift = P(ab)/(P(a)·P(b))
+    * in exact integer ppm over exact session counts, so the row needs no
+    * float contract; >1e6 means attraction, <1e6 repulsion.
+    *
+    * Scale shape (100 TB): q24's sessionization rides ONE user_id
+    * shuffle, and the (user_id, sess_id) rollup reuses it (hash
+    * partitioning on a subset of the grouping key satisfies the
+    * distribution — no second exchange, plan-asserted). Pair generation
+    * is map-side: each session's SORTED distinct-type set (≤|event_types|
+    * elements) expands to its unordered pairs via nested array
+    * transforms — the corpus never self-joins (the DuckDB oracle does,
+    * but an oracle needn't share the plan, only the semantics). The pair
+    * and singles aggregates land on ≤|Σ|² / |Σ| -row grids with map-side
+    * combine, and the two singles joins broadcast genuinely
+    * vocabulary-bounded sides (5 rows — d09's class, not the SF-scaled
+    * tables round 9 un-pinned). The corpus is read ONCE: the session
+    * type-sets collapse to their power-set histogram (groupBy the sorted
+    * set itself — at most 2^|event_types| rows), which is eagerly
+    * localCheckpoint'ed (d12's shared-stage convention) so the three
+    * consumers — pairs, singles, total — derive from the tiny histogram
+    * rather than re-running the sessionization pass each; plan-asserted:
+    * the final plan scans no parquet at all. The ppm product
+    * 1e6·n_ab·n_tot stays
+    * within int64 while sessions < ~3e6 per corpus slice; beyond that,
+    * compute lift on sampled session counts or switch the ratio to
+    * double — bound documented loud, s06's convention. */
+  private[graft] def basketTypeSets(
+      s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .withColumn(
+        "new_sess",
+        when(
+          lag(col("ts"), 1).over(wOrd).isNull ||
+            (unix_micros(col("ts")) -
+              unix_micros(lag(col("ts"), 1).over(wOrd))) > 1800000000L,
+          1L).otherwise(0L))
+      .withColumn(
+        "sess_id",
+        sum(col("new_sess")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("tset"))
+      .groupBy(col("tset"))
+      .agg(count(lit(1)).as("n_sets"))
+  }
+
+  private val q109 = Q(
+    "q109_basket_lift",
+    (s, d) => {
+      val tsets = basketTypeSets(s, d).localCheckpoint(true)
+      val pairs = tsets
+        .select(col("n_sets"), explode(expr(
+          """flatten(transform(tset, (x, i) ->
+               transform(slice(tset, i + 2, size(tset)),
+                 y -> named_struct('a', x, 'b', y))))""")).as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"), col("n_sets"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("n_sets")).as("n_ab"))
+      val singles = tsets
+        .select(explode(col("tset")).as("et"), col("n_sets"))
+        .groupBy(col("et"))
+        .agg(sum(col("n_sets")).as("n_et"))
+      val tot = tsets.agg(sum(col("n_sets")).as("n_tot"))
+      pairs
+        .join(broadcast(singles.select(
+          col("et").as("a"), col("n_et").as("n_a"))), "a")
+        .join(broadcast(singles.select(
+          col("et").as("b"), col("n_et").as("n_b"))), "b")
+        .crossJoin(broadcast(tot))
+        .select(
+          col("a"), col("b"), col("n_ab"),
+          expr("n_ab * 1000000 div n_tot").as("support_ppm"),
+          expr("n_ab * 1000000 * n_tot div (n_a * n_b)").as("lift_ppm"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts, 1) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sess AS (
+        SELECT user_id, event_type,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM flagged
+      ), st AS (
+        SELECT DISTINCT user_id, sess_id, event_type FROM sess
+      ), tot AS (
+        SELECT count(*) AS n_tot
+        FROM (SELECT DISTINCT user_id, sess_id FROM st)
+      ), singles AS (
+        SELECT event_type AS et, count(*) AS n_et FROM st GROUP BY 1
+      ), pairs AS (
+        SELECT s1.event_type AS a, s2.event_type AS b, count(*) AS n_ab
+        FROM st s1
+        JOIN st s2 ON s1.user_id = s2.user_id AND s1.sess_id = s2.sess_id
+                  AND s1.event_type < s2.event_type
+        GROUP BY 1, 2)
+      SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+             CAST(n_ab * 1000000 // n_tot AS BIGINT) AS support_ppm,
+             CAST(n_ab * 1000000 * n_tot // (sa.n_et * sb.n_et) AS BIGINT)
+               AS lift_ppm
+      FROM pairs, tot
+      JOIN singles sa ON sa.et = a
+      JOIN singles sb ON sb.et = b
+      ORDER BY a, b"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3779,5 +3899,5 @@ object Relational {
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
     q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99, q102,
-    q103, q104, q105, q106, q107, q108)
+    q103, q104, q105, q106, q107, q108, q109)
 }

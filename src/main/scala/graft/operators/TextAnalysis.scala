@@ -801,7 +801,59 @@ object TextAnalysis {
       GROUP BY lang ORDER BY lang"""),
   )
 
+  /** One BPE training iteration — the corpus-wide adjacent-symbol-pair
+    * count whose argmax IS the next merge rule (Sennrich et al. 2016,
+    * §3.2). t08 *applies* a tokenizer cost model; this is the job that
+    * *learns* one: with symbols initialized to characters, count every
+    * adjacent character pair weighted by word frequency and emit the
+    * top-20 merge candidates. The cut line is (n_pair DESC, pair) with
+    * the pair string as the unique tie-break, exact in both engines
+    * (pure integer arithmetic end to end).
+    *
+    * Scale shape (100 TB): the corpus collapses to its word-frequency
+    * table FIRST (one shuffle on `w`, map-side combined, bounded by the
+    * vocabulary — tiny vs the corpus), so pair generation runs over
+    * DISTINCT words only, weighted by `wf`; the second shuffle carries
+    * the char-bigram alphabet (≤ |Σ|² keys) and the top-20 plans as
+    * TakeOrderedAndProject (bounded per-partition heaps, no global
+    * sort). This two-level rollup is exactly how a production BPE
+    * trainer's first iteration distributes. The `length(w) >= 2` guard
+    * is load-bearing: `sequence(1, 0)` auto-descends to [1, 0] (the m07
+    * bug class) where the oracle's `range(1, 1)` is empty, so 1-char and
+    * empty words must be excluded before pair generation on BOTH
+    * engines rather than relying on the sequence being empty. */
+  private val t17 = Q(
+    "t17_bpe_pair_learn",
+    (s, d) =>
+      T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("wf"))
+        .filter(length(col("w")) >= 2)
+        .select(
+          explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"),
+          col("wf"))
+        .groupBy(col("pair"))
+        .agg(sum(col("wf")).as("n_pair"))
+        .orderBy(col("n_pair").desc, col("pair"))
+        .limit(20),
+    Some("""
+      WITH wf AS (
+        SELECT w, count(*) AS wf
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w),
+      pairs AS (
+        SELECT substr(w, i, 2) AS pair, wf
+        FROM (SELECT w, wf, unnest(range(1, len(w))) AS i
+              FROM wf WHERE len(w) >= 2))
+      SELECT pair, CAST(sum(wf) AS BIGINT) AS n_pair
+      FROM pairs GROUP BY pair
+      ORDER BY n_pair DESC, pair LIMIT 20"""),
+  )
+
   val all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16)
+      t14, t15, t16, t17)
 }

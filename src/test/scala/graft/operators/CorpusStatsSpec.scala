@@ -166,6 +166,77 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.toSeq === expected)
   }
 
+  test("t17 merge candidates match a driver-side BPE pair count " +
+    "(per-position, frequency-weighted) and the cut is (n DESC, pair)") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val wf = scala.collection.mutable.Map[String, Long]()
+    texts.foreach(_.split(" ", -1).foreach { w =>
+      wf(w) = wf.getOrElse(w, 0L) + 1L
+    })
+    val pairs = scala.collection.mutable.Map[String, Long]()
+    wf.foreach { case (w, n) =>
+      if (w.length >= 2)
+        w.sliding(2).foreach { p =>
+          pairs(p) = pairs.getOrElse(p, 0L) + n
+        }
+    }
+    val expected = pairs.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = SparkEntry.queries("t17_bpe_pair_learn")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === expected)
+  }
+
+  test("q109 pair/support/lift rows match a driver-side session replay " +
+    "with exact integer ppm arithmetic") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+    // Replay the 30-minute-gap sessionization per user, then collect each
+    // session's DISTINCT type set.
+    val sessions = scala.collection.mutable.Buffer[Set[String]]()
+    rows.groupBy(_._1).values.foreach { evs =>
+      var cur = scala.collection.mutable.Set[String]()
+      var lastUs = Long.MinValue
+      evs.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).foreach { e =>
+        val tsUs = e._2.getTime * 1000L + (e._2.getNanos / 1000L) % 1000L
+        if (lastUs != Long.MinValue && tsUs - lastUs > 1800000000L) {
+          sessions += cur.toSet
+          cur = scala.collection.mutable.Set[String]()
+        }
+        cur += e._4
+        lastUs = tsUs
+      }
+      if (cur.nonEmpty) sessions += cur.toSet
+    }
+    val nTot = sessions.size.toLong
+    val nEt = scala.collection.mutable.Map[String, Long]()
+    val nAb = scala.collection.mutable.Map[(String, String), Long]()
+    sessions.foreach { s =>
+      s.foreach(t => nEt(t) = nEt.getOrElse(t, 0L) + 1L)
+      val sorted = s.toSeq.sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.size) {
+        val k = (sorted(i), sorted(j))
+        nAb(k) = nAb.getOrElse(k, 0L) + 1L
+      }
+    }
+    val expected = nAb.toSeq.sortBy(_._1).map { case ((a, b), n) =>
+      (a, b, n, n * 1000000L / nTot,
+        n * 1000000L * nTot / (nEt(a) * nEt(b)))
+    }
+    val got = SparkEntry.queries("q109_basket_lift")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === expected)
+    // The lift axis must actually discriminate: the fixture grid should
+    // not be a constant-lift degenerate case.
+    assert(expected.map(_._5).distinct.size > 1,
+      "fixture lift values are degenerate")
+  }
+
   test("p07 keeps exactly the top-10-by-(n_chars desc, doc_id) documents " +
     "per source, recomputed driver-side") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

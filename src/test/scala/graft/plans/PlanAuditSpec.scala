@@ -350,6 +350,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(exec.contains("TakeOrderedAndProject"), exec)
   }
 
+  test("t17: the corpus collapses to the word-frequency table before " +
+    "pair generation, the top-20 is TakeOrderedAndProject, and the scan " +
+    "reads only text") {
+    val p = plan("t17_bpe_pair_learn")
+    assert(!p.contains("doc_id"), s"metadata column read for a text op:\n$p")
+    val exec = SparkEntry.queries("t17_bpe_pair_learn")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("Join"), s"pair learn must not join:\n$exec")
+    assert(exec.contains("TakeOrderedAndProject"), exec)
+    // Exactly two exchanges: the vocabulary rollup (on w) and the
+    // char-bigram rollup (on pair) — pair generation itself is map-side
+    // over distinct words.
+    assert("hashpartitioning\\(".r.findAllIn(exec).size == 2,
+      s"expected exactly the w + pair shuffles:\n$exec")
+  }
+
+  test("q109: sessionize and the per-session rollup share one user_id " +
+    "shuffle, the corpus pass runs once (final plan scans no parquet), " +
+    "and the singles joins broadcast") {
+    // The derivation stage: hashpartitioning(user_id) from the session
+    // window must satisfy the (user_id, sess_id) grouping — a second
+    // user_id exchange means the subset rule regressed.
+    val derive = graft.operators.Relational.basketTypeSets(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id".r.findAllIn(derive).size == 1,
+      s"the window and the session rollup must share one shuffle:\n$derive")
+    // The assembled query: pairs/singles/total all read the checkpointed
+    // power-set histogram — re-deriving the corpus per consumer would put
+    // a parquet scan (and a user_id exchange) back in this plan.
+    val exec = SparkEntry.queries("q109_basket_lift")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("FileScan"),
+      s"a consumer re-derived the corpus instead of reading the " +
+        s"checkpointed histogram:\n$exec")
+    assert(!exec.contains("SortMergeJoin"),
+      s"vocabulary-bounded joins must broadcast:\n$exec")
+    assert(exec.contains("BroadcastHashJoin"), exec)
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
@@ -367,6 +406,9 @@ class PlanAuditSpec extends SparkSpec {
       // p05 crosses the k-row weight table with its 1-row grand total;
       // p06 crosses its two single-row summary aggregates.
       "p05_mixture_sample", "p06_split_leakage",
+      // q109 crosses its pair grid with the 1-row session-total scalar
+      // (p05's pattern; every input is vocabulary-bounded).
+      "q109_basket_lift",
       // d12's ground truth is all-pairs exact Jaccard over a BOUNDED
       // deterministic sample — the quadratic is the audit's design,
       // confined to sample² (see its scaladoc), never the corpus.
