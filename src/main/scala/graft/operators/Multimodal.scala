@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables => T}
 
@@ -132,20 +133,27 @@ object Multimodal {
     * decode itself standing on binary substring. Fully oracle-checkable:
     * both engines slice the same blob and md5 the slice. */
   /** The m03 frame derivation (video payloads → 16-byte frames every 32
-    * bytes, hash per frame) — shared by m03's listing and m08's
-    * cross-video duplicate-frame audit so the frame definition cannot
-    * drift between them. */
+    * bytes, hash per frame) — shared by m03's listing, m08's cross-video
+    * duplicate-frame audit, and m10's scene detection so the frame
+    * definition cannot drift between them. `frame_sig` is the exact
+    * integer byte sum of the frame (the hash detects IDENTICAL frames;
+    * the signature measures HOW DIFFERENT consecutive frames are, which
+    * is what a scene cut is) — computed character-wise on the string
+    * under the derivation's existing byte==char ASCII guard (m05's
+    * convention), so both engines sum identical values. */
   private def videoFrames(
       s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
     T.documents(s, d)
       .selectExpr(
         "doc_id",
+        "text",
         "CAST(text AS BINARY) AS payload",
         "length(CAST(text AS BINARY)) AS n")
       .filter("doc_id % 3 = 2 AND n >= 16 AND n = length(text)")
       .select(
         col("doc_id"),
+        col("text"),
         col("payload"),
         explode(expr("sequence(0, CAST((n - 16) div 32 AS INT))"))
           .as("frame_idx"))
@@ -153,10 +161,13 @@ object Multimodal {
         "doc_id",
         "frame_idx",
         "frame_idx * 32 + 1 AS frame_off",
-        "md5(substring(payload, frame_idx * 32 + 1, 16)) AS frame_hash")
+        "md5(substring(payload, frame_idx * 32 + 1, 16)) AS frame_hash",
+        """aggregate(sequence(0, 15), 0L,
+             (acc, j) -> acc + ascii(substring(text, frame_idx * 32 + 1 + j, 1)))
+           AS frame_sig""")
 
   /** The m03 frame derivation as DuckDB CTEs ending in
-    * `frames_h(doc_id, frame_idx, frame_off, frame_hash)`. */
+    * `frames_h(doc_id, frame_idx, frame_off, frame_hash, frame_sig)`. */
   private val videoFramesSql = """
       v AS (
         SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
@@ -172,12 +183,18 @@ object Multimodal {
                CAST(i AS INT) AS frame_idx,
                CAST(i * 32 + 1 AS INT) AS frame_off,
                md5(substr(text, CAST(i * 32 + 1 AS BIGINT), 16))
-                 AS frame_hash
+                 AS frame_hash,
+               CAST(list_sum(list_transform(range(0, 16),
+                 j -> ascii(substr(text, CAST(i * 32 + 1 + j AS BIGINT), 1))))
+                 AS BIGINT) AS frame_sig
         FROM frames)"""
 
   private val m03 = Q(
     "m03_frame_sample",
-    (s, d) => videoFrames(s, d).orderBy(col("doc_id"), col("frame_idx")),
+    (s, d) => videoFrames(s, d)
+      .select(col("doc_id"), col("frame_idx"), col("frame_off"),
+        col("frame_hash"))
+      .orderBy(col("doc_id"), col("frame_idx")),
     // DuckDB quirks absorbed here: generate_series as a TABLE function
     // rejects lateral column refs (scalar-list + unnest instead), and
     // this build has no BLOB substr — the VARCHAR slice is byte-identical
@@ -639,5 +656,67 @@ object Multimodal {
     "d_wide_16_9"      -> 1777777L,
     "e_tall_9_16"      -> 562500L)
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
+  /** Scene-change detection — shot-boundary segmentation over m03's
+    * SHARED frame derivation: a cut is where consecutive frames
+    * DIFFER sharply, measured as the absolute jump in the exact integer
+    * frame signature (byte sum; threshold 150 ≈ the fixture's p92 jump,
+    * so both branches are exercised). The per-video report — frame count,
+    * scene count, longest scene, sharpest cut — is what a video-training
+    * curation pass filters on (single-scene statics and hyper-cut
+    * montages are both suspect). m08 finds IDENTICAL frames across
+    * videos; this finds CHANGE within one, the temporal axis nothing
+    * else exercises.
+    *
+    * Scale shape (100 TB): one shuffle on doc_id for the lag window;
+    * the boundary cumsum rides the same sort, and both rollups
+    * ((doc, scene) then doc) reuse the partitioning via the subset rule
+    * — the whole operator is one exchange, plan-asserted. */
+  private val m10 = Q(
+    "m10_scene_detect",
+    (s, d) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      videoFrames(s, d)
+        .withColumn("jump",
+          abs(col("frame_sig") - lag(col("frame_sig"), 1).over(w)))
+        .withColumn("boundary",
+          when(col("jump") > 150L, 1L).otherwise(0L))
+        .withColumn("scene_id",
+          sum(col("boundary")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("scene_id"))
+        .agg(count(lit(1)).as("scene_len"), max(col("jump")).as("mj"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("scene_len")).as("n_frames"),
+          count(lit(1)).as("n_scenes"),
+          max(col("scene_len")).as("longest_scene"),
+          coalesce(max(col("mj")), lit(0L)).as("max_jump"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $videoFramesSql,
+      jumps AS (
+        SELECT doc_id, frame_idx,
+               abs(frame_sig - lag(frame_sig) OVER w) AS jump
+        FROM frames_h
+        WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+      flagged AS (
+        SELECT doc_id, jump,
+               sum(CASE WHEN jump > 150 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY frame_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS scene_id
+        FROM jumps),
+      scenes AS (
+        SELECT doc_id, scene_id, count(*) AS scene_len, max(jump) AS mj
+        FROM flagged GROUP BY 1, 2)
+      SELECT doc_id,
+             CAST(sum(scene_len) AS BIGINT) AS n_frames,
+             CAST(count(*) AS BIGINT) AS n_scenes,
+             CAST(max(scene_len) AS BIGINT) AS longest_scene,
+             CAST(coalesce(max(mj), 0) AS BIGINT) AS max_jump
+      FROM scenes GROUP BY doc_id ORDER BY doc_id"""),
+  )
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
 }

@@ -65,4 +65,39 @@ class MultimodalSpec extends SparkSpec {
     assert(got == sizes.map(_._2),
       s"chunk counts ${got} != expected ${sizes.map(_._2)}")
   }
+
+  test("m10 scene segmentation matches a driver-side replay of the frame " +
+    "signatures and exercises both the cut and no-cut branches") {
+    val vids = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(expr("doc_id % 3 = 2 AND length(text) >= 16 AND " +
+        "length(text) = length(CAST(text AS BINARY))"))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    val expected = vids.sortBy(_._1).map { case (docId, text) =>
+      val nFrames = (text.length - 16) / 32 + 1
+      val sigs = (0 until nFrames).map { i =>
+        text.substring(i * 32, i * 32 + 16).map(_.toInt.toLong).sum
+      }
+      val jumps = sigs.zip(sigs.tail).map { case (a, b) => math.abs(b - a) }
+      val boundaries = jumps.count(_ > 150L)
+      // Scene lengths: split the frame sequence at each boundary jump.
+      val lens = scala.collection.mutable.Buffer[Long]()
+      var cur = 1L
+      jumps.foreach { j =>
+        if (j > 150L) { lens += cur; cur = 1L } else cur += 1L
+      }
+      lens += cur
+      (docId, nFrames.toLong, (boundaries + 1).toLong, lens.max,
+        if (jumps.isEmpty) 0L else jumps.max)
+    }
+
+    val got = SparkEntry.queries("m10_scene_detect")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === expected.toSeq)
+    assert(expected.exists(_._3 > 1), "fixture must contain a cut")
+    assert(expected.exists(v => v._3 == 1 && v._2 > 1),
+      "fixture must contain a multi-frame single-scene video")
+  }
 }

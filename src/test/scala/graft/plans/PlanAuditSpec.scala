@@ -389,6 +389,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(exec.contains("BroadcastHashJoin"), exec)
   }
 
+  test("m10: the lag window and both scene rollups share one doc_id " +
+    "exchange — the whole temporal pass is a single shuffle") {
+    val exec = SparkEntry.queries("m10_scene_detect")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 1,
+      s"expected one doc_id exchange for window + rollups:\n$exec")
+    assert(!exec.contains("Join"), s"scene detection must not join:\n$exec")
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
