@@ -1063,6 +1063,69 @@ object Similarity {
     },
   )
 
+  /** s13's per-vector health expressions, exposed for the boundary spec
+    * (m07's convention: latent branches the fixture can't reach — zero
+    * vectors, empty arrays — get proven on literals instead). The squared
+    * norm is exact integer milli-quantization: q = floor(x·1000) per
+    * component (s05's floor convention — floor of an identically-computed
+    * double is the same integer in both engines), sqnorm = Σq². A healthy
+    * unit-normalized vector lands near 10⁶; a batch whose mean drifts is
+    * mis-normalized, a zero vector is a failed upstream encode. */
+  private[graft] val SqnormMilliExpr: String =
+    """coalesce(aggregate(transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+         0L, (a, q) -> a + q * q), 0L)"""
+
+  private[graft] val IsZeroExpr: String =
+    "CASE WHEN size(filter(embedding, x -> CAST(x AS DOUBLE) <> 0.0D)) = 0" +
+      " THEN 1L ELSE 0L END"
+
+  /** Embedding health audit — the per-batch QA report an embedding
+    * pipeline gates ingestion on (`label` plays the batch/shard-id role
+    * the fixture schema provides): vector count, failed-encode zero
+    * vectors, and the min/mean/max exact-integer squared norm whose
+    * drift from 10⁶ flags a mis-normalized batch. The whole s-pack
+    * ASSUMES unit vectors (cosine = dot); s13 is the audit that makes
+    * the assumption checkable instead of trusted.
+    *
+    * Scale shape (100 TB): per-vector quantize+reduce is pure map-side
+    * arithmetic; the rollup lands on the |labels|-row grid with map-side
+    * combine — one tiny shuffle, no join, no window. */
+  private val s13 = Q(
+    "s13_embedding_qa",
+    (s, d) =>
+      T.embeddings(s, d)
+        .selectExpr(
+          "label",
+          s"$SqnormMilliExpr AS sqn",
+          s"$IsZeroExpr AS isz")
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(col("isz")).as("n_zero"),
+          min(col("sqn")).as("min_sqnorm_milli"),
+          expr("sum(sqn) div count(1)").as("mean_sqnorm_milli"),
+          max(col("sqn")).as("max_sqnorm_milli"))
+        .orderBy(col("label")),
+    Some("""
+      WITH q AS (
+        SELECT label,
+               CAST(coalesce(list_sum(list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                      * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))),
+                 0) AS BIGINT) AS sqn,
+               CASE WHEN len(list_filter(embedding, x -> x <> 0)) = 0
+                    THEN 1 ELSE 0 END AS isz
+        FROM embeddings)
+      SELECT label,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(isz) AS BIGINT) AS n_zero,
+             CAST(min(sqn) AS BIGINT) AS min_sqnorm_milli,
+             CAST(sum(sqn) // count(*) AS BIGINT) AS mean_sqnorm_milli,
+             CAST(max(sqn) AS BIGINT) AS max_sqnorm_milli
+      FROM q GROUP BY label ORDER BY label"""),
+  )
+
   val all: Seq[Q] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13)
 }

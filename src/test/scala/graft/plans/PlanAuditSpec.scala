@@ -398,6 +398,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exec.contains("Join"), s"scene detection must not join:\n$exec")
   }
 
+  test("s13: the embedding QA rollup is map-side quantization into one " +
+    "label-grid shuffle — no join, no window") {
+    val exec = SparkEntry.queries("s13_embedding_qa")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 1,
+      s"expected one label exchange:\n$exec")
+    assert(!exec.contains("Join"), exec)
+    assert(!exec.contains("Window"), exec)
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
