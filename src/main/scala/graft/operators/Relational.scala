@@ -3892,6 +3892,128 @@ object Relational {
       ORDER BY a, b"""),
   )
 
+  /** Daily series gap-fill with LINEAR INTERPOLATION — the time-series
+    * imputation q70's spine-fill stops short of: q70 carries the last
+    * value forward, this reconstructs missing days as the exact
+    * integer-cents lerp between the nearest known days ((vp·(dn−i) +
+    * vn·(i−dp)) div (dn−dp) — single non-negative numerator, so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree; a signed series
+    * would need explicit floor-div alignment, bound documented loud).
+    * Leading/trailing gaps clamp to the nearest known value. Each day's
+    * known value is its LAST event's amount (max (ts, event_id), q58's
+    * recency rule) in integer cents; the report pins the filled series
+    * per user via exact count/sum and a position-weighted checksum
+    * (Σ filled·(day+1)) — any divergence anywhere in the series shifts
+    * it.
+    *
+    * Scale shape (100 TB): no calendar-spine join — the Spark plan
+    * collapses events to user-days (shuffle 1, map-side combined, the
+    * per-user payload bounded at 30 rows by the reporting month), then
+    * assembles each user's 30-day series as a SORTED in-memory array
+    * (shuffle 2, tiny) and interpolates with O(30²) array HOFs entirely
+    * map-side. The DuckDB oracle takes the textbook spine + IGNORE-NULLS
+    * window formulation instead — same semantics, deliberately different
+    * construction. The Jan-2024 spine is the fixture's reporting month
+    * (a real pipeline parameterizes it). */
+  private val q110 = Q(
+    "q110_gap_interpolate",
+    (s, d) =>
+      T.events(s, d)
+        .selectExpr(
+          "user_id",
+          "datediff(CAST(ts AS DATE), DATE'2024-01-01') AS day",
+          "CAST(round(value * 100) AS BIGINT) AS cents",
+          "unix_micros(ts) AS tsu",
+          "event_id")
+        .groupBy(col("user_id"), col("day"))
+        .agg(max(struct(col("tsu"), col("event_id"), col("cents")))
+          .as("last"))
+        .select(col("user_id"), col("day").cast("int").as("day"),
+          col("last.cents").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("day"), col("cents"))))
+          .as("known"))
+        .selectExpr(
+          "user_id",
+          "CAST(size(known) AS BIGINT) AS n_known",
+          """transform(sequence(0, 29), i -> CASE
+               WHEN exists(known, k -> k.day = i) THEN
+                 named_struct('i', i,
+                   'f', element_at(filter(known, k -> k.day = i), 1).cents,
+                   'kind', 0)
+               WHEN size(filter(known, k -> k.day < i)) = 0 THEN
+                 named_struct('i', i,
+                   'f', element_at(filter(known, k -> k.day > i), 1).cents,
+                   'kind', 2)
+               WHEN size(filter(known, k -> k.day > i)) = 0 THEN
+                 named_struct('i', i,
+                   'f', element_at(filter(known, k -> k.day < i), -1).cents,
+                   'kind', 2)
+               ELSE named_struct('i', i,
+                 'f', (element_at(filter(known, k -> k.day < i), -1).cents
+                         * (element_at(filter(known, k -> k.day > i), 1).day - i)
+                       + element_at(filter(known, k -> k.day > i), 1).cents
+                         * (i - element_at(filter(known, k -> k.day < i), -1).day))
+                      div (element_at(filter(known, k -> k.day > i), 1).day
+                           - element_at(filter(known, k -> k.day < i), -1).day),
+                 'kind', 1)
+             END) AS series""")
+        .selectExpr(
+          "user_id",
+          "n_known",
+          "CAST(size(filter(series, x -> x.kind = 1)) AS BIGINT) AS n_interp_mid",
+          "CAST(size(filter(series, x -> x.kind = 2)) AS BIGINT) AS n_edge",
+          "aggregate(series, 0L, (a, x) -> a + x.f) AS cents_sum",
+          "aggregate(series, 0L, (a, x) -> a + x.f * CAST(x.i + 1 AS BIGINT)) AS cents_wsum")
+        .orderBy(col("user_id")),
+    Some("""
+      WITH ev AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      known AS (SELECT user_id, day, cents FROM ev WHERE rn = 1),
+      spine AS (
+        SELECT u.user_id, d.day
+        FROM (SELECT DISTINCT user_id FROM known) u,
+             (SELECT unnest(range(0, 30)) AS day) d),
+      j AS (
+        SELECT s.user_id, s.day, k.cents,
+               CASE WHEN k.cents IS NOT NULL THEN s.day END AS kday
+        FROM spine s LEFT JOIN known k USING (user_id, day)),
+      w AS (
+        SELECT user_id, day, cents,
+               last_value(kday IGNORE NULLS) OVER wp AS pd,
+               last_value(cents IGNORE NULLS) OVER wp AS pv,
+               first_value(kday IGNORE NULLS) OVER wf AS nd,
+               first_value(cents IGNORE NULLS) OVER wf AS nv
+        FROM j
+        WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      filled AS (
+        SELECT user_id, day,
+               CASE WHEN cents IS NOT NULL THEN cents
+                    WHEN pv IS NULL THEN nv
+                    WHEN nv IS NULL THEN pv
+                    ELSE (pv * (nd - day) + nv * (day - pd)) // (nd - pd)
+               END AS f,
+               CASE WHEN cents IS NOT NULL THEN 0
+                    WHEN pv IS NULL OR nv IS NULL THEN 2
+                    ELSE 1 END AS kind
+        FROM w)
+      SELECT user_id,
+             CAST(count(*) FILTER (kind = 0) AS BIGINT) AS n_known,
+             CAST(count(*) FILTER (kind = 1) AS BIGINT) AS n_interp_mid,
+             CAST(count(*) FILTER (kind = 2) AS BIGINT) AS n_edge,
+             CAST(sum(f) AS BIGINT) AS cents_sum,
+             CAST(sum(f * (day + 1)) AS BIGINT) AS cents_wsum
+      FROM filled GROUP BY user_id ORDER BY user_id"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -3899,5 +4021,5 @@ object Relational {
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
     q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99, q102,
-    q103, q104, q105, q106, q107, q108, q109)
+    q103, q104, q105, q106, q107, q108, q109, q110)
 }

@@ -237,6 +237,60 @@ class CorpusStatsSpec extends SparkSpec {
       "fixture lift values are degenerate")
   }
 
+  test("q110 per-user series match a driver-side replay: last event per " +
+    "day, exact integer lerp between known days, edges clamped") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (uid, evs) =>
+        // Per day: the LAST event's cents (max (tsUs, event_id)).
+        // Session tz is UTC (SparkSpec), so getTime/86400000 IS the UTC
+        // day; 19723 = days from epoch for 2024-01-01.
+        val byDay = evs.groupBy { e =>
+          (e._2.getTime / 86400000L).toInt - 19723
+        }.map { case (day, des) =>
+          val last = des.maxBy(e =>
+            (e._2.getTime * 1000L + (e._2.getNanos / 1000L) % 1000L, e._3))
+          day -> math.round(last._4 * 100)
+        }
+        val days = byDay.keys.toSeq.sorted
+        var (nMid, nEdge, sum, wsum) = (0L, 0L, 0L, 0L)
+        (0 until 30).foreach { i =>
+          val f = byDay.get(i) match {
+            case Some(v) => v
+            case None =>
+              val prev = days.filter(_ < i).lastOption
+              val next = days.find(_ > i)
+              (prev, next) match {
+                case (Some(p), Some(n)) =>
+                  nMid += 1
+                  (byDay(p) * (n - i) + byDay(n) * (i - p)) / (n - p)
+                case (None, Some(n)) => nEdge += 1; byDay(n)
+                case (Some(p), None) => nEdge += 1; byDay(p)
+                case _ => sys.error("user with no events")
+              }
+          }
+          sum += f; wsum += f * (i + 1)
+        }
+        (uid, days.size.toLong, nMid, nEdge, sum, wsum)
+    }
+
+    val got = SparkEntry.queries("q110_gap_interpolate")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === expected)
+    assert(expected.forall(_._3 > 0), "every fixture user should have " +
+      "an interior gap at this density")
+    assert(expected.exists(_._4 > 0),
+      "fixture must exercise the edge-clamp branch")
+  }
+
   test("p07 keeps exactly the top-10-by-(n_chars desc, doc_id) documents " +
     "per source, recomputed driver-side") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -408,6 +408,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exec.contains("Window"), exec)
   }
 
+  test("q110: interpolation runs in the array domain — two bounded " +
+    "exchanges, no spine join, no window, nothing explodes") {
+    val exec = SparkEntry.queries("q110_gap_interpolate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 2,
+      s"expected the user-day rollup + per-user assembly shuffles:\n$exec")
+    assert(!exec.contains("Join"), s"the spine must not join:\n$exec")
+    assert(!exec.contains("Window"), exec)
+    assert(!exec.contains("Generate"), s"the spine must not explode:\n$exec")
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
