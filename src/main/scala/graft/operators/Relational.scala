@@ -4014,6 +4014,70 @@ object Relational {
       FROM filled GROUP BY user_id ORDER BY user_id"""),
   )
 
+  /** Conversion-window funnel — of each day's signups, how many reach a
+    * purchase within 24 HOURS (and how fast): the time-bounded funnel
+    * q88's unordered-lifetime funnel cannot express, and the one window
+    * mechanic nothing else exercises — a bounded FORWARD-looking
+    * conditional RANGE frame (q103's trailing frame mirrored ahead;
+    * q107's carry reaches backward unbounded). `min(purchase_ts) OVER
+    * (ORDER BY tsu RANGE BETWEEN 1 FOLLOWING AND 24h FOLLOWING)` finds
+    * each signup's first in-window conversion in one pass — no
+    * signup×purchase self-join, no re-scan per signup. Exact integer µs
+    * end to end; the same-instant tie is excluded by the 1-µs frame
+    * start identically in both engines (RANGE peers are by value).
+    *
+    * Scale shape (100 TB): one user_id shuffle for the window (the
+    * q24/q106 partitioning), then a map-side combined rollup onto the
+    * 30-row day grid. The 24 h bound also bounds WINDOW STATE at
+    * executor level: Spark holds only the frame's rows, so state per
+    * user is one day of events, not the user's history. */
+  private val q111 = Q(
+    "q111_conversion_window",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("tsu"))
+        .rangeBetween(1L, 86400000000L)
+      T.events(s, d)
+        .selectExpr("user_id", "event_type", "unix_micros(ts) AS tsu")
+        .withColumn("np",
+          min(when(col("event_type") === "purchase", col("tsu"))).over(w))
+        .filter(col("event_type") === "signup")
+        .selectExpr(
+          "CAST(tsu div 86400000000 - 19723 AS INT) AS day",
+          "np", "tsu")
+        .groupBy(col("day"))
+        .agg(
+          count(lit(1)).as("n_signups"),
+          count(col("np")).as("n_converted"),
+          sum(expr("np - tsu")).as("lat_total"))
+        .selectExpr(
+          "day", "n_signups", "n_converted",
+          "n_converted * 1000000 div n_signups AS conv_ppm",
+          """CASE WHEN n_converted = 0 THEN 0L
+             ELSE lat_total div n_converted END AS mean_latency_us""")
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT user_id, event_type, epoch_us(ts) AS tsu,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END)
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 1 FOLLOWING
+                             AND 86400000000 FOLLOWING) AS np
+        FROM events)
+      SELECT CAST(tsu // 86400000000 - 19723 AS INT) AS day,
+             CAST(count(*) AS BIGINT) AS n_signups,
+             CAST(count(np) AS BIGINT) AS n_converted,
+             CAST(count(np) * 1000000 // count(*) AS BIGINT) AS conv_ppm,
+             CAST(CASE WHEN count(np) = 0 THEN 0
+                  ELSE sum(np - tsu) // count(np) END AS BIGINT)
+               AS mean_latency_us
+      FROM w WHERE event_type = 'signup'
+      GROUP BY day ORDER BY day"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -4021,5 +4085,5 @@ object Relational {
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
     q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99, q102,
-    q103, q104, q105, q106, q107, q108, q109, q110)
+    q103, q104, q105, q106, q107, q108, q109, q110, q111)
 }

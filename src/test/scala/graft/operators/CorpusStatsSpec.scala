@@ -291,6 +291,41 @@ class CorpusStatsSpec extends SparkSpec {
       "fixture must exercise the edge-clamp branch")
   }
 
+  test("q111 conversion rows match a driver-side replay: first purchase " +
+    "strictly after the signup, within 24h, same-instant ties excluded") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).getTime * 1000L +
+          (r.getTimestamp(1).getNanos / 1000L) % 1000L,
+        r.getString(2)))
+
+    // (day -> (signups, converted, latencyTotal)) accumulated by replay.
+    val acc = scala.collection.mutable
+      .Map[Int, (Long, Long, Long)]().withDefaultValue((0L, 0L, 0L))
+    rows.groupBy(_._1).values.foreach { evs =>
+      val purchases = evs.filter(_._3 == "purchase").map(_._2).sorted
+      evs.filter(_._3 == "signup").foreach { case (_, tsu, _) =>
+        val day = (tsu / 86400000000L - 19723L).toInt
+        val np = purchases.find(p => p > tsu && p <= tsu + 86400000000L)
+        val (n, c, l) = acc(day)
+        acc(day) = (n + 1, c + np.size, l + np.map(_ - tsu).getOrElse(0L))
+      }
+    }
+    val expected = acc.toSeq.sortBy(_._1).map { case (day, (n, c, l)) =>
+      (day, n, c, c * 1000000L / n, if (c == 0) 0L else l / c)
+    }
+    val got = SparkEntry.queries("q111_conversion_window")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === expected)
+    assert(expected.exists(_._3 > 0) && expected.exists(d => d._3 < d._2),
+      "fixture must exercise both the converted and unconverted branches")
+  }
+
   test("p07 keeps exactly the top-10-by-(n_chars desc, doc_id) documents " +
     "per source, recomputed driver-side") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

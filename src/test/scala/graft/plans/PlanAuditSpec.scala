@@ -419,6 +419,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exec.contains("Generate"), s"the spine must not explode:\n$exec")
   }
 
+  test("q111: the forward conversion scan is one user_id window plus the " +
+    "day-grid rollup — no signup-to-purchase self-join") {
+    val exec = SparkEntry.queries("q111_conversion_window")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 2,
+      s"expected the user_id window + day rollup exchanges:\n$exec")
+    assert(!exec.contains("Join"),
+      s"the conversion match must ride the window, not a join:\n$exec")
+    assert(exec.contains("Window"), exec)
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
