@@ -3798,7 +3798,11 @@ object Relational {
     * localCheckpoint'ed (d12's shared-stage convention) so the three
     * consumers — pairs, singles, total — derive from the tiny histogram
     * rather than re-running the sessionization pass each; plan-asserted:
-    * the final plan scans no parquet at all. The ppm product
+    * the final plan scans no parquet at all. The histogram trick assumes
+    * a TYPE-sized vocabulary (here 5 → ≤32 set shapes); for an
+    * item-sized one (thousands of SKUs), drop the tset groupBy and
+    * aggregate the exploded pairs/singles straight off the session sets
+    * — same map-side expansion, grids keyed by item instead. The ppm product
     * 1e6·n_ab·n_tot stays
     * within int64 while sessions < ~3e6 per corpus slice; beyond that,
     * compute lift on sampled session counts or switch the ratio to
