@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Pinned like Verify/SparkSpec: the events TIMESTAMP_NTZ→TIMESTAMP
+      // cast (Tables.events) is session-timezone-sensitive.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -77,12 +80,24 @@ object Bench {
     // Streaming.dropConsumedSinks for why clearCache is not enough.
     def dropStreamSinks(): Unit =
       graft.operators.Streaming.dropConsumedSinks(spark)
+    // Warmup wall times go to stderr so a driver-run outlier (r9: d05
+    // billed 43.8 s against a 1.1 s committed artifact) is attributable —
+    // either the warmup visibly ran and the spike is machine load, or it
+    // visibly failed/was slow and the warmup itself is the suspect.
     def runUnbilled(name: String): Unit = {
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
-      }
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+          false
+        }
+      System.err.println(
+        "[bench] warmup %s: %.3f s ok=%b".formatLocal(
+          java.util.Locale.ROOT, name, (System.nanoTime() - t0) / 1e9, ok))
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
@@ -108,10 +123,14 @@ object Bench {
     // limit-only plans short-circuit and hide result-production cost.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val err: Option[String] =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          None
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // Deterministic between-query cleanup: operators that localCheckpoint
       // shared subtrees (the dedup pack) would otherwise leave their
@@ -122,21 +141,38 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
       dropStreamSinks()
-      name -> elapsed
+      (name, elapsed, err)
     }
     // 0.1 ms precision (plain decimal, no scientific notation): full
     // double precision made the one-line JSON so long the driver's
     // capture head-truncated it — BENCH_r06 recorded "parsed": null and
     // the first 39 query timings were invisible to the judge.
     def fmt(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // A failed query is a MARKED failure, never a timing: the r9 driver
+    // artifact billed 64 analysis failures at 0.06-0.43 s each and the
+    // 200.8 s "total" read as a measurement of the full surface. Failed
+    // queries are excluded from `queries`/`value` and listed (with their
+    // error, truncated) under `failed`; `failed_count` rides the headline
+    // so no consumer can miss a partial run.
+    val ok = results.collect { case (n, t, None) => n -> t }
+    val bad = results.collect { case (n, _, Some(e)) => n -> e.take(120) }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failedJson = bad
+      .map { case (k, e) => "\"" + k + "\":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
     // cpus recorded so round-over-round artifacts state their parallelism
     // basis (local[cpus] = shuffle partitions); totals at different cpus
     // are not comparable.
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed_count":${bad.size},"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
     println(line)
     // Durable artifact with the same content, so the full per-query map
     // survives any stdout truncation and the judge can read it from the

@@ -29,22 +29,41 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** The driver-generated events.parquet stores `ts` as INT64
-    * TIMESTAMP(NANOS), which Spark 4 refuses to read as a timestamp
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as a long (legacy nanosAsLong) and
-    * convert to a micros TimestampType with integer division — the fixture
-    * values are µs-aligned (verified: epoch_ns % 1000 == 0 for every row),
-    * so the conversion is lossless and DuckDB (which reads the same file
-    * as TIMESTAMP_NS) sees identical instants.
+  /** The fixture generator has shipped `events.ts` under two different
+    * parquet physical types across regenerations — INT64 TIMESTAMP(NANOS)
+    * (rounds ≤8) and timestamp[us] with isAdjustedToUTC=false, which
+    * Spark 4 infers as TIMESTAMP_NTZ (round 9+). Hard-coding either
+    * breaks on the other (round 9 lost 64 queries to exactly that), so
+    * branch on the type the scan actually infers and normalize every
+    * variant to a micros TimestampType:
+    *   - LongType (nanosAsLong inference of TIMESTAMP(NANOS)): integer-
+    *     divide to micros — fixture values are µs-aligned, lossless.
+    *   - TimestampNTZType: cast under the pinned-UTC session timezone, so
+    *     the wall-clock values (what DuckDB reads from the same file as
+    *     naive TIMESTAMP) become the same instants downstream date
+    *     functions see.
+    *   - TimestampType (a future isAdjustedToUTC=true regeneration):
+    *     pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // Set once per session (idempotent, so concurrent readers never see a
-    // conf flip mid-plan; the flag only affects how the scan infers the
-    // nanos column, and every events reader wants the same inference).
+    // nanosAsLong only affects TIMESTAMP(NANOS) columns (micros files are
+    // untouched), and without it a nanos file throws at schema inference —
+    // so set it before the scan, once per session (idempotent; every
+    // events reader wants the same inference).
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, d, "events")
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other — " +
+          "extend Tables.events for the new fixture schema")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")

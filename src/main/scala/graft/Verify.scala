@@ -41,6 +41,20 @@ object Verify {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fixture-schema preamble: one stderr line per table, so a driver-side
+    // fixture regeneration (r9: events.ts nanos→timestamp_ntz broke 64
+    // queries) shows up as an obvious type diff at the top of the log
+    // instead of 64 scattered per-query failures. nanosAsLong first so a
+    // TIMESTAMP(NANOS) column prints as bigint rather than throwing.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      val desc =
+        try spark.read.parquet(s"$sfDir/$t.parquet").schema.fields
+          .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+        catch { case e: Throwable => s"UNREADABLE (${e.getMessage})" }
+      System.err.println(s"[verify] fixture schema $t: $desc")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
