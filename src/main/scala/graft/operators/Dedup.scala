@@ -1103,9 +1103,89 @@ object Dedup {
       FROM ranked GROUP BY doc_id ORDER BY doc_id"""),
   )
 
+  /** Boilerplate-chunk doc frequency threshold: a chunk present in at
+    * least this many DISTINCT documents is treated as boilerplate
+    * (navigation chrome, license blocks, templated headers) and removed
+    * from every document, including its first occurrence — the
+    * CCNet-style corpus-frequency line filter, vs d14's keep-the-first
+    * span dedup. 3 is the conventional web-curation cut (2 keeps
+    * legitimate two-page quotes). */
+  private val BoilerDocFreq = 3
+
+  /** Corpus-frequency boilerplate removal: the curation pass d14 is NOT —
+    * d14 keeps each repeated span's first occurrence (dedup), while a
+    * boilerplate filter removes EVERY occurrence of a chunk that appears
+    * in ≥ [[BoilerDocFreq]] distinct documents, because a span shared by
+    * many documents is template chrome, not content, and its "first
+    * occurrence" is no more canonical than the rest. Same fixed
+    * [[ChunkWords]]-word windows and md5 content addressing as d14.
+    * Emits the per-document retention profile: chunk count, boilerplate
+    * chunk count, exact integer retained ppm.
+    *
+    * Scale shape (100 TB): chunking is map-only; then exactly three
+    * bounded shuffles over (doc_id, hash) triples — (h, doc_id) pair
+    * aggregation (collapses same-doc repeats), a count-only window over
+    * h on the DEDUPED pairs (each window partition is one chunk hash, ≤
+    * one row per containing doc), and the doc_id rollup. No join, so
+    * there is no skew-prone hash join on a hot boilerplate chunk, and
+    * document text never leaves the map side. */
+  private val d15 = Q(
+    "d15_boilerplate_chunks",
+    (s, d) => {
+      val w      = split(col("text"), " ")
+      val nCh    = ceil(size(w) / lit(ChunkWords.toDouble)).cast("int")
+      val chunks = transform(
+        sequence(lit(0), nCh - 1),
+        i =>
+          array_join(slice(w, i * ChunkWords + 1, lit(ChunkWords)), " "))
+      val freqW = Window.partitionBy(col("h"))
+      docs(s, d)
+        .select(col("doc_id"), explode(chunks).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h"))
+        .groupBy(col("h"), col("doc_id"))
+        .agg(count(lit(1)).as("n_occ"))
+        .withColumn("doc_freq", count(lit(1)).over(freqW))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("n_occ")).as("n_chunks"),
+          sum(when(col("doc_freq") >= BoilerDocFreq, col("n_occ"))
+            .otherwise(0L)).as("n_boiler_chunks"))
+        .select(
+          col("doc_id"), col("n_chunks"), col("n_boiler_chunks"),
+          expr("(n_chunks - n_boiler_chunks) * 1000000 div n_chunks")
+            .as("retained_ppm"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+      chunks AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, CAST(ceil(len(w) / $ChunkWords.0) AS INT)),
+                 i -> array_to_string(
+                   w[i*$ChunkWords+1 : i*$ChunkWords+$ChunkWords], ' ')))
+                 AS chunk
+        FROM ws),
+      pairs AS (SELECT md5(chunk) AS h, doc_id, count(*) AS n_occ
+                FROM chunks GROUP BY 1, 2),
+      freq AS (SELECT doc_id, n_occ,
+                      count(*) OVER (PARTITION BY h) AS doc_freq
+               FROM pairs)
+      SELECT doc_id,
+             CAST(sum(n_occ) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN doc_freq >= $BoilerDocFreq THEN n_occ
+                           ELSE 0 END) AS BIGINT) AS n_boiler_chunks,
+             CAST((sum(n_occ)
+                   - sum(CASE WHEN doc_freq >= $BoilerDocFreq THEN n_occ
+                              ELSE 0 END))
+                  * 1000000 // sum(n_occ) AS BIGINT) AS retained_ppm
+      FROM freq GROUP BY doc_id ORDER BY doc_id"""),
+  )
+
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-      d14)
+      d14, d15)
 }
 
 /** Shared sign-LSH band SQL builders over [[graft.functions.SignDots16]]'s

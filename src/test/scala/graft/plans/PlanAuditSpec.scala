@@ -313,6 +313,23 @@ class PlanAuditSpec extends SparkSpec {
     assert("Generate explode".r.findAllIn(p).size == 1, p)
   }
 
+  test("d15: boilerplate filter is pair-agg + count window + rollup — " +
+    "no join (no hot-chunk skew join), text never shuffles") {
+    val p = plan("d15_boilerplate_chunks")
+    assert(!p.contains("Join"), s"boilerplate filter must not join:\n$p")
+    assert(p.contains("Window"), p)
+    assert("Generate explode".r.findAllIn(p).size == 1, p)
+    val exec = SparkEntry.queries("d15_boilerplate_chunks")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // The chunk text reduces to its md5 before the first exchange: no
+    // exchange row carries a raw chunk or the document text.
+    val shuffles = "hashpartitioning\\([a-z_, #0-9L]+\\)".r
+      .findAllIn(exec).toSeq
+    assert(shuffles.nonEmpty &&
+      shuffles.forall(s => !s.contains("chunk") && !s.contains("text")),
+      s"an exchange carries chunk text:\n$exec")
+  }
+
   test("t16: the Zipf rank shuffle carries only the distinct vocabulary " +
     "(count aggregates before the window) and the OLS runs as one " +
     "aggregate") {
