@@ -1183,9 +1183,45 @@ object Dedup {
       FROM freq GROUP BY doc_id ORDER BY doc_id"""),
   )
 
+  /** Cluster-size distribution — the dedup HEALTH report read before
+    * trusting a dedup run: how many near-dup families exist at each
+    * size, and how much of the corpus sits in them. A sudden mass in
+    * large clusters means boilerplate/templating the pipeline should
+    * kill at the source; a flat all-singleton histogram means the
+    * canopy found nothing (possibly a recall failure — cross-check
+    * d12's canopy audit). Rides d07's memoized connected-components
+    * fixpoint, so the histogram costs two k-row aggregates on top of
+    * labels that are already computed once per session.
+    *
+    * Scale shape (100 TB): labels → (cluster_id, size) is one shuffle
+    * on cluster_id; size → histogram is a second shuffle whose domain
+    * is the DISTINCT SIZES (tiny). Nothing touches document text. */
+  private val d16 = Q(
+    "d16_cluster_size_histogram",
+    (s, d) =>
+      clusterLabels(s, d)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(
+          col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy(col("cluster_size")),
+    Some(s"""
+      WITH RECURSIVE $clustersCteSql,
+      sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM clusters GROUP BY cluster_id)
+      SELECT cluster_size,
+             CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""),
+  )
+
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-      d14, d15)
+      d14, d15, d16)
 }
 
 /** Shared sign-LSH band SQL builders over [[graft.functions.SignDots16]]'s

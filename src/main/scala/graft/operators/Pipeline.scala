@@ -743,5 +743,92 @@ object Pipeline {
       FROM ranked GROUP BY source ORDER BY source"""),
   )
 
-  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07)
+  /** Token-budget allocation across sources — the PLANNING step that
+    * precedes p05's sampling: given a global token budget, how many
+    * tokens may each source contribute to the mix? Shares follow p05's
+    * α = 1/2 temperature (w = isqrt(source tokens)), and the budget is
+    * split by LARGEST-REMAINDER rounding (Hamilton's method): every
+    * source gets floor(B·w/W), and the leftover B − Σfloor units (< k,
+    * the source count) go one each to the largest remainders — so the
+    * quotas sum to B EXACTLY, in pure integer arithmetic, with the tie
+    * broken by source name (deterministic on both engines). B is pinned
+    * to 10% of the corpus's total whitespace tokens (t03's token
+    * convention), so the query is scale-free. A single round is emitted
+    * deliberately: sqrt temperature over-allocates tiny sources, and the
+    * capped fill + deficit columns are exactly what a water-filling
+    * redistribution round would consume — the report shows the gap
+    * instead of hiding the iteration.
+    *
+    * Scale shape (100 TB): token counting is map-only into one
+    * source-keyed partial aggregate (k rows out); every remaining step —
+    * the remainder rank, the leftover count, the bonus assignment — is a
+    * window over the k-row source frame (k = sources, driver-bounded by
+    * catalog size, NOT data-bounded), so the whole allocator costs one
+    * scan plus one k-row shuffle. */
+  private val p08 = Q(
+    "p08_token_budget",
+    (s, d) => {
+      val perSrc = T.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("t"))
+        .groupBy(col("source"))
+        .agg(sum(col("t")).as("tokens"))
+        .withColumn("w",
+          expr("CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT)"))
+      val tot = perSrc.agg(
+        sum(col("w")).as("tw"), sum(col("tokens")).as("tt"))
+      val remW  = Window.orderBy(col("rem").desc, col("source"))
+      val allW  = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      perSrc.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("tt div 10"))
+        .withColumn("base", expr("(budget * w) div tw"))
+        .withColumn("rem", expr("(budget * w) % tw"))
+        .withColumn("leftover",
+          (col("budget") - sum(col("base")).over(allW)).cast("long"))
+        .withColumn("bonus",
+          when(row_number().over(remW) <= col("leftover"), 1L)
+            .otherwise(0L))
+        .withColumn("quota", col("base") + col("bonus"))
+        .select(
+          col("source"), col("tokens"), col("w"), col("quota"),
+          least(col("quota"), col("tokens")).as("fill"),
+          (col("quota") - least(col("quota"), col("tokens")))
+            .as("deficit"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH per_src AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source),
+      wtd AS (
+        SELECT source, tokens,
+               CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w
+        FROM per_src),
+      tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+                     CAST(sum(tokens) AS BIGINT) AS tt FROM wtd),
+      quotas AS (
+        SELECT source, tokens, w,
+               (tt // 10) AS budget,
+               ((tt // 10) * w) // tw AS base,
+               ((tt // 10) * w) % tw AS rem
+        FROM wtd CROSS JOIN tot),
+      ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY rem DESC, source) AS rk,
+               budget - sum(base) OVER () AS leftover
+        FROM quotas)
+      SELECT source, tokens, w,
+             CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS quota,
+             CAST(least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END,
+                        tokens) AS BIGINT) AS fill,
+             CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                  - least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0
+                          END, tokens) AS BIGINT) AS deficit
+      FROM ranked ORDER BY source"""),
+  )
+
+  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08)
 }

@@ -4082,6 +4082,80 @@ object Relational {
       GROUP BY day ORDER BY day"""),
   )
 
+  /** Point-in-time (PIT) join of facts to a versioned dimension — the
+    * lakehouse lookup q85's SCD2 build exists to serve: each fact row is
+    * matched to the dimension version whose half-open validity tile
+    * contains the fact's timestamp. Signups are the dimension changes
+    * (per-user version tiles, q85's lead-close convention), purchases
+    * are the facts; a purchase before its user's first signup falls in
+    * version 0 ("pre-signup"), the open tail catches everything after
+    * the last change. Distinct from q25's as-of join: as-of pairs each
+    * fact with the LATEST prior observation by sort, PIT joins against
+    * materialized validity INTERVALS — the shape a warehouse dimension
+    * table actually has. Rolls up purchases/users/revenue per version.
+    *
+    * 100 TB shape: the dimension build shares ONE user_id shuffle+sort
+    * (row_number and lead on the same window), and the PIT lookup is an
+    * EQUI join on user_id — co-partitioned sort-merge, with the tile
+    * range as a residual join filter, never a range/nested-loop join;
+    * per-user tile counts are bounded by the user's change count, so the
+    * residual scan per joined key is small and skew follows the fact
+    * key distribution, not the tile layout. All interval arithmetic in
+    * exact integer unix micros. */
+  private val q112 = Q(
+    "q112_pit_versioned_join",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("tsu"), col("event_id"))
+      val ev = T.events(s, d)
+        .selectExpr(
+          "user_id", "event_id", "event_type", "value",
+          "unix_micros(ts) AS tsu")
+      val dim = ev.filter(col("event_type") === "signup")
+        .withColumn("version", row_number().over(w))
+        .withColumn("to_tsu", lead(col("tsu"), 1).over(w))
+        .select(
+          col("user_id").as("d_user"), col("version"),
+          col("tsu").as("from_tsu"), col("to_tsu"))
+      val facts = ev.filter(col("event_type") === "purchase")
+      facts
+        .join(
+          dim,
+          facts("user_id") === dim("d_user") &&
+            facts("tsu") >= dim("from_tsu") &&
+            (dim("to_tsu").isNull || facts("tsu") < dim("to_tsu")),
+          "left")
+        .groupBy(coalesce(col("version"), lit(0)).as("version"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          count_distinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("revenue"))
+        .orderBy(col("version"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tsu
+        FROM events),
+      dim AS (
+        SELECT user_id AS d_user, tsu AS from_tsu,
+               lead(tsu) OVER (PARTITION BY user_id
+                               ORDER BY tsu, event_id) AS to_tsu,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY tsu, event_id) AS version
+        FROM ev WHERE event_type = 'signup'),
+      f AS (SELECT user_id, tsu, value FROM ev
+            WHERE event_type = 'purchase')
+      SELECT CAST(coalesce(d.version, 0) AS INT) AS version,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users,
+             round(sum(f.value), 2) AS revenue
+      FROM f LEFT JOIN dim d
+        ON d.d_user = f.user_id AND f.tsu >= d.from_tsu
+           AND (d.to_tsu IS NULL OR f.tsu < d.to_tsu)
+      GROUP BY 1 ORDER BY 1"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -4089,5 +4163,5 @@ object Relational {
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
     q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99, q102,
-    q103, q104, q105, q106, q107, q108, q109, q110, q111)
+    q103, q104, q105, q106, q107, q108, q109, q110, q111, q112)
 }

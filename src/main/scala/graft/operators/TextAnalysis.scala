@@ -853,7 +853,58 @@ object TextAnalysis {
       ORDER BY n_pair DESC, pair LIMIT 20"""),
   )
 
+  /** Per-source language composition — the provenance report a curation
+    * run reads next to t01's per-document language ID: what language is
+    * each SOURCE actually in, how mixed is it, and how dominant is its
+    * majority language (exact integer ppm). A source whose top-language
+    * share drops round-over-round is drifting (scraper broke, mirror
+    * changed); a many-language source needs per-language routing before
+    * a monolingual filter eats it. Majority ties break to the
+    * lexicographically first language — deterministic on both engines.
+    *
+    * Scale shape (100 TB): one shuffle to the (source, lang) grid
+    * (map-side partial agg), then a window over the k-source frame —
+    * the grid is |sources|×|langs|, catalog-bounded, not data-bounded;
+    * n_langs falls out of the same grid as count-over-partition, no
+    * distinct aggregation. */
+  private val t18 = Q(
+    "t18_source_lang_mix",
+    (s, d) => {
+      val srcW  = Window.partitionBy(col("source"))
+      val rankW = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("lang"))
+      T.documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_docs", sum(col("n")).over(srcW))
+        .withColumn("n_langs", count(lit(1)).over(srcW))
+        .withColumn("rk", row_number().over(rankW))
+        .filter(col("rk") === 1)
+        .select(
+          col("source"), col("n_docs"), col("n_langs"),
+          col("lang").as("top_lang"),
+          expr("n * 1000000 div n_docs").as("top_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH grid AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY source, lang),
+      ranked AS (
+        SELECT source, lang, n,
+               CAST(sum(n) OVER (PARTITION BY source) AS BIGINT)
+                 AS n_docs,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+                 AS n_langs,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n DESC, lang) AS rk
+        FROM grid)
+      SELECT source, n_docs, n_langs, lang AS top_lang,
+             CAST(n * 1000000 // n_docs AS BIGINT) AS top_ppm
+      FROM ranked WHERE rk = 1 ORDER BY source"""),
+  )
+
   val all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17)
+      t14, t15, t16, t17, t18)
 }

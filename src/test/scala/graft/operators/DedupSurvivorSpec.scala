@@ -35,6 +35,25 @@ class DedupSurvivorSpec extends SparkSpec {
     }
   }
 
+  test("d16 is exactly d07's cluster assignment regrouped by size, and " +
+    "its doc mass sums to the corpus") {
+    val clusters = run("d07_dedup_clusters")
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = clusters.groupBy(_._2).values
+      .map(_.length.toLong).groupBy(identity).toSeq
+      .map { case (size, cs) => (size, cs.size.toLong, size * cs.size) }
+      .sortBy(_._1)
+    val got = run("d16_cluster_size_histogram").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === expected)
+    assert(got.map(_._3).sum === clusters.length.toLong,
+      "histogram doc mass != corpus size")
+    // The fixture must exercise a non-trivial distribution (singletons
+    // AND at least one multi-member size), or the report is vacuous.
+    assert(got.length >= 2, "degenerate all-one-size histogram")
+  }
+
   test("a blanket unpersist between queries (the driver's Verify/Bench " +
     "loop) invalidates the memoized labels instead of serving dead blocks") {
     run("d10_dedup_survivors").collect()

@@ -330,6 +330,23 @@ class PlanAuditSpec extends SparkSpec {
       s"an exchange carries chunk text:\n$exec")
   }
 
+  test("q112: the PIT lookup is an equi-keyed join on user_id with the " +
+    "tile range as residual — never a nested-loop — and the dimension " +
+    "build shares one window sort") {
+    val exec = SparkEntry.queries("q112_pit_versioned_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("BroadcastNestedLoopJoin") &&
+      !exec.contains("CartesianProduct"),
+      s"PIT lookup degenerated to a nested loop:\n$exec")
+    assert(exec.contains("Join [user_id") ||
+      "Join \\[user_id".r.findFirstIn(exec).isDefined ||
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[user_id"
+        .r.findFirstIn(exec).isDefined,
+      s"expected a hash-keyed join on user_id:\n$exec")
+    assert("Window \\[row_number".r.findAllIn(exec).size == 1,
+      s"row_number and lead must share ONE window:\n$exec")
+  }
+
   test("t16: the Zipf rank shuffle carries only the distinct vocabulary " +
     "(count aggregates before the window) and the OLS runs as one " +
     "aggregate") {
@@ -462,8 +479,9 @@ class PlanAuditSpec extends SparkSpec {
       "s12_ann_nprobe_curve",
       "t06_tfidf", "t13_bm25", "t14_unigram_surprisal",
       // p05 crosses the k-row weight table with its 1-row grand total;
-      // p06 crosses its two single-row summary aggregates.
-      "p05_mixture_sample", "p06_split_leakage",
+      // p06 crosses its two single-row summary aggregates; p08 crosses
+      // the k-row source frame with its 1-row (tw, tt) totals.
+      "p05_mixture_sample", "p06_split_leakage", "p08_token_budget",
       // q109 crosses its pair grid with the 1-row session-total scalar
       // (p05's pattern; every input is vocabulary-bounded).
       "q109_basket_lift",
