@@ -4156,6 +4156,56 @@ object Relational {
       GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Semi-structured extraction through Spark 4's VARIANT type — the
+    * modern alternative to q27/q76's from_json schema bind: parse_json
+    * ONCE into the binary VARIANT encoding, then typed path access
+    * (variant_get with a target type, try_variant_get for paths that may
+    * be absent — the probed '$.missing' must come back NULL, not error).
+    * At 100 TB the difference is architectural: from_json re-parses the
+    * string per query with a full schema bind, while a VARIANT column is
+    * parsed once at ingest and every downstream query does cheap typed
+    * field taps on the binary encoding (and lakehouse shredding can
+    * push the taps to the scan). The DuckDB oracle mirrors with its JSON
+    * type. Rolls up typed taps per event_type in exact integers.
+    *
+    * 100 TB shape: parse + taps are map-only; the rollup is one shuffle
+    * to the |event_types| grid with map-side partial aggregation. */
+  private val q113 = Q(
+    "q113_variant_extract",
+    (s, d) =>
+      T.events(s, d)
+        .selectExpr(
+          "event_type",
+          "variant_get(parse_json(props), '$.k', 'bigint') AS k",
+          "try_variant_get(parse_json(props), '$.missing', 'bigint') AS miss")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"),
+          count_distinct(col("k")).as("k_distinct"),
+          count(col("miss")).as("n_missing_path"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_with_k,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS k_sum,
+             CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS k_min,
+             CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS k_max,
+             CAST(count(DISTINCT CAST(json_extract_string(props, '$.k')
+                  AS BIGINT)) AS BIGINT) AS k_distinct,
+             CAST(count(json_extract(props, '$.missing')) AS BIGINT)
+               AS n_missing_path
+      FROM events
+      GROUP BY event_type ORDER BY event_type"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -4163,5 +4213,5 @@ object Relational {
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
     q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99, q102,
-    q103, q104, q105, q106, q107, q108, q109, q110, q111, q112)
+    q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113)
 }
