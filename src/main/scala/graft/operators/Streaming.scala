@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -1604,7 +1605,88 @@ object Streaming {
       ORDER BY event_type"""),
   )
 
+  /** Streaming point-in-time enrichment — q112's PIT lookup running LIVE:
+    * each arriving purchase is enriched with the signup-dimension version
+    * whose half-open validity tile contains its event time. q38/q101
+    * join the stream to FLAT dimension keys; this joins to versioned
+    * INTERVAL tiles — the shape a production enrichment job actually has
+    * once its dimension is SCD2 (the join must pick the version that was
+    * current AT EVENT TIME, not the latest row). Stateless on the stream
+    * side: the tile table is broadcast and re-resolved per microbatch
+    * (so a production run picks up dimension updates between batches),
+    * the tile range is a residual filter on the user_id equi key, and no
+    * watermark or state store is involved. The rollup over the sink
+    * matches q112's batch result exactly — microbatch replay is
+    * slicing-invariant for a stateless join.
+    *
+    * Scale posture: identical to q38 (broadcast dim, map-side join cost);
+    * a dimension too large to broadcast shuffles both sides on user_id —
+    * same plan family as batch q112 at 100 TB. */
+  private val q114 = Q(
+    "q114_stream_pit_enrich",
+    (s, d) => {
+      val log = ensureLog(s, d, copies = 1)
+      val stream = s.readStream
+        .format("kinesislike")
+        .option("path", log)
+        .option("startingPosition", "trim_horizon")
+        .load()
+      val tileW = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("tsu"), col("event_id"))
+      val dim = T.events(s, d)
+        .filter(col("event_type") === "signup")
+        .selectExpr("user_id", "event_id", "unix_micros(ts) AS tsu")
+        .withColumn("version", row_number().over(tileW))
+        .withColumn("to_tsu", lead(col("tsu"), 1).over(tileW))
+        .select(
+          col("user_id").as("d_user"), col("version"),
+          col("tsu").as("from_tsu"), col("to_tsu"))
+      val purchases = parsed(stream)
+        .filter(col("event_type") === "purchase")
+        .selectExpr("user_id", "value", "unix_micros(ts) AS tsu")
+      val enriched = purchases
+        .join(
+          broadcast(dim),
+          purchases("user_id") === dim("d_user") &&
+            purchases("tsu") >= dim("from_tsu") &&
+            (dim("to_tsu").isNull || purchases("tsu") < dim("to_tsu")),
+          "left")
+        .select(col("user_id"), col("value"), col("version"))
+      runToMemory(s, enriched, "append")
+        .groupBy(coalesce(col("version"), lit(0)).as("version"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("revenue"))
+        .orderBy(col("version"))
+    },
+    // Batch-equivalent oracle: identical semantics to q112 (the
+    // microbatch union of purchases is the purchase set).
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tsu
+        FROM events),
+      dim AS (
+        SELECT user_id AS d_user, tsu AS from_tsu,
+               lead(tsu) OVER (PARTITION BY user_id
+                               ORDER BY tsu, event_id) AS to_tsu,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY tsu, event_id) AS version
+        FROM ev WHERE event_type = 'signup'),
+      f AS (SELECT user_id, tsu, value FROM ev
+            WHERE event_type = 'purchase')
+      SELECT CAST(coalesce(d.version, 0) AS INT) AS version,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users,
+             round(sum(f.value), 2) AS revenue
+      FROM f LEFT JOIN dim d
+        ON d.d_user = f.user_id AND f.tsu >= d.from_tsu
+           AND (d.to_tsu IS NULL OR f.tsu < d.to_tsu)
+      GROUP BY 1 ORDER BY 1"""),
+  )
+
   val all: Seq[Q] = Seq(
     q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61, q66, q73, q80,
-    q82, q84, q92, q94, q100, q101)
+    q82, q84, q92, q94, q100, q101, q114)
 }

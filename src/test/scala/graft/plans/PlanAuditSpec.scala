@@ -498,7 +498,8 @@ class PlanAuditSpec extends SparkSpec {
       "q73_stream_transform_with_state", "q80_stream_tws_bootstrap",
       "q82_stream_full_outer_join", "q84_stream_semi_join",
       "q92_stream_session_dynamic", "q94_stream_dead_letter",
-      "q100_stream_union", "q101_stream_static_anti")
+      "q100_stream_union", "q101_stream_static_anti",
+      "q114_stream_pit_enrich")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(boundedBroadcastCross)
       .filterNot(streaming) // streaming plans are audited via their specs

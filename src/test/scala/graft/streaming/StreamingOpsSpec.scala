@@ -696,4 +696,23 @@ class StreamingOpsSpec extends SparkSpec {
     assert(results.distinct.size == 1,
       s"sessions must not depend on batch slicing: $results")
   }
+
+  test("q114 streaming PIT enrichment equals q112's batch PIT join " +
+    "exactly — a stateless stream-static join is slicing-invariant") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = graft.SparkEntry
+      .queries("q114_stream_pit_enrich")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val batch = graft.SparkEntry
+      .queries("q112_pit_versioned_join")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(stream.length == batch.length && stream.length > 1)
+    stream.zip(batch).foreach { case (sRow, bRow) =>
+      assert(sRow._1 == bRow._1 && sRow._2 == bRow._2 && sRow._3 == bRow._3,
+        s"stream $sRow != batch $bRow")
+      // revenue: same documented cent-stability bound as the PIT specs
+      // (double summation order differs between the engines' plans).
+      assert(math.abs(sRow._4 - bRow._4) < 0.011, s"$sRow vs $bRow")
+    }
+  }
 }
