@@ -4206,6 +4206,61 @@ object Relational {
       GROUP BY event_type ORDER BY event_type"""),
   )
 
+  /** Per-user EWMA via an array-domain FOLD — the order-dependent
+    * recurrence (e₀ = v₀; eₜ = ⌊(eₜ₋₁ + vₜ)/2⌋, α = 1/2 in exact integer
+    * cents) that no window frame can express: every step depends on the
+    * previous step's OUTPUT, not on a frame of inputs. The correct
+    * distributed shape for a per-key sequential recurrence in batch is
+    * exactly this: one shuffle brings each user's purchases together,
+    * sort_array fixes the (ts, event_id) order inside the array domain,
+    * and aggregate() runs the left fold map-side — the recurrence never
+    * crosses a partition boundary, and state is bounded by the per-user
+    * purchase count, not the corpus (q110's array-domain discipline
+    * applied to a recurrence instead of an interpolation). DuckDB
+    * mirrors with list(ORDER BY) + list_reduce, whose first element
+    * seeds the accumulator exactly like the slice-init fold here; with
+    * α = 1/2 every step is an integer halving, so there is no float
+    * accumulation to diverge and floor/truncate agree (cents ≥ 0). The
+    * smoothed spend level is a classic user-behavior feature for
+    * training-data curation. */
+  private val q115 = Q(
+    "q115_ewma_fold",
+    (s, d) =>
+      T.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .selectExpr(
+          "user_id", "unix_micros(ts) AS tsu", "event_id",
+          "CAST(round(value * 100) AS BIGINT) AS cents")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          sort_array(
+            collect_list(struct(col("tsu"), col("event_id"), col("cents"))))
+            .as("seq"))
+        .selectExpr(
+          "user_id", "n_purchases",
+          "seq[size(seq) - 1].cents AS last_cents",
+          """aggregate(slice(seq, 2, greatest(size(seq) - 1, 0)),
+                       seq[0].cents,
+                       (acc, x) -> (acc + x.cents) div 2) AS ewma_cents""")
+        .orderBy(col("user_id")),
+    Some("""
+      WITH p AS (
+        SELECT user_id, epoch_us(ts) AS tsu, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      agg AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               list(cents ORDER BY tsu, event_id) AS vs
+        FROM p GROUP BY user_id)
+      SELECT user_id, n_purchases,
+             vs[len(vs)] AS last_cents,
+             CAST(list_reduce(vs, (acc, x) -> (acc + x) // 2) AS BIGINT)
+               AS ewma_cents
+      FROM agg ORDER BY user_id"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -4213,5 +4268,6 @@ object Relational {
     q51, q52, q53, q54, q55, q57, q58, q59, q60, q62, q63, q64, q65, q67,
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
     q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99, q102,
-    q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113)
+    q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
+    q115)
 }
