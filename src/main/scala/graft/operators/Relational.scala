@@ -982,6 +982,18 @@ object Relational {
   /** Fixture tag (sf dir name, dots escaped) and warehouse root shared by
     * every prewarmed table — one derivation so a layout change can never
     * leave one prewarm writing to an old location. */
+  /** Shared derived-fixture root. SINGLE-PROCESS ASSUMPTION: every
+    * builder under this root (bucketed tables, partitioned/clustered/
+    * z-ordered lakes, format copies, the pipeline stage frame) is
+    * build-if-missing with an in-session existence check and an
+    * overwrite write — safe for the driver's serial Verify/Bench/test
+    * runs, but two graft JVMs racing a cold warehouse can overwrite a
+    * layout the other is mid-read (observed: FAILED_READ_FILE on the
+    * bucketed orders table when a test suite and a Verify sweep started
+    * concurrently after a bench deleted the root). Run gates serially,
+    * or point SPARK_LOCAL_DIRS-style isolation at distinct tmpdirs. A
+    * production lake solves this with an atomic-publish table format —
+    * out of scope for test fixtures. */
   private[operators] def fixtureLoc(d: String): (String, String) = (
     new java.io.File(d).getName.replace('.', '_'),
     new java.io.File(
