@@ -4273,6 +4273,254 @@ object Relational {
       FROM agg ORDER BY user_id"""),
   )
 
+  /** Grouped winsorization — the robust-statistics outlier clip a
+    * training-data curation pass runs before trusting per-source means
+    * (a handful of fat-finger values otherwise dominate the report and
+    * any downstream normalization). Clip boundaries are per-group p05/p95
+    * DISCRETE quantiles by q67's pure integer rank arithmetic (rank
+    * ceil(q·n/100) over the (cents, event_id) order) — interpolating
+    * percentiles differ in FP evaluation order across engines, discrete
+    * rank selection is bit-exact — and the clip itself, the clipped-tail
+    * counts, and the before/after means all run in exact integer cents.
+    *
+    * Scale shape (100 TB): ONE shuffle — the per-group ranking sort —
+    * then the boundaries reach every row as frame-less window aggregates
+    * over the SAME partitioning (no join-back pass, no second scan), and
+    * the report is a k-row map-side-combined rollup. Groups too large to
+    * sort fall back to q40's sketch boundaries; the clip stays exact. */
+  private val q116 = Q(
+    "q116_winsorize",
+    (s, d) => {
+      val byVal = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))
+      val grp = Window.partitionBy(col("event_type"))
+      def rank(q: Int) = expr(s"(($q * n) + 99) div 100")
+      T.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("rk", row_number().over(byVal))
+        .withColumn("n", count(lit(1)).over(grp))
+        .withColumn("lo",
+          min(when(col("rk") === rank(5), col("cents"))).over(grp))
+        .withColumn("hi",
+          min(when(col("rk") === rank(95), col("cents"))).over(grp))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("lo")).as("p05_cents"),
+          min(col("hi")).as("p95_cents"),
+          sum(when(col("cents") < col("lo"), 1L).otherwise(0L))
+            .as("n_clipped_low"),
+          sum(when(col("cents") > col("hi"), 1L).otherwise(0L))
+            .as("n_clipped_high"),
+          expr("sum(cents) div count(1)").as("mean_cents"),
+          expr("sum(least(greatest(cents, lo), hi)) div count(1)")
+            .as("mean_winsorized_cents"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      r AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY cents, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM e),
+      b AS (
+        SELECT event_type,
+               min(cents) FILTER (rk = ((5 * n) + 99) // 100) AS lo,
+               min(cents) FILTER (rk = ((95 * n) + 99) // 100) AS hi
+        FROM r GROUP BY event_type)
+      SELECT r.event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(min(lo) AS BIGINT) AS p05_cents,
+             CAST(min(hi) AS BIGINT) AS p95_cents,
+             CAST(count(*) FILTER (cents < lo) AS BIGINT) AS n_clipped_low,
+             CAST(count(*) FILTER (cents > hi) AS BIGINT)
+               AS n_clipped_high,
+             CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents,
+             CAST(sum(least(greatest(cents, lo), hi)) // count(*)
+                  AS BIGINT) AS mean_winsorized_cents
+      FROM r JOIN b ON b.event_type = r.event_type
+      GROUP BY r.event_type
+      ORDER BY r.event_type"""),
+  )
+
+  /** PageRank power iteration over the behavioral transition graph —
+    * the stationary-importance view of q106's Markov matrix (which event
+    * types the stream keeps flowing INTO, damping for teleportation),
+    * and the one iterative fixpoint computation on the batch surface
+    * that propagates a WEIGHTED sum (d07's components propagate a min
+    * label — different algebra, different convergence). Four unrolled
+    * iterations with damping 0.85, all in exact integer ppm: rank⁰ =
+    * ⌊10⁶/k⌋, per-edge contribution ⌊rank·w/out⌋, rankⁿ⁺¹ =
+    * ⌊15·10⁴/k⌋ + ⌊85·10⁴·Σcontrib/10⁶⌋ — floor at every step, so both
+    * engines walk bit-identical integer states and the oracle is the
+    * same four iterations as CTEs. Dangling mass (a node with no
+    * out-edges) deliberately leaks, identically on both sides.
+    *
+    * Scale shape (100 TB): the heavy work is q106's shape — one user_id
+    * shuffle for the lag window, map-side combine onto the |types|²
+    * edge grid; the iterations then run on the aggregated graph where
+    * the rank vector is broadcast-sized by construction (the node
+    * domain is the event taxonomy). For a graph whose NODES are
+    * corpus-scaled (user→user), the same loop shuffles rank⊳edges on
+    * node id per iteration with a localCheckpoint per round — d07's
+    * discipline; the per-round plan here is already that join. */
+  private val q117 = Q(
+    "q117_pagerank",
+    (s, d) => {
+      val seqW = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = T.events(s, d)
+      // The aggregated graph is |types|²-row tiny; one eager
+      // localCheckpoint (d07's iterate-checkpoint discipline) makes each
+      // unrolled iteration a join against materialized blocks instead of
+      // replaying the corpus-scale lag window 4× in one plan.
+      val trans = ev
+        .withColumn("prev", lag(col("event_type"), 1).over(seqW))
+        .filter(col("prev").isNotNull)
+        .select(col("prev"), col("event_type").as("curr"))
+        .groupBy(col("prev"), col("curr"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint(true)
+      val edges = trans
+        .withColumn("outw", sum(col("w")).over(Window.partitionBy(col("prev"))))
+      val nodes = ev.select(col("event_type").as("node")).distinct()
+        .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+        .localCheckpoint(true)
+      var ranks = nodes.select(col("node"), expr("1000000 div k").as("rank"))
+      for (_ <- 1 to 4) {
+        val contrib = edges
+          .join(ranks.withColumnRenamed("node", "rnode"),
+            col("prev") === col("rnode"))
+          .select(col("curr"), expr("(rank * w) div outw").as("c"))
+          .groupBy(col("curr"))
+          .agg(sum(col("c")).as("contrib"))
+        ranks = nodes
+          .join(contrib, col("node") === col("curr"), "left")
+          .select(col("node"),
+            expr("(150000 div k) + (850000 * coalesce(contrib, 0L)) div 1000000")
+              .as("rank"))
+      }
+      val outs = trans.groupBy(col("prev")).agg(sum(col("w")).as("out_transitions"))
+      nodes.select(col("node"))
+        .join(outs, col("node") === col("prev"), "left")
+        .join(ranks.withColumnRenamed("node", "rnode").withColumnRenamed("rank", "rank_ppm"),
+          col("node") === col("rnode"))
+        .select(col("node"),
+          coalesce(col("out_transitions"), lit(0L)).as("out_transitions"),
+          col("rank_ppm"))
+        .orderBy(col("node"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events),
+      trans AS (
+        SELECT prev, event_type AS curr, CAST(count(*) AS BIGINT) AS w
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+      edges AS (
+        SELECT prev, curr, w, sum(w) OVER (PARTITION BY prev) AS outw
+        FROM trans),
+      nodes AS (SELECT DISTINCT event_type AS node FROM events),
+      kk AS (SELECT count(*) AS k FROM nodes),
+      r0 AS (SELECT node, 1000000 // k AS rank FROM nodes, kk),
+      r1 AS (SELECT n.node,
+               (150000 // k) + (850000 * coalesce(c.contrib, 0)) // 1000000
+                 AS rank
+             FROM nodes n CROSS JOIN kk LEFT JOIN (
+               SELECT e.curr AS node, sum((r.rank * e.w) // e.outw) AS contrib
+               FROM edges e JOIN r0 r ON r.node = e.prev GROUP BY 1) c
+               ON c.node = n.node),
+      r2 AS (SELECT n.node,
+               (150000 // k) + (850000 * coalesce(c.contrib, 0)) // 1000000
+                 AS rank
+             FROM nodes n CROSS JOIN kk LEFT JOIN (
+               SELECT e.curr AS node, sum((r.rank * e.w) // e.outw) AS contrib
+               FROM edges e JOIN r1 r ON r.node = e.prev GROUP BY 1) c
+               ON c.node = n.node),
+      r3 AS (SELECT n.node,
+               (150000 // k) + (850000 * coalesce(c.contrib, 0)) // 1000000
+                 AS rank
+             FROM nodes n CROSS JOIN kk LEFT JOIN (
+               SELECT e.curr AS node, sum((r.rank * e.w) // e.outw) AS contrib
+               FROM edges e JOIN r2 r ON r.node = e.prev GROUP BY 1) c
+               ON c.node = n.node),
+      r4 AS (SELECT n.node,
+               (150000 // k) + (850000 * coalesce(c.contrib, 0)) // 1000000
+                 AS rank
+             FROM nodes n CROSS JOIN kk LEFT JOIN (
+               SELECT e.curr AS node, sum((r.rank * e.w) // e.outw) AS contrib
+               FROM edges e JOIN r3 r ON r.node = e.prev GROUP BY 1) c
+               ON c.node = n.node),
+      outs AS (SELECT prev AS node, sum(w) AS out_transitions
+               FROM trans GROUP BY 1)
+      SELECT n.node,
+             CAST(coalesce(o.out_transitions, 0) AS BIGINT)
+               AS out_transitions,
+             CAST(r.rank AS BIGINT) AS rank_ppm
+      FROM nodes n
+      LEFT JOIN outs o ON o.node = n.node
+      JOIN r4 r ON r.node = n.node
+      ORDER BY n.node"""),
+  )
+
+  /** Rolling exact median — a HOLISTIC aggregate in a moving window
+    * frame, the one window mechanic the surface lacked: q51's RANGE
+    * frame sums are algebraic (O(1) per slide), a median must see the
+    * frame's whole multiset, which is why monitoring pipelines that
+    * want outlier-robust "typical spend over the last N purchases"
+    * features pay for it only on BOUNDED frames. Trailing 10-purchase
+    * median per user in exact integer cents; the emitted value is
+    * 2×median (an even frame interpolates the midpoint of two cents
+    * values, so doubling keeps every result an exact integer — no float
+    * rounding contract), alongside the frame population for
+    * short-history rows.
+    *
+    * Scale shape (100 TB): one shuffle on user_id (the q106/q107
+    * sequence partitioning), then O(frame)=O(10) work per row inside
+    * the sorted partition — bounded-frame holistic is the documented
+    * contract; an UNBOUNDED holistic frame would be quadratic and q40's
+    * sketch is the fallback for that shape. */
+  private val q118 = Q(
+    "q118_rolling_median",
+    (s, d) => {
+      val frame = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      T.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsu"), col("ts"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("n_frame", count(lit(1)).over(frame))
+        .withColumn("med_x2_cents",
+          round(percentile(col("cents"), lit(0.5)).over(frame) * 2)
+            .cast("long"))
+        .select(col("user_id"), col("event_id"), col("tsu"), col("cents"),
+          col("n_frame"), col("med_x2_cents"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id, epoch_us(ts) AS tsu,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(count(*) OVER w AS BIGINT) AS n_frame,
+             CAST(round(quantile_cont(CAST(round(value * 100) AS BIGINT),
+                                      0.5) OVER w * 2) AS BIGINT)
+               AS med_x2_cents
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -4281,5 +4529,5 @@ object Relational {
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
     q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q115)
+    q115, q116, q117, q118)
 }

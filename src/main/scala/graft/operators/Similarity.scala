@@ -1126,6 +1126,99 @@ object Similarity {
       FROM q GROUP BY label ORDER BY label"""),
   )
 
+  /** The deterministic ±1 Johnson–Lindenstrauss sign matrix, 16×64:
+    * R[j][i] = +1 iff the first hex nibble of md5("j:i") is even —
+    * reproducible in any engine with an md5 (the DuckDB oracle derives
+    * the identical matrix via `substr(md5(...), 1, 1)` parity), no RNG
+    * state to ship. Achlioptas (2001) showed ±1 entries satisfy the JL
+    * lemma with the same guarantees as Gaussian projections. */
+  private[graft] val JlSigns: Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).map { j =>
+      (0 until 64).map { i =>
+        val nib = (md.digest(s"$j:$i".getBytes("UTF-8"))(0) >> 4) & 0xf
+        if (nib % 2 == 0) 1L else -1L
+      }.toSeq
+    }
+  }
+
+  /** Random-projection (JL) dimensionality reduction + distance-
+    * preservation audit — the third storage tier of the ANN corpus after
+    * s05's int8 (4×) and s11's PQ codes: 64 floats → 16 small ints (and
+    * unlike PQ, the projected space still supports exact L2 arithmetic,
+    * so it can PRESCREEN like s10's int8 stage with 4× less bandwidth).
+    * Embeddings are milli-quantized by s05/s13's floor convention so the
+    * projection Σᵢ R[j][i]·qᵢ is exact integer arithmetic end to end;
+    * the audit compares projected vs original squared L2 distance on the
+    * id-adjacent pair sample (d05/d12's bounded-candidate convention) as
+    * ratio_ppm = ⌊10⁶·d16/(16·d64)⌋ — for ±1 rows E[d16] = 16·d64, so
+    * concentration near 10⁶ is the JL lemma made checkable (the spec
+    * pins the median band; this oracle pins every row bit-exactly).
+    *
+    * Scale shape (100 TB): the projection is pure map-side HOF
+    * arithmetic over a broadcast-literal 16×64 matrix — no shuffle, no
+    * join; the audit joins v⋈v+1 as a key-shuffled equi-join (never a
+    * cartesian). */
+  private val s14 = Q(
+    "s14_jl_projection",
+    (s, d) => {
+      val proj = T.embeddings(s, d)
+        .withColumn("rmat", typedLit(JlSigns))
+        .withColumn("m",
+          expr("transform(embedding," +
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+        .withColumn("p",
+          expr("transform(rmat, row -> aggregate(" +
+            "zip_with(row, m, (r, q) -> r * q), 0L, (a, x) -> a + x))"))
+        .select(col("vec_id"), col("m"), col("p"))
+      val a = proj.toDF("vec_id", "am", "ap")
+      val b = proj.toDF("bvec_id", "bm", "bp")
+      a.join(b, col("bvec_id") === col("vec_id") + 1)
+        .select(
+          col("vec_id"),
+          element_at(col("ap"), 1).as("proj0"),
+          element_at(col("ap"), 16).as("proj15"),
+          expr("aggregate(zip_with(am, bm, (x, y) -> (x - y) * (x - y))," +
+            " 0L, (a, x) -> a + x)").as("d64"),
+          expr("aggregate(zip_with(ap, bp, (x, y) -> (x - y) * (x - y))," +
+            " 0L, (a, x) -> a + x)").as("d16"))
+        .filter(col("d64") > 0)
+        .withColumn("ratio_ppm", expr("(1000000 * d16) div (16 * d64)"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS m
+        FROM embeddings),
+      proj AS (
+        SELECT vec_id, m,
+               list_transform(range(0, 16), j ->
+                 CAST(list_sum(list_transform(range(1, 65), i ->
+                   (CASE WHEN strpos('02468ace',
+                      substr(md5(CAST(j AS VARCHAR) || ':'
+                             || CAST(i - 1 AS VARCHAR)), 1, 1)) > 0
+                    THEN 1 ELSE -1 END) * m[i])) AS BIGINT)) AS p
+        FROM q),
+      pairs AS (
+        SELECT a.vec_id,
+               CAST(a.p[1] AS BIGINT) AS proj0,
+               CAST(a.p[16] AS BIGINT) AS proj15,
+               CAST(list_sum(list_transform(range(1, 65),
+                 i -> (a.m[i] - b.m[i]) * (a.m[i] - b.m[i])))
+                 AS BIGINT) AS d64,
+               CAST(list_sum(list_transform(range(1, 17),
+                 i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i])))
+                 AS BIGINT) AS d16
+        FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1)
+      SELECT vec_id, proj0, proj15, d64, d16,
+             CAST((1000000 * d16) // (16 * d64) AS BIGINT) AS ratio_ppm
+      FROM pairs WHERE d64 > 0
+      ORDER BY vec_id"""),
+  )
+
   val all: Seq[Q] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
+      s14)
 }

@@ -464,6 +464,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(exec.contains("Window"), exec)
   }
 
+  test("q116: the winsorize pass is ONE ranking shuffle — boundaries " +
+    "reach rows as same-partition window aggregates, no join-back, and " +
+    "the rollup reuses the partitioning") {
+    val exec = SparkEntry.queries("q116_winsorize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 1,
+      s"expected one event_type exchange:\n$exec")
+    assert(!exec.contains("Join"), s"boundary must not join back:\n$exec")
+  }
+
+  test("q117: the power iteration runs against the once-materialized " +
+    "graph — no corpus rescans in the iteration plan, never a cartesian") {
+    val exec = SparkEntry.queries("q117_pagerank")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("FileScan"),
+      s"an iteration replays the corpus scan:\n$exec")
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"), exec)
+  }
+
+  test("q118: the rolling median is one user_id shuffle and ONE window " +
+    "pass (count and percentile share the frame), no join") {
+    val exec = SparkEntry.queries("q118_rolling_median")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 1,
+      s"expected one user_id exchange:\n$exec")
+    assert("Window \\[".r.findAllIn(exec).size == 1,
+      s"count and percentile must share one Window exec:\n$exec")
+    assert(!exec.contains("Join"), exec)
+  }
+
+  test("s14: the projection is map-side HOF arithmetic and the pair " +
+    "audit an equi-join on the id key — no generate, no cartesian") {
+    val exec = SparkEntry.queries("s14_jl_projection")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("Join"), exec)
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"),
+      s"pair audit degenerated to n²:\n$exec")
+    assert(!exec.contains("Generate"),
+      s"the projection must stay in the array domain:\n$exec")
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
