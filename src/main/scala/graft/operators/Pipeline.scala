@@ -830,5 +830,72 @@ object Pipeline {
       FROM ranked ORDER BY source"""),
   )
 
-  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08)
+  /** Epoch-shuffle decorrelation audit — q60 assigns ONE deterministic
+    * training order; multi-epoch training needs a DIFFERENT permutation
+    * per epoch (re-serving epoch 1's order correlates adjacent batches
+    * across epochs and shows up as loss-curve periodicity). The epoch
+    * orders here are md5(doc_id ":" epoch) ranks — q55/q60's
+    * content-addressed determinism, restartable and seedless — and the
+    * audit is the per-source Spearman rank correlation between the
+    * epoch-1 and epoch-2 orders: ρ = 1 − 6·Σd²/(n(n²−1)), reported as
+    * rho_ppm ≈ 0 for genuinely independent permutations. Σd² is exact
+    * integer; the one ρ division runs in double on exact-integer
+    * operands (n ≤ 2²⁶ per source keeps every operand under 2⁵³), so
+    * both engines compute the identical IEEE quotient and the row needs
+    * no tolerance oracle.
+    *
+    * Scale shape (100 TB): one shuffle on source, two in-partition
+    * sorts (the two epoch rank windows share the exchange), k-row
+    * output. Ranks are per-source, so no global single-reducer
+    * row_number; a source too big to sort twice audits on q55's
+    * deterministic hash-sample instead. */
+  private val p09 = Q(
+    "p09_epoch_shuffle_audit",
+    (s, d) => {
+      val w1 = Window.partitionBy(col("source"))
+        .orderBy(col("h1"), col("doc_id"))
+      val w2 = Window.partitionBy(col("source"))
+        .orderBy(col("h2"), col("doc_id"))
+      T.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit(":1"))).as("h1"),
+          md5(concat(col("doc_id").cast("string"), lit(":2"))).as("h2"))
+        .withColumn("r1", row_number().over(w1))
+        .withColumn("r2", row_number().over(w2))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(expr("CAST((r1 - r2) * (r1 - r2) AS BIGINT)")).as("sum_d2"))
+        .filter(col("n_docs") > 1)
+        .select(col("source"), col("n_docs"), col("sum_d2"),
+          expr("""CAST(round(1e6 * (1e0 - (6e0 * sum_d2) /
+                 (CAST(n_docs AS DOUBLE) *
+                  (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - 1e0))))
+                 AS BIGINT)""").as("rho_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || ':1'), doc_id)
+                 AS r1,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || ':2'), doc_id)
+                 AS r2
+        FROM documents),
+      agg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2
+        FROM ranked GROUP BY source)
+      SELECT source, n_docs, sum_d2,
+             CAST(round(1e6 * (1e0 - (6e0 * sum_d2) /
+                  (CAST(n_docs AS DOUBLE) *
+                   (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - 1e0))))
+                  AS BIGINT) AS rho_ppm
+      FROM agg WHERE n_docs > 1
+      ORDER BY source"""),
+  )
+
+  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09)
 }

@@ -800,6 +800,79 @@ object Streaming {
       ORDER BY event_type"""),
   )
 
+  /** Live incremental rollup maintenance — q95's algebraic base⊕delta
+    * contract run as a STREAMING materialized view: each microbatch
+    * reduces to per-group PARTIAL aggregation states (n, Σcents,
+    * min/max event id — k rows, not raw events) which land in the
+    * [[graft.streaming.IdempotentSink]] under its exactly-once batchId
+    * ledger; the served view is the merge of the stored states
+    * (counts/sums add, min/min max/max, avg DERIVED from merged states
+    * — never averaged averages). q46 delivers raw rows and aggregates
+    * at read; this maintains the aggregate itself, the 100 TB posture
+    * for a dashboard-grade view over an unbounded stream: the store
+    * grows by k rows per batch instead of the batch's row count, a
+    * refresh never rescans the log, and a periodic q66-style compaction
+    * folds old state rows into one — merging states is associative, so
+    * consolidation is the SAME operation as serving. The oracle is the
+    * full recompute over the clean events table: a dropped batch, a
+    * double-merged replay, or an avg taken over per-batch avgs each
+    * break the hash. */
+  private val q119 = Q(
+    "q119_stream_live_rollup",
+    (s, d) => {
+      val log   = ensureLog(s, d, copies = 1)
+      val store = scratchDir("graft_store_liverollup")
+      val ckpt  = scratchDir("graft_ckpt_liverollup")
+      val sink  = new graft.streaming.IdempotentSink(store)
+      val limit = math.max(1L, T.events(s, d).count() / 4L)
+      val stream = s.readStream
+        .format("kinesislike")
+        .option("path", log)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", limit.toString)
+        .load()
+      val rows = parsed(stream)
+        .select(col("event_id"), col("event_type"), col("value"))
+      runForeachBatch(s, rows, ckpt, (b: DataFrame, id: Long) =>
+        sink(
+          b.groupBy(col("event_type"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(expr("CAST(round(value * 100) AS BIGINT)"))
+                .as("sum_cents"),
+              min(col("event_id")).as("min_event"),
+              max(col("event_id")).as("max_event")),
+          id))
+      require(sink.committedBatchIds.size > 2,
+        s"need >2 microbatches so state MERGING is exercised: " +
+          s"${sink.committedBatchIds}")
+      sink.readAll(s)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("n")).as("n"),
+          sum(col("sum_cents")).as("sum_cents"),
+          min(col("min_event")).as("min_event"),
+          max(col("max_event")).as("max_event"))
+        .select(
+          col("event_type"), col("n"), col("sum_cents"),
+          col("min_event"), col("max_event"),
+          expr("sum_cents div n").as("avg_cents"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             min(event_id) AS min_event,
+             max(event_id) AS max_event,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*)
+                  AS BIGINT) AS avg_cents
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   /** Run a streaming DataFrame to completion (AvailableNow) through a
     * foreachBatch handler under the same state-partitioning and
     * serialization contract as [[runToMemory]] (see that scaladoc for
@@ -1688,5 +1761,5 @@ object Streaming {
 
   val all: Seq[Q] = Seq(
     q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61, q66, q73, q80,
-    q82, q84, q92, q94, q100, q101, q114)
+    q82, q84, q92, q94, q100, q101, q114, q119)
 }

@@ -904,7 +904,73 @@ object TextAnalysis {
       FROM ranked WHERE rk = 1 ORDER BY source"""),
   )
 
+  /** Cross-source vocabulary overlap matrix — the redundancy report
+    * BETWEEN provenances that t18 (composition within a source) and d09
+    * (corpus vs a benchmark probe) don't cover: pairwise Jaccard over
+    * each source's distinct vocabulary, the first-order signal for
+    * "these two crawls are the same corpus re-labeled" before paying
+    * for document-level near-dup (d02) across them. Exact integer ppm
+    * on distinct-word sets; each unordered pair reported once
+    * (src_a < src_b).
+    *
+    * Scale shape (100 TB): the corpus collapses map-side to the
+    * DISTINCT (source, word) grid — vocabulary-bounded, like t16's rank
+    * shuffle, text never survives the explode — and the grid is
+    * materialized ONCE (eager localCheckpoint, d07's discipline) so its
+    * three consumers (sizes, both join sides) never re-scan the corpus;
+    * the pair join is an equi-join on word over that grid (k sources ⇒
+    * ≤ k rows per word; never a corpus self-join), then a k²-row
+    * rollup. */
+  private val t19 = Q(
+    "t19_source_overlap",
+    (s, d) => {
+      val grid = T.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .distinct()
+        .localCheckpoint(true)
+      val sizes = grid.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"))
+      val a = grid.toDF("src_a", "word")
+      val b = grid.toDF("src_b", "word_b")
+      val inter = a
+        .join(b, col("word") === col("word_b") && col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.toDF("src_a", "n_a"), "src_a")
+        .join(sizes.toDF("src_b", "n_b"), "src_b")
+        .select(
+          col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("n_common"),
+          expr("n_common * 1000000 div (n_a + n_b - n_common)")
+            .as("jaccard_ppm"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some("""
+      WITH grid AS (
+        SELECT DISTINCT source, word FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS word
+          FROM documents)),
+      sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM grid
+        GROUP BY source),
+      inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM grid a JOIN grid b
+          ON a.word = b.word AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT i.src_a, i.src_b,
+             sa.n AS n_a, sb.n AS n_b, i.n_common,
+             CAST(i.n_common * 1000000 // (sa.n + sb.n - i.n_common)
+                  AS BIGINT) AS jaccard_ppm
+      FROM inter i
+      JOIN sizes sa ON sa.source = i.src_a
+      JOIN sizes sb ON sb.source = i.src_b
+      ORDER BY i.src_a, i.src_b"""),
+  )
+
   val all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18)
+      t14, t15, t16, t17, t18, t19)
 }

@@ -507,6 +507,26 @@ class PlanAuditSpec extends SparkSpec {
       s"the projection must stay in the array domain:\n$exec")
   }
 
+  test("t19: the overlap matrix reads the once-materialized vocabulary " +
+    "grid — no corpus rescans, the pair join is equi on word") {
+    val exec = SparkEntry.queries("t19_source_overlap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("FileScan"),
+      s"a consumer replays the corpus scan:\n$exec")
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"),
+      s"pair generation degenerated to n²:\n$exec")
+  }
+
+  test("p09: both epoch rank windows share ONE source shuffle and the " +
+    "Spearman rollup reuses the partitioning — no join") {
+    val exec = SparkEntry.queries("p09_epoch_shuffle_audit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 1,
+      s"expected one source exchange:\n$exec")
+    assert(!exec.contains("Join"), exec)
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
@@ -542,7 +562,7 @@ class PlanAuditSpec extends SparkSpec {
       "q82_stream_full_outer_join", "q84_stream_semi_join",
       "q92_stream_session_dynamic", "q94_stream_dead_letter",
       "q100_stream_union", "q101_stream_static_anti",
-      "q114_stream_pit_enrich")
+      "q114_stream_pit_enrich", "q119_stream_live_rollup")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(boundedBroadcastCross)
       .filterNot(streaming) // streaming plans are audited via their specs

@@ -715,4 +715,79 @@ class StreamingOpsSpec extends SparkSpec {
       assert(math.abs(sRow._4 - bRow._4) < 0.011, s"$sRow vs $bRow")
     }
   }
+
+  test("q119-style live rollup stores per-batch aggregation STATES, not " +
+    "rows — store growth is k·batches — and the merged view equals the " +
+    "one-shot aggregate") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    def rec(seq: Long, tpe: String, v: Double): String = {
+      val payload =
+        s"""{"event_id":$seq,"ts":"${java.time.Instant.EPOCH.plus(seq * 1000L,
+          java.time.temporal.ChronoUnit.MICROS)}","user_id":${seq % 3},""" +
+          s""""event_type":"$tpe","value":$v,"props":"{}"}"""
+      val b64 = java.util.Base64.getEncoder
+        .encodeToString(payload.getBytes("UTF-8"))
+      s"$seq\t${seq * 1000L}\t${seq % 3}\t$b64"
+    }
+    val dir   = Files.createTempDirectory("kl_rollup")
+    val ckpt  = Files.createTempDirectory("kl_rollup_ck")
+    val store = Files.createTempDirectory("kl_rollup_store")
+    val n     = 24L
+    Files.write(
+      dir.resolve("shard-00000.log"),
+      ((0L until n).map(i => rec(i, if (i % 2 == 0) "a" else "b",
+        (i + 1) * 0.25)).mkString("\n") + "\n").getBytes("UTF-8"))
+    val sink = new IdempotentSink(store.toString)
+    val q = spark.readStream
+      .format("kinesislike")
+      .option("path", dir.toString)
+      .option("startingPosition", "trim_horizon")
+      .option("maxRecordsPerBatch", "5") // 24 records => 5 microbatches
+      .load()
+      .select(col("sequenceNumber").cast("long").as("event_id"),
+        expr("from_json(CAST(data AS STRING)," +
+          " 'event_type STRING, value DOUBLE')").as("e"))
+      .select(col("event_id"), col("e.event_type").as("event_type"),
+        col("e.value").as("value"))
+      .writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        sink(
+          b.groupBy(col("event_type"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(expr("CAST(round(value * 100) AS BIGINT)"))
+                .as("sum_cents"),
+              min(col("event_id")).as("min_event"),
+              max(col("event_id")).as("max_event")),
+          id))
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = sink.committedBatchIds
+    assert(batches.size >= 3, s"need several batches: $batches")
+    // The store must hold per-batch k-row STATES (k=2 types), never the
+    // raw events: that bound is the operator's whole scale story.
+    val stateRows = sink.readAll(spark).count()
+    assert(stateRows <= 2L * batches.size && stateRows < n,
+      s"store holds $stateRows rows for ${batches.size} batches")
+    val merged = sink.readAll(spark)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("s"),
+        min(col("min_event")).as("lo"), max(col("max_event")).as("hi"))
+      .orderBy(col("event_type"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val expected = (0L until n).map(i => (if (i % 2 == 0) "a" else "b",
+      i, math.round((i + 1) * 0.25 * 100)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (t, es) =>
+        (t, es.size.toLong, es.map(_._3).sum, es.map(_._2).min,
+          es.map(_._2).max)
+      }
+    assert(merged.toSeq == expected,
+      s"merged view $merged != one-shot aggregate $expected")
+  }
 }
