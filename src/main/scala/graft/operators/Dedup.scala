@@ -1219,9 +1219,138 @@ object Dedup {
       FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""),
   )
 
+  /** SemDeDup-style semantic dedup via cluster exemplars — the
+    * embedding-space dedup pass that catches what every lexical pass
+    * (d01 exact, d02/d05 shingle, d03/d04 SimHash) is blind to:
+    * paraphrases and re-renderings with near-identical MEANING. The
+    * SemDeDup recipe (cluster the corpus, then prune within clusters)
+    * made linear: each vector joins its cluster's EXEMPLAR (the member
+    * nearest the centroid — the cluster's canonical copy) and is dropped
+    * when cos(v, exemplar) > 0.25, so the per-member work is one dot
+    * product, not a within-cluster pair scan (k·|cluster|² is the
+    * all-pairs trap at 100 TB; exemplar pruning is the documented
+    * linear-cost variant). Clustering is s06's E-step verbatim: k=8
+    * lowest-vec_id seed centroids, argmin of a·a + c·c − 2·(a·c) with
+    * ties to the lowest cid. The threshold compare stays bit-identical
+    * across engines without sqrt: drop ⇔ dot > 0 ∧ dot² > τ²·‖a‖²·‖e‖²
+    * with τ² = 0.0625, every factor the same left-to-right
+    * [[graft.functions.FloatVectorDot]] fold the oracle mirrors.
+    *
+    * Scale shape (100 TB): centroids and exemplars BROADCAST (k rows
+    * each), the corpus scan is map-only through both joins, and the only
+    * corpus-keyed shuffle is the argmin groupBy(vec_id) (map-side
+    * combined, ≤1 row per vector reaches the wire). The assigned frame
+    * is materialized ONCE (localCheckpoint — d07's discipline): the
+    * exemplar selection and the pruning pass both read the same blocks,
+    * never a second corpus scan, and the exemplar VECTOR rides the
+    * argmin struct so no join back to the corpus is needed. The report
+    * is a k-row rollup. A production run re-seeds k ~ √N so clusters
+    * stay broadcastable — the structure is unchanged. */
+  private val d17 = Q(
+    "d17_semantic_exemplar_dedup",
+    (s, d) => {
+      import graft.functions.GraftFunctions.vecDot
+      val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cent = e.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      // E-step argmin keeping the vector (s07's rode-along struct: the
+      // (dist, cid) prefix decides before the embedding is compared).
+      val assigned = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), col("embedding"),
+          (vecDot(s, col("embedding"), col("embedding"))
+            + vecDot(s, col("cvec"), col("cvec"))
+            - lit(2) * vecDot(s, col("embedding"), col("cvec")))
+            .as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"), col("embedding"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          col("m.embedding").as("embedding"), col("m.dist").as("dist"))
+        .localCheckpoint(true)
+      val exv = assigned.groupBy(col("cid"))
+        .agg(min(struct(col("dist"), col("vec_id"), col("embedding")))
+          .as("x"))
+        .select(col("cid").as("xcid"), col("x.vec_id").as("exemplar_id"),
+          col("x.embedding").as("evec"))
+      assigned.join(broadcast(exv), col("cid") === col("xcid"))
+        .select(col("vec_id"), col("cid"), col("exemplar_id"),
+          vecDot(s, col("embedding"), col("evec")).as("dt"),
+          vecDot(s, col("embedding"), col("embedding")).as("na"),
+          vecDot(s, col("evec"), col("evec")).as("nb"))
+        .withColumn("dropped",
+          col("vec_id") =!= col("exemplar_id") && col("dt") > lit(0.0)
+            && col("dt") * col("dt")
+               > lit(0.0625) * col("na") * col("nb"))
+        .groupBy(col("cid"))
+        .agg(
+          min(col("exemplar_id")).as("exemplar_id"),
+          count(lit(1)).as("n_assigned"),
+          sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(!col("dropped"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("dropped"), col("vec_id")).otherwise(0L))
+            .as("sum_dropped_ids"))
+        .orderBy(col("cid"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      cent AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM e ORDER BY vec_id LIMIT 8),
+      pairs AS (
+        SELECT e.vec_id, c.cid, e.embedding,
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(e.embedding[i] AS DOUBLE)))
+             + list_sum(list_transform(range(1, 65),
+                 i -> CAST(c.cvec[i] AS DOUBLE)
+                    * CAST(c.cvec[i] AS DOUBLE)))
+             - 2 * list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(c.cvec[i] AS DOUBLE))) AS dist
+        FROM e CROSS JOIN cent c),
+      assigned AS (
+        SELECT vec_id, cid, embedding, dist FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY dist, cid) AS rk
+          FROM pairs)
+        WHERE rk = 1),
+      ex AS (
+        SELECT cid AS xcid, vec_id AS exemplar_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY cid
+                      ORDER BY dist, vec_id) AS rk
+          FROM assigned)
+        WHERE rk = 1),
+      exv AS (
+        SELECT x.xcid, x.exemplar_id, e.embedding AS evec
+        FROM ex x JOIN e ON e.vec_id = x.exemplar_id),
+      scored AS (
+        SELECT a.vec_id, a.cid, x.exemplar_id,
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(x.evec[i] AS DOUBLE))) AS dt,
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(a.embedding[i] AS DOUBLE))) AS na,
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(x.evec[i] AS DOUBLE)
+                    * CAST(x.evec[i] AS DOUBLE))) AS nb
+        FROM assigned a JOIN exv x ON x.xcid = a.cid),
+      flags AS (
+        SELECT *, (vec_id <> exemplar_id AND dt > 0
+                   AND dt * dt > 0.0625 * na * nb) AS dropped
+        FROM scored)
+      SELECT cid,
+             CAST(min(exemplar_id) AS BIGINT) AS exemplar_id,
+             CAST(count(*) AS BIGINT) AS n_assigned,
+             CAST(count(*) FILTER (dropped) AS BIGINT) AS n_dropped,
+             CAST(count(*) FILTER (NOT dropped) AS BIGINT) AS n_kept,
+             CAST(coalesce(sum(vec_id) FILTER (dropped), 0) AS BIGINT)
+               AS sum_dropped_ids
+      FROM flags GROUP BY cid ORDER BY cid"""),
+  )
+
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-      d14, d15, d16)
+      d14, d15, d16, d17)
 }
 
 /** Shared sign-LSH band SQL builders over [[graft.functions.SignDots16]]'s

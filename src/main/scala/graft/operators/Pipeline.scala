@@ -897,5 +897,69 @@ object Pipeline {
       ORDER BY source"""),
   )
 
-  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09)
+  /** Corpus snapshot drift monitor — the distribution-shift gate a
+    * pipeline runs when a refreshed crawl replaces last month's corpus:
+    * did the document-length profile move enough to re-tune filters and
+    * token budgets? Two snapshots are carved deterministically from the
+    * fixture (md5 first-nibble parity of doc_id — q55's hash-split
+    * discipline, so "reference" and "current" are stable under
+    * regeneration), lengths land in fixed width-64 bins capped at bin 8,
+    * and each bin reports both snapshots' exact floor-ppm shares plus
+    * the absolute ppm gap. The headline is total variation distance
+    * (Σ|Δppm| div 2, a window total riding every row) — the
+    * integer-exact cousin of the PSI monitors report: PSI's ln(p/q)
+    * factor is libm-dependent and engines disagree in the last ulp,
+    * TVD ranks the same drifts with no float anywhere.
+    *
+    * Scale shape (100 TB): one scan, bin assignment map-side, one
+    * ≤18-row (bin, side) rollup with map-side combine, and the TVD
+    * window runs over the 9-row grid — nothing corpus-sized past the
+    * first aggregate. */
+  private val p10 = Q(
+    "p10_snapshot_drift",
+    (s, d) => {
+      T.documents(s, d)
+        .select(
+          expr("least(n_chars div 64, 8)").as("bin"),
+          expr("""CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 1),
+                       16, 10) AS BIGINT) % 2""").as("side"))
+        .groupBy(col("bin"))
+        .agg(
+          sum(when(col("side") === 0, 1L).otherwise(0L)).as("ref_n"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("cur_n"))
+        .select(col("bin"), col("ref_n"), col("cur_n"),
+          expr("(1000000 * ref_n) div sum(ref_n) OVER ()").as("ref_ppm"),
+          expr("(1000000 * cur_n) div sum(cur_n) OVER ()").as("cur_ppm"))
+        .withColumn("gap_ppm",
+          abs(col("ref_ppm") - col("cur_ppm")))
+        .withColumn("tvd_ppm", expr("sum(gap_ppm) OVER () div 2"))
+        .orderBy(col("bin"))
+    },
+    Some("""
+      WITH tagged AS (
+        SELECT least(n_chars // 64, 8) AS bin,
+               (CAST(strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                     AS BIGINT) - 1) % 2 AS side
+        FROM documents),
+      bins AS (
+        SELECT bin,
+               CAST(count(*) FILTER (side = 0) AS BIGINT) AS ref_n,
+               CAST(count(*) FILTER (side = 1) AS BIGINT) AS cur_n
+        FROM tagged GROUP BY bin),
+      shares AS (
+        SELECT bin, ref_n, cur_n,
+               CAST((1000000 * ref_n) // sum(ref_n) OVER () AS BIGINT)
+                 AS ref_ppm,
+               CAST((1000000 * cur_n) // sum(cur_n) OVER () AS BIGINT)
+                 AS cur_ppm
+        FROM bins)
+      SELECT bin, ref_n, cur_n, ref_ppm, cur_ppm,
+             CAST(abs(ref_ppm - cur_ppm) AS BIGINT) AS gap_ppm,
+             CAST(sum(abs(ref_ppm - cur_ppm)) OVER () // 2 AS BIGINT)
+               AS tvd_ppm
+      FROM shares ORDER BY bin"""),
+  )
+
+  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
 }

@@ -4521,6 +4521,261 @@ object Relational {
       ORDER BY user_id, event_id"""),
   )
 
+  /** Grouped MAD (median-absolute-deviation) robust outlier monitor —
+    * the robust sibling of q90's μ+3σ z-score rule: a single fat-finger
+    * value inflates σ enough to hide ITSELF, while the median/MAD pair
+    * has a 50% breakdown point, which is why data-quality monitors on
+    * money columns use it. Everything stays exact integers via the
+    * doubling trick used twice: med2 = lower+upper discrete median pair
+    * of cents (2×median, q118's contract), dev2 = |2·cents − med2|
+    * (2×deviation), mad2 = the same pair trick over dev2 (4×MAD), and
+    * the classic |x−med| > 3·MAD rule becomes 2·dev2 > 3·mad2 — every
+    * comparison bit-identical across engines, no float anywhere. The
+    * degenerate mad2=0 group (>50% of values identical) flags every
+    * deviating row, the documented MAD behavior.
+    *
+    * Scale shape (100 TB): ONE exchange — both ranking windows and the
+    * final rollup partition by the same event_type key, so the plan is
+    * hash-exchange once, then sort-by-cents / sort-by-dev2 within
+    * unmoved partitions (PlanAuditSpec pins the single-Exchange shape).
+    * Per-group boundaries reach rows as frame-less window aggregates —
+    * q116's no-join-back posture. */
+  private val q120 = Q(
+    "q120_mad_outliers",
+    (s, d) => {
+      val grp = Window.partitionBy(col("event_type"))
+      val byVal = grp.orderBy(col("cents"), col("event_id"))
+      val loRk = expr("(n + 1) div 2")
+      val hiRk = expr("n div 2 + 1")
+      T.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("rk", row_number().over(byVal))
+        .withColumn("n", count(lit(1)).over(grp))
+        .withColumn("med2",
+          min(when(col("rk") === loRk, col("cents"))).over(grp)
+            + min(when(col("rk") === hiRk, col("cents"))).over(grp))
+        .withColumn("dev2", abs(lit(2) * col("cents") - col("med2")))
+        .withColumn("rk2",
+          row_number().over(grp.orderBy(col("dev2"), col("event_id"))))
+        .withColumn("mad2",
+          min(when(col("rk2") === loRk, col("dev2"))).over(grp)
+            + min(when(col("rk2") === hiRk, col("dev2"))).over(grp))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("med2")).as("med_x2_cents"),
+          min(col("mad2")).as("mad_x4_cents"),
+          sum(when(lit(2) * col("dev2") > lit(3) * col("mad2"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          max(col("dev2")).as("max_dev_x2_cents"))
+        .withColumn("outlier_ppm",
+          expr("(1000000 * n_outliers) div n_events"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      r AS (
+        SELECT event_type, event_id, cents,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY cents, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM e),
+      m AS (
+        SELECT *,
+               min(CASE WHEN rk = (n + 1) // 2 THEN cents END)
+                 OVER (PARTITION BY event_type)
+             + min(CASE WHEN rk = n // 2 + 1 THEN cents END)
+                 OVER (PARTITION BY event_type) AS med2
+        FROM r),
+      dv AS (
+        SELECT *, abs(2 * cents - med2) AS dev2,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY abs(2 * cents - med2), event_id) AS rk2
+        FROM m),
+      md AS (
+        SELECT *,
+               min(CASE WHEN rk2 = (n + 1) // 2 THEN dev2 END)
+                 OVER (PARTITION BY event_type)
+             + min(CASE WHEN rk2 = n // 2 + 1 THEN dev2 END)
+                 OVER (PARTITION BY event_type) AS mad2
+        FROM dv)
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(min(med2) AS BIGINT) AS med_x2_cents,
+             CAST(min(mad2) AS BIGINT) AS mad_x4_cents,
+             CAST(count(*) FILTER (2 * dev2 > 3 * mad2) AS BIGINT)
+               AS n_outliers,
+             CAST(max(dev2) AS BIGINT) AS max_dev_x2_cents,
+             CAST((1000000 * count(*) FILTER (2 * dev2 > 3 * mad2))
+                  // count(*) AS BIGINT) AS outlier_ppm
+      FROM md
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
+  /** Linear multi-touch attribution — the allocation mechanic q107's
+    * last-touch rule collapses away: every view/click in the 24 h before
+    * a purchase shares the credit EQUALLY, and the split must conserve
+    * money exactly (Σ shares = purchase cents, per purchase, always).
+    * Each touch binds to the NEXT purchase within 24 h (min-struct over
+    * a forward RANGE frame — q111's bounded forward-looking shape); the
+    * equal split uses p08's largest-remainder discipline in pure integer
+    * cents: base = cents div k, the first (cents mod k) touches in
+    * (ts, event_id) order get one extra cent. Purchases no touch chose
+    * roll up under the '(direct)' channel — chosen-by-no-touch is NOT
+    * "no touch in the preceding 24 h" (an intervening purchase may have
+    * captured them), so directness comes from an anti-join against the
+    * chosen-purchase set, not a backward frame.
+    *
+    * Scale shape (100 TB): the binding window is ONE shuffle on user_id;
+    * the ranking window re-keys on (user_id, purchase) — bounded second
+    * shuffle, no row inflation (each touch appears once); the anti-join
+    * probes a purchase-id projection and the channel rollup is k rows.
+    * Never a touch×purchase join — the frame does the pairing. */
+  private val q121 = Q(
+    "q121_linear_attribution",
+    (s, d) => {
+      val dayUs = 86400000000L
+      val ev = T.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsu"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val wNext = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+        .rangeBetween(0, dayUs)
+      val bound = ev.withColumn("np",
+        min(when(col("event_type") === "purchase",
+          struct(col("tsu"), col("event_id"), col("cents")))).over(wNext))
+      val touches = bound
+        .filter(col("event_type").isin("view", "click")
+          && col("np").isNotNull)
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("tsu"), col("event_id"),
+          col("np.event_id").as("p_id"), col("np.cents").as("p_cents"))
+      val perP = Window.partitionBy(col("user_id"), col("p_id"))
+      val alloc = touches
+        .withColumn("rk",
+          row_number().over(perP.orderBy(col("tsu"), col("event_id"))))
+        .withColumn("k", count(lit(1)).over(perP))
+        .withColumn("share",
+          expr("p_cents div k")
+            + when(col("rk") <= expr("p_cents % k"), 1L).otherwise(0L))
+      val chosen = alloc.select(col("p_id")).distinct()
+      val direct = ev.filter(col("event_type") === "purchase")
+        .join(chosen, col("event_id") === col("p_id"), "left_anti")
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(sum(col("cents")), lit(0L)).as("attributed_cents"))
+        .select(lit("(direct)").as("channel"), col("n_events"),
+          col("attributed_cents"))
+      alloc.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("share")).as("attributed_cents"))
+        .unionByName(direct)
+        .orderBy(col("channel"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      bound AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase'
+                           THEN [tsu, event_id, cents] END)
+               OVER (PARTITION BY user_id ORDER BY tsu
+                     RANGE BETWEEN CURRENT ROW AND 86400000000 FOLLOWING)
+               AS np
+        FROM ev),
+      touches AS (
+        SELECT user_id, event_type AS channel, tsu, event_id,
+               np[2] AS p_id, np[3] AS p_cents
+        FROM bound
+        WHERE event_type IN ('view', 'click') AND np IS NOT NULL),
+      alloc AS (
+        SELECT channel, p_cents // k
+                 + CASE WHEN rk <= p_cents % k THEN 1 ELSE 0 END AS share
+        FROM (
+          SELECT *,
+                 row_number() OVER (PARTITION BY user_id, p_id
+                   ORDER BY tsu, event_id) AS rk,
+                 count(*) OVER (PARTITION BY user_id, p_id) AS k
+          FROM touches)),
+      rolled AS (
+        SELECT channel, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(share) AS BIGINT) AS attributed_cents
+        FROM alloc GROUP BY channel
+        UNION ALL
+        SELECT '(direct)' AS channel, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(coalesce(sum(cents), 0) AS BIGINT) AS attributed_cents
+        FROM ev
+        WHERE event_type = 'purchase'
+          AND event_id NOT IN (SELECT DISTINCT p_id FROM touches))
+      SELECT * FROM rolled ORDER BY channel"""),
+  )
+
+  /** Key-skew audit: per-event-type Gini coefficient + top-key share of
+    * the user_id distribution — the partition-skew health report a
+    * 100 TB operator reads BEFORE picking join/agg strategies (q41's
+    * salting and AQE skew-join are the cures; this is the diagnosis,
+    * kept as a first-class query the way d16 keeps dedup health). Gini
+    * from the ascending-ordered counts in one pass of pure integer
+    * arithmetic: G = (2·Σ i·cᵢ − (n+1)·Σcᵢ) / (n·Σcᵢ), emitted as
+    * floor-ppm — both engines walk identical BIGINTs, no float.
+    *
+    * Domain bound: the ppm numerator needs n·T·10⁶ < 2⁶³ (n keys,
+    * T events per group) — safe through n=10⁶ keys at T=10⁹ rows per
+    * group; past that the same formula runs in DECIMAL(38), loudly, on
+    * both engines (s06's overflow posture).
+    *
+    * Scale shape (100 TB): the (event_type, user_id) rollup shuffles
+    * once with map-side combine; the ranking window then re-keys on
+    * event_type over k·users rows (counts only, no payload), and the
+    * report is a k-row aggregate. */
+  private val q122 = Q(
+    "q122_skew_gini",
+    (s, d) => {
+      val byCnt = Window.partitionBy(col("event_type"))
+        .orderBy(col("c"), col("user_id"))
+      T.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("i", row_number().over(byCnt))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(col("c")).as("n_events"),
+          sum(col("i") * col("c")).as("s1"),
+          max(col("c")).as("maxc"))
+        .select(col("event_type"), col("n_users"), col("n_events"),
+          expr("""(1000000 * (2 * s1 - (n_users + 1) * n_events))
+                  div (n_users * n_events)""").as("gini_ppm"),
+          expr("(1000000 * maxc) div n_events").as("top_share_ppm"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      rk AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                    ORDER BY c, user_id) AS i
+        FROM cnt),
+      agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(c) AS BIGINT) AS n_events,
+               CAST(sum(i * c) AS BIGINT) AS s1,
+               CAST(max(c) AS BIGINT) AS maxc
+        FROM rk GROUP BY event_type)
+      SELECT event_type, n_users, n_events,
+             CAST((1000000 * (2 * s1 - (n_users + 1) * n_events))
+                  // (n_users * n_events) AS BIGINT) AS gini_ppm,
+             CAST((1000000 * maxc) // n_events AS BIGINT) AS top_share_ppm
+      FROM agg ORDER BY event_type"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -4529,5 +4784,5 @@ object Relational {
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
     q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q115, q116, q117, q118)
+    q115, q116, q117, q118, q120, q121, q122)
 }

@@ -527,6 +527,64 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exec.contains("Join"), exec)
   }
 
+  test("q120: both MAD ranking windows and the rollup ride ONE " +
+    "event_type exchange — sorts move, rows don't; no join-back") {
+    val exec = SparkEntry.queries("q120_mad_outliers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 1,
+      s"expected one event_type exchange:\n$exec")
+    assert(!exec.contains("Join"), s"boundaries must not join back:\n$exec")
+    assert("Sort \\[".r.findAllIn(exec).size >= 2,
+      s"expected the cents + dev2 sorts:\n$exec")
+  }
+
+  test("q121: touch→purchase binding is a window (never a touch×purchase " +
+    "join); the only join is the LeftAnti probe for direct purchases") {
+    val exec = SparkEntry.queries("q121_linear_attribution")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Join".r.findAllIn(exec).nonEmpty, exec)
+    assert(exec.contains("LeftAnti"),
+      s"direct purchases must come from the anti probe:\n$exec")
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"),
+      s"binding degenerated to a pair join:\n$exec")
+    assert(exec.contains("Window"), exec)
+  }
+
+  test("q122: the skew audit is the count rollup + one event_type " +
+    "ranking pass — two exchanges, counts only on the wire, no join") {
+    val exec = SparkEntry.queries("q122_skew_gini")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 2,
+      s"expected the (type,user) rollup + type window exchanges:\n$exec")
+    assert(!exec.contains("Join"), exec)
+  }
+
+  test("d17: exemplar pruning is linear — the assigned frame is read " +
+    "from its one materialization (no second corpus scan), the exemplar " +
+    "join is broadcast equi, never a within-cluster pair join") {
+    val exec = SparkEntry.queries("d17_semantic_exemplar_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("FileScan"),
+      s"a branch replays the corpus scan past the checkpoint:\n$exec")
+    assert(exec.contains("BroadcastHashJoin"),
+      s"the exemplar join must stay broadcast equi:\n$exec")
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"),
+      s"pruning degenerated to a pair join:\n$exec")
+  }
+
+  test("p10: drift is one bin rollup exchange — the share/TVD windows " +
+    "run on the 9-row grid (SinglePartition), no join") {
+    val exec = SparkEntry.queries("p10_snapshot_drift")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 1,
+      s"expected one bin exchange:\n$exec")
+    assert(exec.contains("Exchange SinglePartition"),
+      s"grid totals should ride the single-partition window:\n$exec")
+    assert(!exec.contains("Join"), exec)
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
@@ -551,7 +609,11 @@ class PlanAuditSpec extends SparkSpec {
       // d12's ground truth is all-pairs exact Jaccard over a BOUNDED
       // deterministic sample — the quadratic is the audit's design,
       // confined to sample² (see its scaladoc), never the corpus.
-      "d12_lsh_canopy_audit")
+      "d12_lsh_canopy_audit",
+      // d17 crosses the corpus with the 8-row centroid table (s06's
+      // E-step shape); its own plan test pins that to exactly one
+      // bounded broadcast cross.
+      "d17_semantic_exemplar_dedup")
     val streaming = Set(
       "q28_stream_window", "q29_stream_dedup", "q30_stream_session",
       "q36_stream_join", "q37_stream_sliding", "q38_stream_static_join",
