@@ -177,8 +177,19 @@ object Bench {
     // Durable artifact with the same content, so the full per-query map
     // survives any stdout truncation and the judge can read it from the
     // repo regardless of how the driver captured the line.
+    //
+    // The tracked bench_queries.json is the COMMITTED COLD BASIS
+    // (sf0.1, the driver's bench scale) — a dev-scale sweep must not be
+    // able to clobber it and ride into the next commit unnoticed (round
+    // 10: an sf0.001/cpus=8 run overwrote the 230.4 s cold artifact and
+    // was committed; caught only by auditing the artifact's sf/cpus
+    // fields). Off-basis runs land in bench_queries_local.json, which
+    // .gitignore keeps out of the tree.
+    val artifact =
+      if (sfDir.endsWith("sf0.1")) "bench_queries.json"
+      else "bench_queries_local.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_queries.json"), line + "\n")
+      java.nio.file.Paths.get(artifact), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }
