@@ -4776,6 +4776,101 @@ object Relational {
       FROM agg ORDER BY event_type"""),
   )
 
+  /** Multiset set-operations — EXCEPT ALL / INTERSECT ALL, the
+    * bag-semantics tier q13/q14's DISTINCT set ops collapse away: a
+    * duplicate-forensics reconcile needs MULTIPLICITY (how many extra
+    * copies one extract carries beyond the other), and the engines'
+    * bag algebra must agree exactly (except_all keeps max(m_a − m_b, 0)
+    * copies, intersect_all keeps min(m_a, m_b)). The bag on the A side
+    * is customer keys with one copy per ORDER (natural duplication);
+    * the B side is the customer dimension (one copy each). Each bag
+    * result rolls up per key and the two labeled rollups union, so the
+    * output is deterministic while the multiplicities stay the tested
+    * object: for a customer with n ≥ 1 orders the except row carries
+    * n − 1 and the intersect row exactly 1, and order-less customers
+    * appear in neither — invariants the replay spec pins.
+    *
+    * Scale shape (100 TB): both ops plan as hash aggregates over the
+    * key with count-compare semantics — one shuffle each side, no
+    * row-by-row anti semantics; the rollup reuses the key partitioning. */
+  private val q123 = Q(
+    "q123_except_all",
+    (s, d) => {
+      val bagA = T.orders(s, d).select(col("o_custkey").as("key"))
+      val bagB = T.customer(s, d).select(col("c_custkey").as("key"))
+      val ex = bagA.exceptAll(bagB)
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("multiplicity"))
+        .withColumn("op", lit("except_all"))
+      val in = bagA.intersectAll(bagB)
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("multiplicity"))
+        .withColumn("op", lit("intersect_all"))
+      ex.unionByName(in)
+        .select(col("op"), col("key"), col("multiplicity"))
+        .orderBy(col("op"), col("key"))
+    },
+    Some("""
+      WITH bag_a AS (SELECT o_custkey AS key FROM orders),
+      bag_b AS (SELECT c_custkey AS key FROM customer),
+      ex AS (
+        SELECT 'except_all' AS op, key,
+               CAST(count(*) AS BIGINT) AS multiplicity
+        FROM (SELECT key FROM bag_a EXCEPT ALL SELECT key FROM bag_b)
+        GROUP BY key),
+      ins AS (
+        SELECT 'intersect_all' AS op, key,
+               CAST(count(*) AS BIGINT) AS multiplicity
+        FROM (SELECT key FROM bag_a INTERSECT ALL SELECT key FROM bag_b)
+        GROUP BY key)
+      SELECT op, key, multiplicity FROM ex
+      UNION ALL
+      SELECT op, key, multiplicity FROM ins
+      ORDER BY op, key"""),
+  )
+
+  /** Sliding distinct cardinality — a SET-VALUED moving-frame aggregate,
+    * the behavioral-diversity feature (how many DISTINCT event types in
+    * the last 10 events) that neither an algebraic frame sum (q51) nor
+    * a holistic median (q118) expresses: the frame's value is a set, and
+    * distinctness must be evaluated per frame. Both engines materialize
+    * the frame as a list in row order and count distinct elements
+    * (collect_list → array_distinct → size ≡ list ∘ list_distinct ∘
+    * len), so ties and duplicates resolve identically with no reliance
+    * on either engine's DISTINCT-inside-window support.
+    *
+    * Scale shape (100 TB): one user_id shuffle, O(frame)=O(10) work per
+    * row inside the sorted partition — q118's bounded-frame holistic
+    * contract extended to set values; an unbounded distinct frame is
+    * the q26/q63 sketch tier's job instead. */
+  private val q124 = Q(
+    "q124_sliding_distinct",
+    (s, d) => {
+      val frame = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsu"), col("ts"), col("event_type"))
+        .withColumn("n_frame", count(lit(1)).over(frame))
+        .withColumn("k_distinct",
+          size(array_distinct(collect_list(col("event_type")).over(frame)))
+            .cast("long"))
+        .select(col("user_id"), col("event_id"), col("tsu"),
+          col("n_frame"), col("k_distinct"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id, epoch_us(ts) AS tsu,
+             CAST(count(*) OVER w AS BIGINT) AS n_frame,
+             CAST(len(list_distinct(list(event_type) OVER w)) AS BIGINT)
+               AS k_distinct
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -4784,5 +4879,5 @@ object Relational {
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
     q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q115, q116, q117, q118, q120, q121, q122)
+    q115, q116, q117, q118, q120, q121, q122, q123, q124)
 }

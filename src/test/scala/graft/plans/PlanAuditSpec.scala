@@ -585,6 +585,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exec.contains("Join"), exec)
   }
 
+  test("q123: bag semantics plan as count-compare aggregates over the " +
+    "key (union → aggregate → replicate) — never a row-by-row join") {
+    val exec = SparkEntry.queries("q123_except_all")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("Join"),
+      s"bag algebra degenerated to a join:\n$exec")
+    assert(exec.contains("HashAggregate"), exec)
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"), exec)
+  }
+
+  test("q124: the sliding distinct-cardinality pass is one user_id " +
+    "shuffle and ONE window pass (count and the set share the frame), " +
+    "no join") {
+    val exec = SparkEntry.queries("q124_sliding_distinct")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 1,
+      s"expected one user_id exchange:\n$exec")
+    assert("Window \\[".r.findAllIn(exec).size == 1,
+      s"count and collect_list must share one Window exec:\n$exec")
+    assert(!exec.contains("Join"), exec)
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
