@@ -1218,7 +1218,139 @@ object Similarity {
       ORDER BY vec_id"""),
   )
 
+  /** MMR (maximal marginal relevance) diversified re-ranking — the
+    * greedy set-construction mechanic retrieval pipelines run AFTER
+    * top-k: s01's raw top-10 can be ten near-copies of one passage,
+    * while a context window wants coverage, so MMR picks 5 of the top
+    * 20 by iteratively maximizing λ·cos(q,d) − (1−λ)·max_{s∈S}cos(d,s).
+    * With λ = ½ that objective orders identically to rel − maxsim, which
+    * is what both engines compute. Every input the greedy walk reads is
+    * rounded to 6 dp FIRST (the s01/s02 discipline: identical decimal →
+    * identical double), the per-round subtraction and max run in the
+    * same order on both sides, and ties break to the lowest vec_id — so
+    * the selection sequence is bit-reproducible. The 4 greedy rounds are
+    * unrolled (q117's pattern) over the bounded candidate grid.
+    *
+    * Scale shape (100 TB): the corpus-sized work is exactly s01's
+    * bounded-heap top-20 (broadcast query, TakeOrderedAndProject);
+    * everything after runs on the checkpointed 20-row candidate set —
+    * the 20×20 pair grid and each round's argmax are driver-free
+    * constant-size jobs, the textbook two-stage retrieve-then-rerank
+    * split. */
+  private val s15 = Q(
+    "s15_mmr_rerank",
+    (s, d) => {
+      val e = T.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val cands = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("embedding"),
+          round(dot(s, col("embedding"), col("qv")), 6).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(20)
+        .localCheckpoint(true)
+      val a = cands.select(col("vec_id").as("ai"),
+        col("embedding").as("av"))
+      val b = cands.select(col("vec_id").as("bi"),
+        col("embedding").as("bv"))
+      val sims = a.join(broadcast(b), col("ai") =!= col("bi"))
+        .select(col("ai"), col("bi"),
+          round(dot(s, col("av"), col("bv")), 6).as("sim"))
+        .localCheckpoint(true)
+      var selected = cands
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(1)
+        .select(lit(1L).as("rank"), col("vec_id"), col("rel"),
+          col("rel").as("score"))
+      for (r <- 2 to 5) {
+        val pen = sims
+          .join(broadcast(selected.select(col("vec_id").as("bi"))), "bi")
+          .groupBy(col("ai"))
+          .agg(max(col("sim")).as("maxsim"))
+        val pick = cands
+          .join(broadcast(selected.select(col("vec_id"))), Seq("vec_id"),
+            "left_anti")
+          .join(pen, col("vec_id") === col("ai"))
+          .select(lit(r.toLong).as("rank"), col("vec_id"), col("rel"),
+            (col("rel") - col("maxsim")).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(1)
+        selected = selected.unionByName(pick).localCheckpoint(true)
+      }
+      selected
+        .select(col("rank"), col("vec_id"), col("rel"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("rank"))
+    },
+    Some("""
+      WITH cand AS (
+        SELECT e.vec_id, e.embedding,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(q.embedding[i] AS DOUBLE))), 6) AS rel
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY rel DESC, vec_id LIMIT 20),
+      sims AS (
+        SELECT a.vec_id AS ai, b.vec_id AS bi,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE))), 6) AS sim
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+      s1 AS (
+        SELECT 1 AS rank, vec_id, rel, rel AS score
+        FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+      s2 AS (
+        SELECT 2 AS rank, c.vec_id, c.rel,
+               c.rel - max(m.sim) AS score
+        FROM cand c JOIN sims m ON m.ai = c.vec_id
+        WHERE m.bi IN (SELECT vec_id FROM s1)
+          AND c.vec_id NOT IN (SELECT vec_id FROM s1)
+        GROUP BY c.vec_id, c.rel
+        ORDER BY score DESC, c.vec_id LIMIT 1),
+      s3 AS (
+        SELECT 3 AS rank, c.vec_id, c.rel,
+               c.rel - max(m.sim) AS score
+        FROM cand c JOIN sims m ON m.ai = c.vec_id
+        WHERE m.bi IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2)
+          AND c.vec_id NOT IN
+            (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2)
+        GROUP BY c.vec_id, c.rel
+        ORDER BY score DESC, c.vec_id LIMIT 1),
+      s4 AS (
+        SELECT 4 AS rank, c.vec_id, c.rel,
+               c.rel - max(m.sim) AS score
+        FROM cand c JOIN sims m ON m.ai = c.vec_id
+        WHERE m.bi IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+                       UNION SELECT vec_id FROM s3)
+          AND c.vec_id NOT IN
+            (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+             UNION SELECT vec_id FROM s3)
+        GROUP BY c.vec_id, c.rel
+        ORDER BY score DESC, c.vec_id LIMIT 1),
+      s5 AS (
+        SELECT 5 AS rank, c.vec_id, c.rel,
+               c.rel - max(m.sim) AS score
+        FROM cand c JOIN sims m ON m.ai = c.vec_id
+        WHERE m.bi IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+                       UNION SELECT vec_id FROM s3
+                       UNION SELECT vec_id FROM s4)
+          AND c.vec_id NOT IN
+            (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+             UNION SELECT vec_id FROM s3 UNION SELECT vec_id FROM s4)
+        GROUP BY c.vec_id, c.rel
+        ORDER BY score DESC, c.vec_id LIMIT 1),
+      sel AS (
+        SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+        UNION ALL SELECT * FROM s5)
+      SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel,
+             round(score, 6) AS score
+      FROM sel ORDER BY rank"""),
+  )
+
   val all: Seq[Q] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14)
+      s14, s15)
 }

@@ -608,6 +608,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exec.contains("Join"), exec)
   }
 
+  test("s15: the rerank runs entirely on the checkpointed 20-row " +
+    "candidate set — no corpus rescan past the top-20 stage") {
+    val exec = SparkEntry.queries("s15_mmr_rerank")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("FileScan"),
+      s"a greedy round replays the corpus scan:\n$exec")
+    assert(!exec.contains("CartesianProduct"), exec)
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
@@ -636,7 +645,11 @@ class PlanAuditSpec extends SparkSpec {
       // d17 crosses the corpus with the 8-row centroid table (s06's
       // E-step shape); its own plan test pins that to exactly one
       // bounded broadcast cross.
-      "d17_semantic_exemplar_dedup")
+      "d17_semantic_exemplar_dedup",
+      // s15's only non-equi join is the 20×20 pair grid over the
+      // checkpointed candidate set (bounded by construction); its own
+      // plan test pins the no-corpus-rescan shape.
+      "s15_mmr_rerank")
     val streaming = Set(
       "q28_stream_window", "q29_stream_dedup", "q30_stream_session",
       "q36_stream_join", "q37_stream_sliding", "q38_stream_static_join",
