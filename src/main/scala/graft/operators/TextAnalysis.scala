@@ -970,7 +970,76 @@ object TextAnalysis {
       ORDER BY i.src_a, i.src_b"""),
   )
 
+  /** Contrastive source vocabulary — which terms CHARACTERIZE each
+    * source against the rest of the corpus, the provenance fingerprint
+    * a curation pass reads when t18's language mix looks uniform but one
+    * crawl is secretly all boilerplate (the "distinctive words" report,
+    * the log-odds idea made engine-exact): for each (source, term),
+    * lift = the term's floor-ppm rate INSIDE the source minus its
+    * floor-ppm rate in the REST of the corpus, both divisions on
+    * non-negative integers (a signed division would split on the
+    * engines' truncate-vs-floor disagreement; a log-odds z-score would
+    * split on libm — the subtraction of two exact ppm rates ranks the
+    * same phenomenon). Top-3 per source by (lift, term), ties exact.
+    *
+    * Scale shape (100 TB): the corpus pays ONE (source, term) explode +
+    * rollup with map-side combine; everything after — term totals,
+    * source totals, the rest-rate join, the per-source top-3 window —
+    * runs on the vocabulary-bounded grid. */
+  private val t20 = Q(
+    "t20_source_terms",
+    (s, d) => {
+      val grid = T.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("f"))
+      val wSrc = Window.partitionBy(col("source"))
+      val wTerm = Window.partitionBy(col("term"))
+      val wAll = Window.partitionBy(lit(1))
+      grid
+        .withColumn("t_src", sum(col("f")).over(wSrc))
+        .withColumn("f_term", sum(col("f")).over(wTerm))
+        .withColumn("t_all", sum(col("f")).over(wAll))
+        .select(col("source"), col("term"),
+          expr("(1000000 * f) div t_src").as("src_ppm"),
+          expr("(1000000 * (f_term - f)) div (t_all - t_src)")
+            .as("rest_ppm"))
+        .withColumn("lift_ppm", col("src_ppm") - col("rest_ppm"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("lift_ppm").desc, col("term"))))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk").cast("long").as("rk"),
+          col("term"), col("src_ppm"), col("rest_ppm"), col("lift_ppm"))
+        .orderBy(col("source"), col("rk"))
+    },
+    Some("""
+      WITH grid AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY source, term),
+      rated AS (
+        SELECT source, term,
+               CAST((1000000 * f) // sum(f) OVER (PARTITION BY source)
+                    AS BIGINT) AS src_ppm,
+               CAST((1000000 * (sum(f) OVER (PARTITION BY term) - f))
+                    // (sum(f) OVER ()
+                        - sum(f) OVER (PARTITION BY source))
+                    AS BIGINT) AS rest_ppm
+        FROM grid),
+      ranked AS (
+        SELECT *, src_ppm - rest_ppm AS lift_ppm,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY src_ppm - rest_ppm DESC, term) AS rk
+        FROM rated)
+      SELECT source, CAST(rk AS BIGINT) AS rk, term, src_ppm, rest_ppm,
+             lift_ppm
+      FROM ranked WHERE rk <= 3
+      ORDER BY source, rk"""),
+  )
+
   val all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19)
+      t14, t15, t16, t17, t18, t19, t20)
 }

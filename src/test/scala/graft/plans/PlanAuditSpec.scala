@@ -617,6 +617,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exec.contains("CartesianProduct"), exec)
   }
 
+  test("t20: the corpus pays one (source, term) rollup — every rate " +
+    "window and the top-3 rank run on the vocabulary grid, no join") {
+    val exec = SparkEntry.queries("t20_source_terms")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(exec).size == 1,
+      s"the corpus must be scanned exactly once:\n$exec")
+    assert(!exec.contains("Join"), exec)
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
