@@ -718,5 +718,68 @@ object Multimodal {
       FROM scenes GROUP BY doc_id ORDER BY doc_id"""),
   )
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
+  /** Keyframe selection — the third stage of the video curation funnel
+    * (m03 samples frames, m10 segments scenes, m11 keeps ONE
+    * representative frame per scene): a multimodal training batch
+    * doesn't want 24 near-identical frames of one shot, it wants the
+    * scene's canonical frame plus how much footage it stands for. The
+    * keyframe is the scene's FIRST frame (the I-frame proxy — the frame
+    * a decoder would seek to), selected with the min-struct argmin so
+    * its signature rides along for downstream CAS dedup (m07's tier),
+    * and each row carries the scene length the keyframe represents —
+    * the compression accounting (frames kept vs frames seen) a budget
+    * pass reads.
+    *
+    * Scale shape (100 TB): identical to m10's — the whole derivation
+    * (lag window, scene numbering, per-scene argmin) rides ONE doc_id
+    * exchange; the output is scene-count-sized, the 24× frame fan-out
+    * never shuffles twice. */
+  private val m11 = Q(
+    "m11_keyframes",
+    (s, d) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      videoFrames(s, d)
+        .withColumn("jump",
+          abs(col("frame_sig") - lag(col("frame_sig"), 1).over(w)))
+        .withColumn("boundary",
+          when(col("jump") > 150L, 1L).otherwise(0L))
+        .withColumn("scene_id",
+          sum(col("boundary")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("scene_id"))
+        .agg(
+          min(struct(col("frame_idx"), col("frame_sig"))).as("kf"),
+          count(lit(1)).as("scene_len"))
+        .select(col("doc_id"), col("scene_id"),
+          col("kf.frame_idx").cast("long").as("keyframe_idx"),
+          col("kf.frame_sig").as("keyframe_sig"),
+          col("scene_len"))
+        .orderBy(col("doc_id"), col("scene_id"))
+    },
+    Some(s"""
+      WITH $videoFramesSql,
+      jumps AS (
+        SELECT doc_id, frame_idx, frame_sig,
+               abs(frame_sig - lag(frame_sig) OVER w) AS jump
+        FROM frames_h
+        WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+      flagged AS (
+        SELECT doc_id, frame_idx, frame_sig,
+               sum(CASE WHEN jump > 150 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY frame_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS scene_id
+        FROM jumps)
+      SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+             CAST(min(frame_idx) AS BIGINT) AS keyframe_idx,
+             CAST(min([frame_idx, frame_sig])[2] AS BIGINT)
+               AS keyframe_sig,
+             CAST(count(*) AS BIGINT) AS scene_len
+      FROM flagged
+      GROUP BY doc_id, scene_id
+      ORDER BY doc_id, scene_id"""),
+  )
+
+  val all: Seq[Q] =
+    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
 }

@@ -626,6 +626,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exec.contains("Join"), exec)
   }
 
+  test("m11: the keyframe pass rides m10's single doc_id exchange — " +
+    "lag, scene numbering, and the per-scene argmin in one shuffle, " +
+    "no join") {
+    val exec = SparkEntry.queries("m11_keyframes")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 1,
+      s"expected one doc_id exchange:\n$exec")
+    assert(!exec.contains("Join"), exec)
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
