@@ -961,5 +961,62 @@ object Pipeline {
       FROM shares ORDER BY bin"""),
   )
 
-  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
+  /** Training-data ledger — the reproducibility manifest a training run
+    * records next to p02's shard tree so "did we train on exactly this
+    * data?" is answerable months later without re-reading the corpus:
+    * per shard, the row count, the character mass, and an
+    * ORDER-INVARIANT content checksum. The checksum is the XOR of each
+    * document's 48-bit content hash (first 12 md5 nibbles of the text) —
+    * XOR because a distributed aggregate combines partials in
+    * nondeterministic order, so the ledger primitive must be
+    * commutative/associative by construction (a concatenation hash
+    * would need q60's total order first); 48 bits so the BIGINT stays
+    * positive and engine-exact. Shard assignment is p02's md5-nibble
+    * rule verbatim, so this ledger describes exactly the tree p02
+    * writes.
+    *
+    * Scale shape (100 TB): map-only hashing, one 16-row shuffle with
+    * map-side combine — the ledger costs one corpus scan and carries no
+    * text past the map side. */
+  private val p11 = Q(
+    "p11_shard_ledger",
+    (s, d) => {
+      T.documents(s, d)
+        .select(
+          expr("""CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 1),
+                       16, 10) AS BIGINT)""").as("shard"),
+          col("n_chars"),
+          expr("CAST(conv(substr(md5(text), 1, 12), 16, 10) AS BIGINT)")
+            .as("h48"))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          expr("bit_xor(h48)").as("checksum48"))
+        .orderBy(col("shard"))
+    },
+    Some("""
+      WITH pw(p) AS (
+        SELECT [CAST(17592186044416 AS BIGINT), 1099511627776,
+                68719476736, 4294967296, 268435456, 16777216, 1048576,
+                65536, 4096, 256, 16, 1]),
+      h AS (
+        SELECT (CAST(strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                     AS BIGINT) - 1) AS shard,
+               n_chars,
+               CAST(list_sum(list_transform(range(1, 13), i ->
+                 (CAST(strpos('0123456789abcdef',
+                              substr(md5(text), i, 1)) AS BIGINT) - 1)
+                 * p[i])) AS BIGINT) AS h48
+        FROM documents, pw)
+      SELECT shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             CAST(bit_xor(h48) AS BIGINT) AS checksum48
+      FROM h GROUP BY shard ORDER BY shard"""),
+  )
+
+  val all: Seq[Q] =
+    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11)
 }

@@ -636,6 +636,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exec.contains("Join"), exec)
   }
 
+  test("p11: the ledger is map-only hashing into one 16-row combine — " +
+    "partial aggregation before the exchange, no text on the wire, " +
+    "no join") {
+    val exec = SparkEntry.queries("p11_shard_ledger")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 1,
+      s"expected one shard exchange:\n$exec")
+    assert(exec.contains("partial_count"),
+      s"ledger partials must combine map-side:\n$exec")
+    assert(!exec.contains("Join"), exec)
+    assert(!"Exchange [^\n]*text".r.findFirstIn(exec).isDefined,
+      s"text crossed the exchange:\n$exec")
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
