@@ -1,0 +1,107 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Property-based invariants on GENERATED corpora — shapes the fixed
+  * fixtures never exercise (duplicate timestamps, zero-value purchases,
+  * touch-only users, single-source corpora). Each sample writes a fresh
+  * parquet fixture dir and runs the registered query against it, so the
+  * invariant is checked through the exact production code path:
+  *
+  *   - q121: money conservation — every purchase cent lands in exactly
+  *     one channel row, for ANY event history.
+  *   - p08: largest-remainder exactness — per-source quotas sum to the
+  *     budget EXACTLY, and fill/deficit decompose each quota, for ANY
+  *     source/token distribution.
+  */
+object OperatorInvariantProps extends Properties("OperatorInvariants") {
+
+  // Each sample runs two Spark jobs (+ a parquet write); 6 random
+  // corpora cover the shape space without a multi-minute suite.
+  override def overrideParameters(
+      p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = SparkSpec.session
+
+  private val types = Vector("view", "click", "purchase", "signup", "error")
+
+  private def eventsDir(seed: Long): (String, Long) = {
+    val rnd = new scala.util.Random(seed)
+    val n = 80 + rnd.nextInt(120)
+    val baseUs = 1700000000000000L
+    val rows = (0 until n).map { i =>
+      val user = (rnd.nextInt(12) + 1).toLong
+      // µs-resolution timestamps with deliberate exact ties (div 5)
+      val tsu = baseUs + (rnd.nextInt(3 * 86400) / 5 * 5) * 1000000L
+      val typ = types(rnd.nextInt(types.length))
+      // 2-decimal values incl. exact zeros, so cents are round-exact
+      val v = if (rnd.nextInt(10) == 0) 0.0 else rnd.nextInt(50000) / 100.0
+      (i.toLong, tsu, user, typ, v, "{}")
+    }
+    val dir = Files.createTempDirectory("prop_events").toString
+    val sqlc = spark
+    import sqlc.implicits._
+    rows.toDF("event_id", "tsu", "user_id", "event_type", "value", "props")
+      .selectExpr("event_id", "timestamp_micros(tsu) AS ts", "user_id",
+        "event_type", "value", "props")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val purchaseCents = rows
+      .filter(_._4 == "purchase")
+      .map(r => math.round(r._5 * 100))
+      .sum
+    (dir, purchaseCents)
+  }
+
+  property("q121 conserves purchase cents on any event history") =
+    Prop.forAll(Gen.choose(0L, Long.MaxValue)) { seed =>
+      val (dir, totalCents) = eventsDir(seed)
+      val out = SparkEntry.queries("q121_linear_attribution")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val conserved = out.map(_._3).sum == totalCents
+      val channelsValid =
+        out.forall(r => r._2 >= 0 && (r._1 == "(direct)" || r._3 >= 0))
+      conserved && channelsValid
+    }
+
+  private def docsDir(seed: Long): (String, Long) = {
+    val rnd = new scala.util.Random(seed)
+    val nSrc = 1 + rnd.nextInt(7)
+    val rows = (0 until 30 + rnd.nextInt(70)).map { i =>
+      val src = s"src${rnd.nextInt(nSrc)}"
+      val words = 1 + rnd.nextInt(40)
+      val text = Seq.fill(words)(s"w${rnd.nextInt(50)}").mkString(" ")
+      (i.toLong, text, "en", src, text.length.toLong)
+    }
+    val dir = Files.createTempDirectory("prop_docs").toString
+    val sqlc = spark
+    import sqlc.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val totalTokens = rows.map(_._2.split(" ").length.toLong).sum
+    (dir, totalTokens)
+  }
+
+  property("p08 quotas sum exactly to the budget on any distribution") =
+    Prop.forAll(Gen.choose(0L, Long.MaxValue)) { seed =>
+      val (dir, totalTokens) = docsDir(seed)
+      val out = SparkEntry.queries("p08_token_budget")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      val budget = totalTokens / 10
+      val sumsExactly = out.map(_._4).sum == budget
+      val decomposes = out.forall { case (_, toks, _, quota, fill, deficit) =>
+        quota >= 0 && fill == math.min(quota, toks) &&
+          deficit == quota - fill
+      }
+      sumsExactly && decomposes
+    }
+}
