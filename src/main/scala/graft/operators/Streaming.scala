@@ -1759,7 +1759,72 @@ object Streaming {
       GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** STREAMING backfill seam — the lambda-architecture handoff done
+    * right, and the one query that puts the NON-DEFAULT starting
+    * positions (SURVEY §2.1 S13, subscribe_to_shard.ex:60-65) under the
+    * ORACLE gate instead of only unit tests: the batch leg aggregates
+    * the history snapshot (event_id ≤ K, half the corpus), the live leg
+    * subscribes at `after_sequence_number:K` — sequence numbers are
+    * global event ids, so the cursor lands on the exact same cut on
+    * every shard — and the two legs' PARTIAL aggregates merge
+    * algebraically (q95's base⊕delta: counts and integer-cent sums, the
+    * associative forms; a float round-per-leg would not merge). The
+    * oracle is the plain whole-corpus rollup: one event lost at the seam
+    * (position off by one) or double-counted (a window straddling the
+    * cut emitted whole by both legs) flips the hash.
+    *
+    * Scale shape (100 TB): the history leg is a pushed-down parquet
+    * rollup; the live leg carries only open-window state; the merge is
+    * k-row. This is exactly how a production backfill joins a stream —
+    * snapshot + resume cursor — and the resume mechanic is the
+    * reference's own (P4's external checkpoint as a start option,
+    * SURVEY §3.3). */
+  private val q125 = Q(
+    "q125_stream_backfill_seam",
+    (s, d) => {
+      val log = ensureLog(s, d, copies = 1, sentinel = true)
+      // The cut point: a bounded driver-side scalar (the q94 seqStep
+      // precedent), NOT corpus data on the driver.
+      val k = T.events(s, d).agg(max(col("event_id"))).head().getLong(0) / 2
+      val cents = expr("CAST(round(value * 100) AS BIGINT)")
+      val hist = T.events(s, d)
+        .filter(col("event_id") <= k)
+        .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("cents"))
+      val stream = s.readStream
+        .format("kinesislike")
+        .option("path", log)
+        .option("startingPosition", s"after_sequence_number:$k")
+        .load()
+      val liveAgg = parsed(stream)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("cents"))
+      val live = runToMemory(s, liveAgg, "append")
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("cents"))
+      hist.unionByName(live)
+        .groupBy(col("ws"), col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        .select(
+          date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("cents"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type"""),
+  )
+
   val all: Seq[Q] = Seq(
     q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61, q66, q73, q80,
-    q82, q84, q92, q94, q100, q101, q114, q119)
+    q82, q84, q92, q94, q100, q101, q114, q119, q125)
 }
