@@ -1824,7 +1824,74 @@ object Streaming {
       ORDER BY window_start, event_type"""),
   )
 
+  /** STREAMING point-in-time replay — q125's seam with the cut
+    * expressed in TIME instead of sequence numbers, which puts S13's
+    * last starting-position variant (`at_timestamp`, the reference's
+    * epoch-seconds wire form generalized to ISO instants,
+    * subscribe_to_shard.ex:434-435) under the oracle gate: the
+    * disaster-recovery shape where the snapshot is "everything before
+    * instant T" and the live leg resubscribes from T. Each shard
+    * resolves its own cursor (first record with arrival ≥ T), which
+    * slices the log at the same wall-clock cut on every shard because
+    * arrival order is per-shard monotone; the batch leg takes ts < T
+    * strictly, so records AT the instant belong to exactly one leg.
+    * T is the middle event's own µs-tailed timestamp — a cut that a
+    * second-precision position encoding could not express, so the
+    * query also gates the v2 log format's microsecond fidelity
+    * end-to-end. Per-day/type rollup; legs merge algebraically
+    * (counts + integer cents); oracle = the plain whole-corpus rollup,
+    * so a lost or doubled event at the instant flips the hash.
+    *
+    * Scale shape (100 TB): same as q125 — pushed-down parquet rollup +
+    * open-window streaming state + k-row merge. */
+  private val q126 = Q(
+    "q126_stream_timecut_replay",
+    (s, d) => {
+      val log = ensureLog(s, d, copies = 1, sentinel = true)
+      val k = T.events(s, d).agg(max(col("event_id"))).head().getLong(0) / 2
+      // The cut instant: a bounded driver-side scalar (q125's posture).
+      val tu = T.events(s, d).filter(col("event_id") === k + 1)
+        .select(unix_micros(col("ts"))).head().getLong(0)
+      val tIso = java.time.Instant.EPOCH
+        .plus(tu, java.time.temporal.ChronoUnit.MICROS).toString
+      val cents = expr("CAST(round(value * 100) AS BIGINT)")
+      val hist = T.events(s, d)
+        .filter(unix_micros(col("ts")) < tu)
+        .groupBy(date_trunc("day", col("ts")).as("ws"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("cents"))
+      val stream = s.readStream
+        .format("kinesislike")
+        .option("path", log)
+        .option("startingPosition", s"at_timestamp:$tIso")
+        .load()
+      val liveAgg = parsed(stream)
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("cents"))
+      val live = runToMemory(s, liveAgg, "append")
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("cents"))
+      hist.unionByName(live)
+        .groupBy(col("ws"), col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        .select(
+          date_format(col("ws"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("cents"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY day, event_type"""),
+  )
+
   val all: Seq[Q] = Seq(
     q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61, q66, q73, q80,
-    q82, q84, q92, q94, q100, q101, q114, q119, q125)
+    q82, q84, q92, q94, q100, q101, q114, q119, q125, q126)
 }
