@@ -70,6 +70,71 @@ object OperatorInvariantProps extends Properties("OperatorInvariants") {
       conserved && channelsValid
     }
 
+  property("q120 flags an injected extreme outlier without letting it " +
+    "move the robust boundary") =
+    Prop.forAll(Gen.choose(0L, Long.MaxValue)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      // One tight group plus ONE absurd fat-finger row: the median/MAD
+      // pair must still describe the tight mass (boundary within its
+      // range) while the rule flags the outlier — the 50% breakdown
+      // property q90's μ+3σ does not have.
+      val n = 30 + rnd.nextInt(40)
+      val baseUs = 1700000000000000L
+      val tight = (0 until n).map { i =>
+        (i.toLong, baseUs + i * 1000000L, 1L, "purchase",
+          100.0 + rnd.nextInt(200) / 100.0, "{}")
+      }
+      val rows = tight :+ ((n.toLong, baseUs + n * 1000000L, 1L,
+        "purchase", 9999999.0, "{}"))
+      val dir = Files.createTempDirectory("prop_mad").toString
+      val sqlc = spark
+      import sqlc.implicits._
+      rows.toDF("event_id", "tsu", "user_id", "event_type", "value",
+        "props")
+        .selectExpr("event_id", "timestamp_micros(tsu) AS ts", "user_id",
+          "event_type", "value", "props")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val out = SparkEntry.queries("q120_mad_outliers")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+        .head
+      // out = (event_type, n_events, med_x2, mad_x4, n_outliers, max_dev2)
+      val cents = tight.map(t => math.round(t._5 * 100))
+      val flagged = out._5 >= 1 // the fat finger is caught
+      val boundarySane = out._3 >= 2 * cents.min && out._3 <= 2 * cents.max
+      flagged && boundarySane
+    }
+
+  property("q122 Gini hits its analytic extremes on degenerate " +
+    "distributions") =
+    Prop.forAll(Gen.choose(2, 40), Gen.choose(1, 20)) { (nUsers, perUser) =>
+      // Uniform counts → Gini exactly 0; verified through the
+      // production query path on a constructed corpus.
+      val baseUs = 1700000000000000L
+      val rows = for {
+        u <- 0 until nUsers; i <- 0 until perUser
+      } yield ((u * perUser + i).toLong, baseUs + i * 1000000L,
+        u.toLong, "view", 1.0, "{}")
+      val dir = Files.createTempDirectory("prop_gini").toString
+      val sqlc = spark
+      import sqlc.implicits._
+      rows.toDF("event_id", "tsu", "user_id", "event_type", "value",
+        "props")
+        .selectExpr("event_id", "timestamp_micros(tsu) AS ts", "user_id",
+          "event_type", "value", "props")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val out = SparkEntry.queries("q122_skew_gini")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .head
+      out._2 == nUsers.toLong && out._4 == 0L &&
+        out._5 == 1000000L / nUsers
+    }
+
   private def docsDir(seed: Long): (String, Long) = {
     val rnd = new scala.util.Random(seed)
     val nSrc = 1 + rnd.nextInt(7)
