@@ -13,57 +13,73 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Every unbilled step (table touch, fixture prewarm, JIT warmup run)
+    // records (name, wall seconds, error) here and rides the artifact as a
+    // `warmups` map beside `queries`. Rationale: stderr does not survive
+    // into the driver's BENCH_rN.json (stdout tail only), so a
+    // driver-basis spike like r10's d02 at 19.9 s vs 3.4 s committed was
+    // unattributable from the artifact alone — with the warmup wall times
+    // IN the artifact, either the warmup visibly ran (spike = machine
+    // load/JIT landed in the billed run anyway) or the warmup itself was
+    // slow/failed and is the suspect.
+    val warmupLog = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Option[String])]
+    def recordWarmup(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      val err =
+        try { body; None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      warmupLog += ((name, (System.nanoTime() - t0) / 1e9, err))
+    }
     // Warm the session before timing: touch every table and exercise one
     // shuffle so JVM/codegen/scan warmup is not attributed to whichever
     // query happens to run first (round 1 misread a 4 s warmup tail as a
     // q20 regression).
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings")) {
-      try Tables.t(spark, sfDir, t).groupBy().count().collect()
-      catch { case _: Throwable => Tables.events(spark, sfDir).count() }
+    recordWarmup("prewarm:tables") {
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")) {
+        try Tables.t(spark, sfDir, t).groupBy().count().collect()
+        catch { case _: Throwable => Tables.events(spark, sfDir).count() }
+      }
     }
     // Fixture setup, not operator cost: build the shard-log variants the
     // streaming queries replay (idempotent; first build scans events
     // driver-side, which would otherwise be billed to the first
     // streaming query in sort order).
-    try graft.operators.Streaming.prewarmLogs(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] log prewarm failed: ${e.getMessage}")
+    recordWarmup("prewarm:logs") {
+      graft.operators.Streaming.prewarmLogs(spark, sfDir)
     }
     // Same for q42's bucketed tables: a fresh JVM's catalog is empty, so
     // without this the one-time bucketed writes land in q42's timing.
-    try graft.operators.Relational.prewarmBucketedTables(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] bucketed prewarm failed: ${e.getMessage}")
+    recordWarmup("prewarm:bucketed") {
+      graft.operators.Relational.prewarmBucketedTables(spark, sfDir)
     }
     // And q48's date-partitioned events lake (one-time partitioned write).
-    try graft.operators.Relational.prewarmPartitionedEvents(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] partitioned prewarm failed: ${e.getMessage}")
+    recordWarmup("prewarm:partitioned") {
+      graft.operators.Relational.prewarmPartitionedEvents(spark, sfDir)
     }
     // And the q54/q62 clustered lake copies (one-time layout writes; the
     // queries measure the SCAN of a maintained layout, not its build).
-    try graft.operators.Relational.prewarmClusteredEvents(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] clustered prewarm failed: ${e.getMessage}")
+    recordWarmup("prewarm:clustered") {
+      graft.operators.Relational.prewarmClusteredEvents(spark, sfDir)
     }
-    try graft.operators.Relational.prewarmZOrderedEvents(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] zorder prewarm failed: ${e.getMessage}")
+    recordWarmup("prewarm:zorder") {
+      graft.operators.Relational.prewarmZOrderedEvents(spark, sfDir)
     }
     // And q75's json/csv/orc copies (one-time format writes; the query
     // measures the format SCANS, not the export).
-    try graft.operators.Relational.prewarmFormatCopies(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] format prewarm failed: ${e.getMessage}")
+    recordWarmup("prewarm:formats") {
+      graft.operators.Relational.prewarmFormatCopies(spark, sfDir)
     }
     // And the pipeline pack's shared funnel-flag table (one-time
     // materialization read by p01/p02/p03 — a real pipeline computes the
     // funnel ONCE per corpus snapshot; the r8 driver bench paid the full
     // recompute cold in BOTH p02 at 33 s and p03 at 36 s).
-    try graft.operators.Pipeline.prewarmStageFrame(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] stage-frame prewarm failed: ${e.getMessage}")
+    recordWarmup("prewarm:stage-frame") {
+      graft.operators.Pipeline.prewarmStageFrame(spark, sfDir)
     }
     // Streaming machinery warmup: run every streaming query once,
     // unbilled. A streaming plan's first execution pays a large one-time
@@ -80,24 +96,17 @@ object Bench {
     // Streaming.dropConsumedSinks for why clearCache is not enough.
     def dropStreamSinks(): Unit =
       graft.operators.Streaming.dropConsumedSinks(spark)
-    // Warmup wall times go to stderr so a driver-run outlier (r9: d05
-    // billed 43.8 s against a 1.1 s committed artifact) is attributable —
-    // either the warmup visibly ran and the spike is machine load, or it
-    // visibly failed/was slow and the warmup itself is the suspect.
+    // Warmup wall times go into `warmupLog` (→ the artifact's `warmups`
+    // map) so a driver-run outlier (r9: d05 billed 43.8 s against a 1.1 s
+    // committed artifact; r10: d02 at 19.9 s vs 3.4 s) is attributable
+    // from the artifact alone — either the warmup visibly ran and the
+    // spike is machine load, or it visibly failed/was slow and the warmup
+    // itself is the suspect.
     def runUnbilled(name: String): Unit = {
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          true
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
-          false
-        }
-      System.err.println(
-        "[bench] warmup %s: %.3f s ok=%b".formatLocal(
-          java.util.Locale.ROOT, name, (System.nanoTime() - t0) / 1e9, ok))
+      recordWarmup(s"warmup:$name") {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
@@ -168,25 +177,44 @@ object Bench {
       .map { case (k, e) => "\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // Unbilled work, in-artifact (see warmupLog above): `warmups` maps
+    // each prewarm/warmup step to its wall seconds; `warmups_failed`
+    // lists any that threw. Warmup time is intentionally NOT part of
+    // `value` — it is one-time fixture/JIT cost a long-running cluster
+    // amortizes to zero — but it must be visible so a billed-run spike
+    // can be cross-examined against whether its warmup actually ran.
+    val warmupsJson = warmupLog
+      .map { case (n, t, _) => "\"" + n + "\":" + fmt(t) }
+      .mkString("{", ",", "}")
+    val warmupsFailedJson = warmupLog
+      .collect { case (n, _, Some(e)) => "\"" + n + "\":" + jstr(e.take(120)) }
+      .mkString("{", ",", "}")
     // cpus recorded so round-over-round artifacts state their parallelism
     // basis (local[cpus] = shuffle partitions); totals at different cpus
     // are not comparable.
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed_count":${bad.size},"failed":$failedJson,"sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed_count":${bad.size},"failed":$failedJson,"warmups":$warmupsJson,"warmups_failed":$warmupsFailedJson,"sf":"$sfDir","cpus":$cpus}"""
     println(line)
     // Durable artifact with the same content, so the full per-query map
     // survives any stdout truncation and the judge can read it from the
     // repo regardless of how the driver captured the line.
     //
     // The tracked bench_queries.json is the COMMITTED COLD BASIS
-    // (sf0.1, the driver's bench scale) — a dev-scale sweep must not be
-    // able to clobber it and ride into the next commit unnoticed (round
-    // 10: an sf0.001/cpus=8 run overwrote the 230.4 s cold artifact and
-    // was committed; caught only by auditing the artifact's sf/cpus
-    // fields). Off-basis runs land in bench_queries_local.json, which
-    // .gitignore keeps out of the tree.
+    // (sf0.1, the driver's bench scale, measured under the cold protocol
+    // in BASELINE.md) — no other run may clobber it. Two clobber classes
+    // have actually happened: (round 10) an sf0.001/cpus=8 dev sweep
+    // overwrote the cold artifact and was committed, caught only by
+    // auditing sf/cpus fields; (round 10 again) the driver's own ON-basis
+    // sf0.1 run overwrote it, so the committed basis silently became a
+    // warm driver run. The fix is an explicit opt-in: EVERY run writes
+    // bench_queries_local.json (gitignored) unless GRAFT_BENCH_COMMIT=1
+    // AND the run is genuinely on-basis — basis detection normalizes the
+    // path (File.getName, not a raw suffix match, which a trailing slash
+    // or symlink would defeat).
+    val onBasis = new java.io.File(sfDir).getName == "sf0.1"
+    val commitRequested = sys.env.get("GRAFT_BENCH_COMMIT").contains("1")
     val artifact =
-      if (sfDir.endsWith("sf0.1")) "bench_queries.json"
+      if (onBasis && commitRequested) "bench_queries.json"
       else "bench_queries_local.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(artifact), line + "\n")
