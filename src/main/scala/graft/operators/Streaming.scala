@@ -1891,7 +1891,76 @@ object Streaming {
       ORDER BY day, event_type"""),
   )
 
+  /** STREAMING `latest`-position gap — the LAST S13 variant under the
+    * oracle gate, and the reference's DEFAULT starting position
+    * (producer.ex:22) with its documented caveat: a `latest` subscriber
+    * sees NOTHING that was in the stream before it attached
+    * (producer.ex:209-210 — "events published while re-subscribing are
+    * missed" is the same records-before-start gap). Mechanics: the log
+    * is rebuilt FRESH each run holding only the first half of the corpus
+    * (event_id ≤ K) with every shard still open; lifecycle 1 subscribes
+    * `latest`, which resolves each shard's cursor to its current
+    * high-water mark and commits that cursor to the checkpoint while
+    * delivering zero records (the gap, observable: anything it DID
+    * deliver would land in the store and flip the hash). The producer
+    * then appends the second half + closed markers — "the stream kept
+    * running while no consumer was up" — and lifecycle 2 resumes from
+    * the checkpointed cursor (S7/P4's restart mechanic, q56's pattern),
+    * delivering exactly the appended records into the same idempotent
+    * store. Oracle = the second-half rollup: one pre-attach record
+    * delivered, or one appended record missed at the seam, flips the
+    * hash. The live leg is stateless (no watermark), so the rollup runs
+    * batch-side on the store — counts + integer cents, the algebraic
+    * forms.
+    *
+    * Scale shape (100 TB): `latest` resolution is per-shard METADATA
+    * (the cached high-water mark, never a data read); the delivered
+    * slice is only what arrives after attach — this is precisely why
+    * latest is the production default: no backfill scan at subscribe
+    * time. */
+  private val q127 = Q(
+    "q127_stream_latest_gap",
+    (s, d) => {
+      val base = ensureLog(s, d, copies = 1)
+      // The cut: a bounded driver-side scalar (q125's posture).
+      val k = T.events(s, d).agg(max(col("event_id"))).head().getLong(0) / 2
+      val log   = scratchDir("graft_latest_log")
+      val ckpt  = scratchDir("graft_ckpt_latest")
+      val store = scratchDir("graft_store_latest")
+      val sink  = new graft.streaming.IdempotentSink(store)
+      KinesisLikeLog.writeSplit(base, log, cut = k)
+      def live(): DataFrame = parsed(
+        s.readStream
+          .format("kinesislike")
+          .option("path", log)
+          .option("startingPosition", "latest")
+          .load())
+        .select(col("event_type"), col("value"))
+      runForeachBatch(s, live(), ckpt, sink(_, _))
+      KinesisLikeLog.appendTail(base, log, cut = k)
+      runForeachBatch(s, live(), ckpt, sink(_, _))
+      sink.readAll(s)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        .orderBy(col("event_type"))
+    },
+    // The delivered set must be exactly the appended (post-attach) half.
+    // DuckDB `//` floors where Scala `/` truncates; event ids are
+    // non-negative, where the two agree.
+    Some("""
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events
+      WHERE event_id > (SELECT max(event_id) // 2 FROM events)
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   val all: Seq[Q] = Seq(
     q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61, q66, q73, q80,
-    q82, q84, q92, q94, q100, q101, q114, q119, q125, q126)
+    q82, q84, q92, q94, q100, q101, q114, q119, q125, q126, q127)
 }

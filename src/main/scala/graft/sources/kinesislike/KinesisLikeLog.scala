@@ -125,6 +125,56 @@ object KinesisLikeLog {
   def invalidateMeta(logDir: String): Unit = {
     val prefix = new File(logDir).getAbsolutePath + File.separator
     metaCache.keySet().removeIf(k => k.startsWith(prefix))
+    tsIndexCache.keySet().removeIf(k => k.startsWith(prefix))
+  }
+
+  /** Per-shard `at_timestamp` index, cached by (mtime, length) exactly
+    * like [[shardMeta]], so repeated timestamp starts cost an O(log n)
+    * binary search instead of an O(shard) driver-side rescan per query
+    * start — the same "driver-side work is metadata-only" posture maxSeq
+    * enjoys. The index is the INCREASING-ARRIVAL ENVELOPE of the shard:
+    * scanning records in file order (= ascending sequence, the log
+    * format contract), keep a record iff its arrival strictly exceeds
+    * the running max. Any dropped record r is dominated by an earlier
+    * kept record k with seq(k) < seq(r) and arrival(k) ≥ arrival(r), so
+    * whenever r qualifies for a cut T (arrival ≥ T), k qualifies with a
+    * smaller sequence — the envelope answers min{seq : arrival ≥ T}
+    * exactly, for MONOTONE and non-monotone arrivals alike. Envelope
+    * entries are ascending in both coordinates, so the lookup is a
+    * binary search on arrivals. */
+  private final case class TsIndex(
+      mtime: Long, length: Long, arrivals: Array[Long], seqs: Array[Long])
+  private val tsIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TsIndex]()
+
+  /** Number of full at_timestamp index builds (test observability: a
+    * second timestamp start on an unchanged file must not re-scan). */
+  private[sources] val tsIndexScans = new java.util.concurrent.atomic.AtomicLong
+
+  private def tsIndex(f: File): TsIndex = {
+    if (!f.exists()) return TsIndex(0L, 0L, Array.empty, Array.empty)
+    val key    = f.getAbsolutePath
+    val mtime  = f.lastModified()
+    val length = f.length()
+    val cached = tsIndexCache.get(key)
+    if (cached != null && cached.mtime == mtime && cached.length == length) cached
+    else {
+      tsIndexScans.incrementAndGet()
+      val arrivals = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val seqs     = scala.collection.mutable.ArrayBuffer.empty[Long]
+      foldLines(f, Long.MinValue) { (runMax, l) =>
+        parseLine(l) match {
+          case Some(r) if r.arrivalMicros > runMax =>
+            arrivals += r.arrivalMicros
+            seqs += r.seq
+            r.arrivalMicros
+          case _ => runMax
+        }
+      }
+      val fresh = TsIndex(mtime, length, arrivals.toArray, seqs.toArray)
+      tsIndexCache.put(key, fresh)
+      fresh
+    }
   }
 
   /** Highest sequence number present; -1 for an empty shard. */
@@ -148,13 +198,16 @@ object KinesisLikeLog {
     case StartingPosition.AfterSequenceNumber(n) => n
     case StartingPosition.AtTimestamp(ts) =>
       val micros = ts.getEpochSecond * 1000000L + ts.getNano / 1000L
-      val first = foldLines(f, Long.MaxValue) { (acc, l) =>
-        parseLine(l) match {
-          case Some(r) if r.arrivalMicros >= micros => acc.min(r.seq)
-          case _                                    => acc
-        }
+      // First envelope entry with arrival ≥ the instant (see [[tsIndex]]);
+      // past-the-end behaves like latest.
+      val idx = tsIndex(f)
+      var lo  = 0
+      var hi  = idx.arrivals.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (idx.arrivals(mid) >= micros) hi = mid else lo = mid + 1
       }
-      if (first == Long.MaxValue) maxSeq(f) else first - 1
+      if (lo == idx.arrivals.length) maxSeq(f) else idx.seqs(lo) - 1
   }
 
   /** Build a shard log directory from the driver-generated events table —
@@ -209,6 +262,15 @@ object KinesisLikeLog {
     try {
       var lastSeq    = -1L
       var lastMicros = 0L
+      // Seam invariant the point-in-time replay (q126) depends on:
+      // per-shard arrival must be MONOTONE in sequence number, or a
+      // record after the at_timestamp cursor with ts < T would be
+      // counted by BOTH the history leg (ts < T) and the live leg. The
+      // driver's fixtures satisfy it (ts monotone in event_id); this
+      // assertion makes a future fixture regeneration that silently
+      // violates it fail LOUDLY at log-build time instead of as an
+      // oracle hash mismatch two steps later.
+      val lastShardMicros = Array.fill(numShards)(Long.MinValue)
       val it = ev.toLocalIterator()
       while (it.hasNext) {
         val r      = it.next()
@@ -221,7 +283,15 @@ object KinesisLikeLog {
         // key — Scala % of a negative user_id is negative and would
         // index out of bounds (Kinesis hashes the partition key; a raw
         // modulo is only its stand-in when the key can't be negative).
-        val w = writers(java.lang.Math.floorMod(user, numShards.toLong).toInt)
+        val shard = java.lang.Math.floorMod(user, numShards.toLong).toInt
+        require(
+          micros >= lastShardMicros(shard),
+          s"events fixture violates the per-shard monotone-arrival seam " +
+            s"invariant (q126): event_id $seq arrives at $micros µs, " +
+            s"before shard $shard's previous arrival " +
+            s"${lastShardMicros(shard)} µs")
+        lastShardMicros(shard) = micros
+        val w = writers(shard)
         var c = 0
         while (c < copies) {
           w.write(s"$seq\t$micros\t$user\t$b64\n")
@@ -243,6 +313,47 @@ object KinesisLikeLog {
     } finally writers.foreach(_.close())
     Files.createFile(ready)
   }
+
+  /** Split-replay pair for the `latest` starting-position seam
+    * (S13's default variant, producer.ex:22; gap caveat
+    * producer.ex:209-210): [[writeSplit]] copies the seq ≤ cut prefix of
+    * an already-built base log into a fresh target dir and leaves every
+    * shard OPEN (no closed marker), so a consumer can subscribe `latest`
+    * against the pre-append high-water mark; [[appendTail]] then appends
+    * the seq > cut suffix plus the closed markers — "the stream kept
+    * producing after the consumer subscribed". Deliberately NOT
+    * ready-marker cached: the target MUTATES mid-query, so the caller
+    * passes a per-run scratch dir (a cached mutated log would replay the
+    * tail twice). Pure line transformation, no Spark job. */
+  def writeSplit(baseDir: String, targetDir: String, cut: Long): Unit =
+    synchronized {
+      Files.createDirectories(Paths.get(targetDir))
+      shardFiles(baseDir).foreach { f =>
+        val w = Files.newBufferedWriter(
+          Paths.get(targetDir, f.getName), UTF_8)
+        try foldLines(f, ()) { (_, l) =>
+          parseLine(l).foreach(r => if (r.seq <= cut) w.write(l + "\n"))
+        } finally w.close()
+      }
+    }
+
+  /** Append the seq > cut suffix of the base log (and the closed
+    * markers) to a [[writeSplit]]-built target. See [[writeSplit]]. */
+  def appendTail(baseDir: String, targetDir: String, cut: Long): Unit =
+    synchronized {
+      shardFiles(baseDir).foreach { f =>
+        val w = Files.newBufferedWriter(
+          Paths.get(targetDir, f.getName), UTF_8,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        try {
+          foldLines(f, ()) { (_, l) =>
+            parseLine(l).foreach(r => if (r.seq > cut) w.write(l + "\n"))
+          }
+          w.write(ClosedMarker + "\n")
+        } finally w.close()
+      }
+    }
 
   /** Derive a log variant (duplicated records and/or a sentinel) from an
     * already-built base log by pure line transformation — no Spark job,

@@ -223,6 +223,23 @@ class KinesisLikeSourceSpec extends SparkSpec {
       Seq(6L, 7L))
   }
 
+  test("latest delivers NOTHING that predates the subscription — the gap " +
+    "caveat (producer.ex:22, 209-210) — and everything appended after it") {
+    val dir  = tmpDir("kl_latest_gap")
+    val ckpt = tmpDir("kl_latest_gap_ck")
+    val out  = tmpDir("kl_latest_gap_out")
+    writeShard(dir, 0, (0L until 5L).map(i => (i, i, "k", s"p$i")), closed = false)
+    // Lifecycle 1 subscribes `latest`: the pre-existing records 0..4 are
+    // the documented gap — resolved to the shard's high-water mark,
+    // delivered never, and the resolved cursor commits to the checkpoint.
+    assert(runStreamToFiles(dir, "latest", ckpt, out).isEmpty)
+    // The stream keeps producing while no consumer is up.
+    appendShard(dir, 0, (5L until 8L).map(i => (i, i, "k", s"p$i")))
+    // Lifecycle 2 resumes from the checkpointed cursor: exactly the
+    // post-attach records, the gap still ungapped.
+    assert(runStreamToFiles(dir, "latest", ckpt, out) == Seq(5L, 6L, 7L))
+  }
+
   test("closed shard: all records delivered, then the shard just ends " +
     "(subscribe_to_shard_test.exs:205-218)") {
     val dir = tmpDir("kl_closed")
@@ -503,6 +520,38 @@ class KinesisLikeSourceSpec extends SparkSpec {
     assert(KinesisLikeStatus.of(dir.toString) == KinesisLikeStatus.Open)
   }
 
+  test("Closed status under concurrent consumers: sticky within a " +
+    "lifetime (an undrained poll can't flip it back), union-reported, " +
+    "reset only by a NEW stream over the path") {
+    import graft.sources.kinesislike.{KinesisLikeConfig, KinesisLikeMicroBatchStream, KinesisLikeStatus}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = tmpDir("kl_status_union")
+    writeShard(dir, 0, Seq((0L, 1L, "k", "a"), (1L, 2L, "k", "b")), closed = true)
+    def cfg() = KinesisLikeConfig(
+      dir.toString, StartingPosition.TrimHorizon, None, None)
+    // Consumer B attaches: a fresh lifetime starts Open.
+    val b = new KinesisLikeMicroBatchStream(cfg())
+    assert(KinesisLikeStatus.of(dir.toString) == KinesisLikeStatus.Open)
+    // Consumer A runs the dir to closure concurrently with B's lifetime.
+    runStream(dir, "trim_horizon", tmpDir("kl_union_ck"), "sink_union_a")
+    assert(KinesisLikeStatus.of(dir.toString) == KinesisLikeStatus.Closed,
+      "a drained concurrent consumer reports closure (the union)")
+    // B polls with an UNDRAINED cursor: stickiness — the race the
+    // scaladoc documents — means this must NOT overwrite Closed back to
+    // Open, even though B itself has everything still ahead of it.
+    val undrained = b.initialOffset()
+    b.latestOffset(undrained, ReadLimit.allAvailable())
+    assert(KinesisLikeStatus.of(dir.toString) == KinesisLikeStatus.Closed,
+      "an undrained poll must not un-close the union status")
+    // B draining too is idempotent.
+    val drained = KinesisLikeOffset(Map("shard-00000" -> 1L))
+    b.latestOffset(drained, ReadLimit.allAvailable())
+    assert(KinesisLikeStatus.of(dir.toString) == KinesisLikeStatus.Closed)
+    // Only a NEW stream over the path starts the next lifetime Open.
+    new KinesisLikeMicroBatchStream(cfg())
+    assert(KinesisLikeStatus.of(dir.toString) == KinesisLikeStatus.Open)
+  }
+
   test("ProducerRunner surfaces ShardsClosed distinctly from Normal") {
     import graft.streaming.{ProducerRegistry, ProducerRunner}
     val dir  = tmpDir("kl_runner_closed")
@@ -544,6 +593,45 @@ class KinesisLikeSourceSpec extends SparkSpec {
     // An append invalidates (length changes) and the new record is seen.
     appendShard(dir, 0, Seq((5L, 5L, "k", "p5")))
     assert(KinesisLikeLog.maxSeq(f) == 5L)
+  }
+
+  test("repeated at_timestamp starts do not re-scan the shard: the " +
+    "arrival index is cached like maxSeq, appends invalidate it") {
+    import StartingPosition.AtTimestamp
+    val dir = tmpDir("kl_tsindex")
+    writeShard(dir, 0, (0L until 10L).map(i => (i, i * 1000000L, "k", s"p$i")),
+      closed = false)
+    val f = KinesisLikeLog.shardFile(dir.toString, "shard-00000")
+    def at(sec: Long): Long = KinesisLikeLog.resolveInitial(
+      f, AtTimestamp(java.time.Instant.ofEpochSecond(sec)))
+    assert(at(5) == 4L) // may scan (builds the index)
+    val scansAfterFirst = KinesisLikeLog.tsIndexScans.get()
+    assert(at(7) == 6L)
+    assert(at(0) == -1L)
+    assert(at(100) == 9L) // past the end ⇒ latest
+    assert(KinesisLikeLog.tsIndexScans.get() == scansAfterFirst,
+      "repeated timestamp starts on an unchanged shard must hit the index")
+    // An append invalidates (length changes) and the new record is seen.
+    appendShard(dir, 0, Seq((10L, 10000000L, "k", "p10")))
+    assert(at(10) == 9L)
+  }
+
+  test("the at_timestamp index answers NON-monotone arrivals exactly " +
+    "like the full scan: min sequence whose own arrival is at-or-after") {
+    import StartingPosition.AtTimestamp
+    val dir = tmpDir("kl_tsindex_nonmono")
+    // Arrivals 10s, 5s, 20s for seqs 0, 1, 2 — seq 1 is dominated by 0.
+    writeShard(dir, 0, Seq(
+      (0L, 10000000L, "k", "a"),
+      (1L, 5000000L, "k", "b"),
+      (2L, 20000000L, "k", "c")), closed = false)
+    val f = KinesisLikeLog.shardFile(dir.toString, "shard-00000")
+    def at(sec: Long): Long = KinesisLikeLog.resolveInitial(
+      f, AtTimestamp(java.time.Instant.ofEpochSecond(sec)))
+    assert(at(6) == -1L)  // seq 0 (arrival 10s ≥ 6s) starts the slice
+    assert(at(10) == -1L) // inclusive boundary
+    assert(at(15) == 1L)  // only seq 2 qualifies ⇒ cursor 1
+    assert(at(21) == 2L)  // past the end ⇒ latest
   }
 
   test("stream construction invalidates cached shard metadata: a recycled " +
