@@ -911,6 +911,14 @@ object Pipeline {
     * factor is libm-dependent and engines disagree in the last ulp,
     * TVD ranks the same drifts with no float anywhere.
     *
+    * Domain bound (q122's posture): the ppm shares divide by each
+    * side's total, so both snapshots must be non-empty — true for any
+    * corpus of ≥2 docs with both md5 first-nibble parities present
+    * (the fixture's 5 000+ docs guarantee it); a degenerate one-sided
+    * corpus would NULL the shares under Spark's non-ANSI div (DuckDB
+    * errors loudly) — there is no drift to report against an empty
+    * reference.
+    *
     * Scale shape (100 TB): one scan, bin assignment map-side, one
     * ≤18-row (bin, side) rollup with map-side combine, and the TVD
     * window runs over the 9-row grid — nothing corpus-sized past the

@@ -4629,7 +4629,9 @@ object Relational {
     * roll up under the '(direct)' channel — chosen-by-no-touch is NOT
     * "no touch in the preceding 24 h" (an intervening purchase may have
     * captured them), so directness comes from an anti-join against the
-    * chosen-purchase set, not a backward frame.
+    * chosen-purchase set, not a backward frame. The split runs on
+    * |cents| with the sign reapplied, so refunds (negative values)
+    * conserve exactly on both engines — see the inline comment.
     *
     * Scale shape (100 TB): the binding window is ONE shuffle on user_id;
     * the ranking window re-keys on (user_id, purchase) — bounded second
@@ -4656,13 +4658,22 @@ object Relational {
           col("tsu"), col("event_id"),
           col("np.event_id").as("p_id"), col("np.cents").as("p_cents"))
       val perP = Window.partitionBy(col("user_id"), col("p_id"))
+      // Sign-safe largest remainder: split |cents| and reapply the sign,
+      // because Spark's `div` truncates toward zero while DuckDB's `//`
+      // floors (they disagree below zero), and a raw `rk <= cents % k`
+      // would never award remainder cents to a NEGATIVE purchase
+      // (refund). On |cents| both engines agree and Σ shares = cents
+      // exactly, either sign — the t20 truncate-vs-floor hazard class,
+      // closed instead of documented.
       val alloc = touches
         .withColumn("rk",
           row_number().over(perP.orderBy(col("tsu"), col("event_id"))))
         .withColumn("k", count(lit(1)).over(perP))
         .withColumn("share",
-          expr("p_cents div k")
-            + when(col("rk") <= expr("p_cents % k"), 1L).otherwise(0L))
+          (when(col("p_cents") < 0, -1L).otherwise(1L)) *
+            (expr("abs(p_cents) div k")
+              + when(col("rk") <= expr("abs(p_cents) % k"), 1L)
+                .otherwise(0L)))
       val chosen = alloc.select(col("p_id")).distinct()
       val direct = ev.filter(col("event_type") === "purchase")
         .join(chosen, col("event_id") === col("p_id"), "left_anti")
@@ -4694,8 +4705,11 @@ object Relational {
         FROM bound
         WHERE event_type IN ('view', 'click') AND np IS NOT NULL),
       alloc AS (
-        SELECT channel, p_cents // k
-                 + CASE WHEN rk <= p_cents % k THEN 1 ELSE 0 END AS share
+        SELECT channel,
+               (CASE WHEN p_cents < 0 THEN -1 ELSE 1 END)
+                 * (abs(p_cents) // k
+                    + CASE WHEN rk <= abs(p_cents) % k THEN 1 ELSE 0 END)
+                 AS share
         FROM (
           SELECT *,
                  row_number() OVER (PARTITION BY user_id, p_id

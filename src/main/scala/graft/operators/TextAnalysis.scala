@@ -982,6 +982,13 @@ object TextAnalysis {
     * split on libm — the subtraction of two exact ppm rates ranks the
     * same phenomenon). Top-3 per source by (lift, term), ties exact.
     *
+    * Domain bound (q122's posture): a CONTRASTIVE report needs ≥2
+    * sources — on a single-source corpus `t_all - t_src` is zero and
+    * Spark's non-ANSI div would emit NULL rest_ppm rows (DuckDB errors
+    * loudly) rather than anything meaningful. The fixture has 20
+    * sources; a caller with one source wants t05's plain term stats,
+    * not a contrast against an empty rest.
+    *
     * Scale shape (100 TB): the corpus pays ONE (source, term) explode +
     * rollup with map-side combine; everything after — term totals,
     * source totals, the rest-rate join, the per-source top-3 window —

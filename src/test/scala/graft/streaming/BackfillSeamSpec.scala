@@ -50,7 +50,11 @@ class BackfillSeamSpec extends SparkSpec {
     val log = logRoot.listFiles()
       .filter(f => f.getName.startsWith("sf0.001_v")
         && f.getName.endsWith("_c1_sent"))
-      .maxBy(_.getName)
+      // Numeric version max, not lexicographic: "_v10_" < "_v2_" as a
+      // string, so a raw name compare would pick a stale layout dir if
+      // one survived ensureLog's sweep at LayoutVersion 10+.
+      .maxBy(f => "_v(\\d+)_".r.findFirstMatchIn(f.getName)
+        .map(_.group(1).toInt).getOrElse(0))
       .getAbsolutePath
     def countFrom(pos: String): Long = {
       val name = s"seam_probe_${pos.replaceAll("[^a-z0-9]", "_")}"
