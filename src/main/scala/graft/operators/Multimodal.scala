@@ -138,9 +138,16 @@ object Multimodal {
     * definition cannot drift between them. `frame_sig` is the exact
     * integer byte sum of the frame (the hash detects IDENTICAL frames;
     * the signature measures HOW DIFFERENT consecutive frames are, which
-    * is what a scene cut is) — computed character-wise on the string
-    * under the derivation's existing byte==char ASCII guard (m05's
-    * convention), so both engines sum identical values. */
+    * is what a scene cut is). The signature folds over the frame's OWN
+    * 16-byte BINARY slice (sliced once, then summed via its hex dump) —
+    * NOT character-wise over the whole text: a string substring at
+    * position p is an O(p) codepoint scan in Spark's UTF8String, which
+    * made the per-document signature cost QUADRATIC in document length
+    * (caught empirically by the sf1 scale rehearsal: m10 ran 33× its
+    * sf0.1 time on 10× data; binary substring is a byte-offset O(1)
+    * slice and restores linearity). Values are identical under the
+    * derivation's existing byte==char ASCII guard (m05's convention),
+    * so both engines sum the same integers and the oracle is unchanged. */
   private def videoFrames(
       s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
@@ -153,7 +160,6 @@ object Multimodal {
       .filter("doc_id % 3 = 2 AND n >= 16 AND n = length(text)")
       .select(
         col("doc_id"),
-        col("text"),
         col("payload"),
         explode(expr("sequence(0, CAST((n - 16) div 32 AS INT))"))
           .as("frame_idx"))
@@ -161,9 +167,15 @@ object Multimodal {
         "doc_id",
         "frame_idx",
         "frame_idx * 32 + 1 AS frame_off",
-        "md5(substring(payload, frame_idx * 32 + 1, 16)) AS frame_hash",
+        "substring(payload, frame_idx * 32 + 1, 16) AS fbytes")
+      .selectExpr(
+        "doc_id",
+        "frame_idx",
+        "frame_off",
+        "md5(fbytes) AS frame_hash",
         """aggregate(sequence(0, 15), 0L,
-             (acc, j) -> acc + ascii(substring(text, frame_idx * 32 + 1 + j, 1)))
+             (acc, j) -> acc + CAST(conv(substring(hex(fbytes), j * 2 + 1, 2),
+                                         16, 10) AS BIGINT))
            AS frame_sig""")
 
   /** The m03 frame derivation as DuckDB CTEs ending in

@@ -4416,7 +4416,22 @@ object Relational {
           col("rank_ppm"))
         .orderBy(col("node"))
     },
-    Some("""
+    Some {
+      // The four unrolled iterations differ only in which rank CTE they
+      // read — generated from one template instead of hand-copied
+      // (semantics are pinned by the replay spec; DuckDB has no
+      // recursive-CTE form that keeps this integer-exact across both
+      // engines, hence unrolling at all).
+      val iters = (1 to 4).map { i =>
+        s"""r$i AS (SELECT n.node,
+               (150000 // k) + (850000 * coalesce(c.contrib, 0)) // 1000000
+                 AS rank
+             FROM nodes n CROSS JOIN kk LEFT JOIN (
+               SELECT e.curr AS node, sum((r.rank * e.w) // e.outw) AS contrib
+               FROM edges e JOIN r${i - 1} r ON r.node = e.prev GROUP BY 1) c
+               ON c.node = n.node)"""
+      }.mkString(",\n      ")
+      s"""
       WITH seq AS (
         SELECT user_id, event_type,
                lag(event_type) OVER (PARTITION BY user_id
@@ -4431,34 +4446,7 @@ object Relational {
       nodes AS (SELECT DISTINCT event_type AS node FROM events),
       kk AS (SELECT count(*) AS k FROM nodes),
       r0 AS (SELECT node, 1000000 // k AS rank FROM nodes, kk),
-      r1 AS (SELECT n.node,
-               (150000 // k) + (850000 * coalesce(c.contrib, 0)) // 1000000
-                 AS rank
-             FROM nodes n CROSS JOIN kk LEFT JOIN (
-               SELECT e.curr AS node, sum((r.rank * e.w) // e.outw) AS contrib
-               FROM edges e JOIN r0 r ON r.node = e.prev GROUP BY 1) c
-               ON c.node = n.node),
-      r2 AS (SELECT n.node,
-               (150000 // k) + (850000 * coalesce(c.contrib, 0)) // 1000000
-                 AS rank
-             FROM nodes n CROSS JOIN kk LEFT JOIN (
-               SELECT e.curr AS node, sum((r.rank * e.w) // e.outw) AS contrib
-               FROM edges e JOIN r1 r ON r.node = e.prev GROUP BY 1) c
-               ON c.node = n.node),
-      r3 AS (SELECT n.node,
-               (150000 // k) + (850000 * coalesce(c.contrib, 0)) // 1000000
-                 AS rank
-             FROM nodes n CROSS JOIN kk LEFT JOIN (
-               SELECT e.curr AS node, sum((r.rank * e.w) // e.outw) AS contrib
-               FROM edges e JOIN r2 r ON r.node = e.prev GROUP BY 1) c
-               ON c.node = n.node),
-      r4 AS (SELECT n.node,
-               (150000 // k) + (850000 * coalesce(c.contrib, 0)) // 1000000
-                 AS rank
-             FROM nodes n CROSS JOIN kk LEFT JOIN (
-               SELECT e.curr AS node, sum((r.rank * e.w) // e.outw) AS contrib
-               FROM edges e JOIN r3 r ON r.node = e.prev GROUP BY 1) c
-               ON c.node = n.node),
+      $iters,
       outs AS (SELECT prev AS node, sum(w) AS out_transitions
                FROM trans GROUP BY 1)
       SELECT n.node,
@@ -4468,7 +4456,8 @@ object Relational {
       FROM nodes n
       LEFT JOIN outs o ON o.node = n.node
       JOIN r4 r ON r.node = n.node
-      ORDER BY n.node"""),
+      ORDER BY n.node"""
+    },
   )
 
   /** Rolling exact median — a HOLISTIC aggregate in a moving window

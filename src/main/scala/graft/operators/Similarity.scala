@@ -1282,7 +1282,25 @@ object Similarity {
           round(col("score"), 6).as("score"))
         .orderBy(col("rank"))
     },
-    Some("""
+    Some {
+      // Greedy rounds 2..5 differ only in the already-selected set they
+      // exclude/penalize against — generated from one template instead
+      // of hand-copied (the replay spec pins the selection sequence).
+      val greedyRounds = (2 to 5).map { r =>
+        val prev = (1 until r).map(j => s"SELECT vec_id FROM s$j")
+          .mkString(" UNION ")
+        s"""s$r AS (
+        SELECT $r AS rank, c.vec_id, c.rel,
+               c.rel - max(m.sim) AS score
+        FROM cand c JOIN sims m ON m.ai = c.vec_id
+        WHERE m.bi IN ($prev)
+          AND c.vec_id NOT IN ($prev)
+        GROUP BY c.vec_id, c.rel
+        ORDER BY score DESC, c.vec_id LIMIT 1)"""
+      }.mkString(",\n      ")
+      val selUnion = (1 to 5).map(j => s"SELECT * FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""
       WITH cand AS (
         SELECT e.vec_id, e.embedding,
                round(list_sum(list_transform(range(1, 65),
@@ -1301,53 +1319,12 @@ object Similarity {
       s1 AS (
         SELECT 1 AS rank, vec_id, rel, rel AS score
         FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
-      s2 AS (
-        SELECT 2 AS rank, c.vec_id, c.rel,
-               c.rel - max(m.sim) AS score
-        FROM cand c JOIN sims m ON m.ai = c.vec_id
-        WHERE m.bi IN (SELECT vec_id FROM s1)
-          AND c.vec_id NOT IN (SELECT vec_id FROM s1)
-        GROUP BY c.vec_id, c.rel
-        ORDER BY score DESC, c.vec_id LIMIT 1),
-      s3 AS (
-        SELECT 3 AS rank, c.vec_id, c.rel,
-               c.rel - max(m.sim) AS score
-        FROM cand c JOIN sims m ON m.ai = c.vec_id
-        WHERE m.bi IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2)
-          AND c.vec_id NOT IN
-            (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2)
-        GROUP BY c.vec_id, c.rel
-        ORDER BY score DESC, c.vec_id LIMIT 1),
-      s4 AS (
-        SELECT 4 AS rank, c.vec_id, c.rel,
-               c.rel - max(m.sim) AS score
-        FROM cand c JOIN sims m ON m.ai = c.vec_id
-        WHERE m.bi IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
-                       UNION SELECT vec_id FROM s3)
-          AND c.vec_id NOT IN
-            (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
-             UNION SELECT vec_id FROM s3)
-        GROUP BY c.vec_id, c.rel
-        ORDER BY score DESC, c.vec_id LIMIT 1),
-      s5 AS (
-        SELECT 5 AS rank, c.vec_id, c.rel,
-               c.rel - max(m.sim) AS score
-        FROM cand c JOIN sims m ON m.ai = c.vec_id
-        WHERE m.bi IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
-                       UNION SELECT vec_id FROM s3
-                       UNION SELECT vec_id FROM s4)
-          AND c.vec_id NOT IN
-            (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
-             UNION SELECT vec_id FROM s3 UNION SELECT vec_id FROM s4)
-        GROUP BY c.vec_id, c.rel
-        ORDER BY score DESC, c.vec_id LIMIT 1),
-      sel AS (
-        SELECT * FROM s1 UNION ALL SELECT * FROM s2
-        UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
-        UNION ALL SELECT * FROM s5)
+      $greedyRounds,
+      sel AS ($selUnion)
       SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel,
              round(score, 6) AS score
-      FROM sel ORDER BY rank"""),
+      FROM sel ORDER BY rank"""
+    },
   )
 
   val all: Seq[Q] =
