@@ -21,11 +21,16 @@ import org.apache.spark.sql.functions._
   *    corpus span + 35 days per copy, so per-shard arrival stays
   *    MONOTONE in sequence (the KinesisLikeLog.writeFromEvents seam
   *    invariant) and sessions/windows never straddle copies;
-  *  - documents: ids shift; copies ≥1 get a copy-specific salt token
-  *    spliced after every 3rd word, so every shingle window crosses a
-  *    salt and cross-copy Jaccard collapses to ~0 for shingle, simhash,
-  *    and n-gram near-dup alike (within-copy structure is untouched:
-  *    each copy carries the full original near-dup population);
+  *  - documents: ids shift; copies ≥1 get a copy-specific suffix on
+  *    EVERY word, so every shingle/bigram/chunk differs across copies
+  *    and cross-copy Jaccard is exactly 0 (a weaker every-3rd-word salt
+  *    left 2/3 of bigrams shared — cross-copy Jaccard ≈ 0.33, ABOVE the
+  *    engine's 0.2 near-dup threshold, which made the copies near-dups
+  *    of each other and exploded LSH candidates ~50×: the rehearsal was
+  *    measuring its own fixture artifact). Within-copy structure is
+  *    untouched — the same transform applies to both sides of every
+  *    original near-dup pair, so each copy carries the full original
+  *    near-dup population;
   *  - embeddings: ids shift; copies ≥1 get their components circularly
   *    rotated by a copy-specific offset — rotation preserves the norm
   *    and histogram while making cross-copy cosine incoherent;
@@ -94,15 +99,15 @@ object ScaleRehearsal {
         col("event_type"), col("value"), col("props")), "events")
     }
 
-    // documents — salt splice detunes cross-copy similarity.
+    // documents — per-word copy suffix detunes cross-copy similarity
+    // (see the scaladoc for why it must touch EVERY word).
     locally {
       val docs   = table("documents")
       val dShift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
       write(copies(docs)
         .withColumn("text",
           when(col("c") === 0L, col("text")).otherwise(array_join(
-            expr("transform(split(text, ' '), (w, i) -> " +
-              "IF(i % 3 = 2, concat(w, ' zc', c, 'z'), w))"), " ")))
+            expr("transform(split(text, ' '), w -> concat(w, c))"), " ")))
         .select(
           (col("doc_id") + col("c") * dShift).as("doc_id"),
           col("text"), col("lang"), col("source"),

@@ -984,6 +984,14 @@ object Dedup {
         .withColumn(
           "union_l",
           col("n1").cast("long") + col("n2").cast("long") - col("inter").cast("long"))
+        // Materialize the scored pair table ONCE: the four threshold
+        // branches below otherwise each replay the canopy's
+        // signature+band+verify joins from the checkpointed shingle base
+        // (4× the pack's dominant cost — the sf1 rehearsal billed the
+        // recompute at ~4× d02's whole runtime). The pair table is
+        // candidate-bounded and 5 numeric columns wide; at 100 TB you'd
+        // write scores to storage once and sweep thresholds over THAT.
+        .localCheckpoint(true)
       // Threshold points straddle the fixture's bimodal pair mass
       // (near-miss ≈0.9 vs verbatim-dup ≈1.0); 100% means IDENTICAL
       // shingle sets, the exact-dup tier d01 catches by content hash.
