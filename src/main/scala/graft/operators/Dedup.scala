@@ -1356,9 +1356,136 @@ object Dedup {
       FROM flags GROUP BY cid ORDER BY cid"""),
   )
 
+  /** d18's sliding-window width in words — the scaled-down analogue of
+    * ExactSubstr's 50-token span threshold (fixture documents average ~54
+    * words, so 6 keeps the detector selective: a shared 6-word run is
+    * already vanishingly unlikely by chance in natural text). */
+  private val SpanWords = 6
+
+  /** Exact-substring duplication report — the SLIDING-window pass the
+    * fixed-chunk tiers (d14/d15) structurally cannot be: a verbatim span
+    * shifted by one word lands across two fixed chunk boundaries and
+    * becomes invisible to chunk hashing, while every [[SpanWords]]-word
+    * sliding window of the span still collides. This is the
+    * suffix-array-free approximation of exact-substring training-data
+    * dedup: a token position is "duplicated" iff some [[SpanWords]]-word
+    * window through it appears verbatim in ANOTHER document; overlapping
+    * and touching duplicated windows merge into maximal runs (island
+    * detection), and the report emits per document the run count, total
+    * duplicated-token coverage, longest run, and exact integer coverage
+    * ppm — the numbers a curation pipeline thresholds on ("drop docs
+    * with >50% verbatim-duplicated text", "clip runs over N tokens").
+    *
+    * Scale shape (100 TB): window hashing is map-only (array HOFs over
+    * the split, text never leaves the map side — only (doc_id, pos,
+    * 128-bit md5) triples move). Cross-document detection is the d15
+    * no-join trick upgraded to keep positions: min≠max of doc_id over an
+    * h-partitioned window IS "appears in ≥2 distinct docs" — one shuffle
+    * on the hash, no self-join (so no skew-prone hot-chunk hash join and
+    * no candidate-pair blowup on boilerplate). Run merging is one
+    * doc_id-partitioned sort window (lag + running sum — the q106
+    * sequence shape), and the final left join is doc_id-equi against the
+    * doc-id/count base. Three bounded shuffles total, all on fixed-width
+    * keys. A md5 birthday collision needs ~2^64 distinct windows —
+    * outside reach even at 100 TB (64-bit hashes would NOT be, which is
+    * why the span hash stays 128-bit). */
+  private val d18 = Q(
+    "d18_exact_substrings",
+    (s, d) => {
+      val K = SpanWords
+      val base = docs(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val wins = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= K)
+        .select(
+          col("doc_id"),
+          posexplode(
+            transform(
+              sequence(lit(0), size(col("w")) - K),
+              p => md5(array_join(slice(col("w"), p + 1, lit(K)), " "))))
+            .as(Seq("pos", "h")))
+      val wh = Window.partitionBy(col("h"))
+      val dups = wins
+        .withColumn("dup",
+          min(col("doc_id")).over(wh) =!= max(col("doc_id")).over(wh))
+        .filter(col("dup"))
+        .select(col("doc_id"), col("pos"))
+      val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val runs = dups
+        .withColumn("brk",
+          when(col("pos") - lag(col("pos"), 1).over(seqW) > K, 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum(col("brk")).over(seqW))
+        .groupBy(col("doc_id"), col("run_id"))
+        .agg((max(col("pos")) - min(col("pos")) + K).cast("long")
+          .as("run_len"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("dup_runs"),
+          sum(col("run_len")).as("dup_tokens"),
+          max(col("run_len")).as("longest_run"))
+      base
+        .join(runs, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_runs"), lit(0L)).as("dup_runs"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+        .selectExpr(
+          "doc_id", "n_tokens", "dup_runs", "dup_tokens", "longest_run",
+          "dup_tokens * 1000000 div n_tokens AS dup_token_ppm")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+      base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM ws),
+      wins AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(w[pos+1:pos+$SpanWords], ' ')) AS h
+        FROM (SELECT doc_id, w,
+                unnest(range(0, len(w) - $SpanWords + 1)) AS pos
+              FROM ws WHERE len(w) >= $SpanWords)),
+      dups AS (
+        SELECT doc_id, pos FROM (
+          SELECT doc_id, pos,
+                 min(doc_id) OVER (PARTITION BY h)
+                   <> max(doc_id) OVER (PARTITION BY h) AS dup
+          FROM wins) WHERE dup),
+      brks AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) > $SpanWords
+                    THEN 1 ELSE 0 END AS brk
+        FROM dups),
+      runs AS (
+        SELECT doc_id, run_id,
+               CAST(max(pos) - min(pos) + $SpanWords AS BIGINT) AS run_len
+        FROM (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS run_id
+          FROM brks)
+        GROUP BY doc_id, run_id),
+      agg AS (
+        SELECT doc_id, count(*) AS dup_runs, sum(run_len) AS dup_tokens,
+               max(run_len) AS longest_run
+        FROM runs GROUP BY doc_id)
+      SELECT b.doc_id, b.n_tokens,
+             CAST(coalesce(a.dup_runs, 0) AS BIGINT) AS dup_runs,
+             CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             CAST(coalesce(a.longest_run, 0) AS BIGINT) AS longest_run,
+             CAST(coalesce(a.dup_tokens, 0) * 1000000 // b.n_tokens
+                  AS BIGINT) AS dup_token_ppm
+      FROM base b LEFT JOIN agg a USING (doc_id)
+      ORDER BY b.doc_id"""),
+  )
+
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-      d14, d15, d16, d17)
+      d14, d15, d16, d17, d18)
 }
 
 /** Shared sign-LSH band SQL builders over [[graft.functions.SignDots16]]'s

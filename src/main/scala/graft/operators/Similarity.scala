@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables => T}
 import graft.functions.GraftFunctions
 
@@ -1327,7 +1328,132 @@ object Similarity {
     },
   )
 
+  /** Rank-aware retrieval-quality audit — MRR and NDCG@10 for the IVF and
+    * sign-LSH probes against the exact brute-force top-10, the metrics a
+    * retrieval stack reports where s08's recall@10 only counts overlap:
+    * recall is blind to ORDER (an index that returns the true top-10
+    * reversed scores 100% recall but a much weaker NDCG), and MRR is the
+    * "how deep is the first genuinely-relevant hit" latency proxy.
+    * Relevance is graded from the exact ranking itself (rel = 11 −
+    * exact_rank, 0 for anything outside the true top-10); IDCG is
+    * derived from the same exact frame, so NDCG is self-normalizing and
+    * needs no float constant baked on either engine.
+    *
+    * Scale shape (100 TB): both probe legs and the exact leg reduce to
+    * 10-row frames before anything rank-aware happens (brute10/ivf10/
+    * lsh10 are one corpus scan + TakeOrdered each); ranking, the graded
+    * join (broadcast of a 10-row frame), and the metric aggregates all
+    * operate on ≤10 rows — the audit costs three corpus scans and
+    * nothing else. */
+  private val s16 = Q(
+    "s16_ranking_metrics",
+    (s, d) => {
+      val ordW  = Window.orderBy(col("cosine").desc, col("vec_id"))
+      val exact = brute10(s, d)
+        .withColumn("erank", row_number().over(ordW))
+        .select(
+          col("vec_id"), col("erank"),
+          (lit(11) - col("erank")).as("rel"))
+        .localCheckpoint(true)
+      val idcg = exact
+        .agg(sum(col("rel").cast("double") / log2(col("erank") + 1))
+          .as("idcg_raw"))
+      def row(m: String, approx: DataFrame): DataFrame =
+        approx
+          .withColumn("mrank", row_number().over(ordW))
+          .join(broadcast(exact), Seq("vec_id"), "left")
+          .agg(
+            count(col("erank")).as("n_hits"),
+            min(when(col("erank").isNotNull, col("mrank")))
+              .as("firsthit"),
+            sum(coalesce(col("rel").cast("double"), lit(0.0)) /
+              log2(col("mrank") + 1)).as("dcg_raw"))
+          .crossJoin(broadcast(idcg))
+          .select(
+            lit(m).as("method"),
+            col("n_hits"),
+            round(coalesce(lit(1.0) / col("firsthit"), lit(0.0)), 6)
+              .as("mrr"),
+            round(col("dcg_raw"), 6).as("dcg"),
+            round(col("dcg_raw") / col("idcg_raw"), 6).as("ndcg"))
+      row("ivf", ivf10(s, d))
+        .unionByName(row("lsh", lsh10(s, d)))
+        .orderBy(col("method"))
+    }, {
+      import graft.operators.SignBands.bandDuck
+      val bandsD = (0 until 4).map(b => s"(${bandDuck(b, 4)}) AS band$b")
+      Some(s"""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT e.vec_id, e.label, e.embedding,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(q.qv[i] AS DOUBLE))), 6) AS cosine
+        FROM embeddings e, q WHERE e.vec_id <> 0),
+      exact AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY cosine DESC, vec_id) AS erank,
+               11 - row_number() OVER (ORDER BY cosine DESC, vec_id)
+                 AS rel
+        FROM (SELECT vec_id, cosine FROM scored
+              ORDER BY cosine DESC, vec_id LIMIT 10)),
+      idcg AS (
+        SELECT sum(CAST(rel AS DOUBLE) / log2(erank + 1)) AS idcg_raw
+        FROM exact),
+      cent AS (
+        SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS c
+        FROM embeddings, range(1, 65) t(i)
+        WHERE vec_id <> 0
+        GROUP BY label, i),
+      cellrank AS (
+        SELECT label, round(sum(c * CAST(qv[i] AS DOUBLE)), 9) AS cd
+        FROM cent, q
+        GROUP BY label
+        ORDER BY cd DESC, label
+        LIMIT 2),
+      ivfr AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY cosine DESC, vec_id) AS mrank
+        FROM (SELECT s.vec_id, s.cosine
+              FROM scored s JOIN cellrank USING (label)
+              ORDER BY s.cosine DESC, s.vec_id LIMIT 10)),
+      sig AS (
+        SELECT vec_id, label, embedding, ${bandsD.mkString(", ")}
+        FROM embeddings),
+      qs AS (
+        SELECT band0 AS qb0, band1 AS qb1, band2 AS qb2, band3 AS qb3
+        FROM sig WHERE vec_id = 0),
+      lshr AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY cosine DESC, vec_id) AS mrank
+        FROM (SELECT s.vec_id, s.cosine
+              FROM scored s JOIN sig g ON g.vec_id = s.vec_id, qs
+              WHERE g.band0 = qs.qb0 OR g.band1 = qs.qb1 OR
+                    g.band2 = qs.qb2 OR g.band3 = qs.qb3
+              ORDER BY s.cosine DESC, s.vec_id LIMIT 10)),
+      mrow AS (
+        SELECT 'ivf' AS method, m.vec_id, m.mrank, e.erank, e.rel
+        FROM ivfr m LEFT JOIN exact e USING (vec_id)
+        UNION ALL
+        SELECT 'lsh' AS method, m.vec_id, m.mrank, e.erank, e.rel
+        FROM lshr m LEFT JOIN exact e USING (vec_id)),
+      agg AS (
+        SELECT method,
+               count(erank) AS n_hits,
+               min(CASE WHEN erank IS NOT NULL THEN mrank END)
+                 AS firsthit,
+               sum(coalesce(CAST(rel AS DOUBLE), 0) / log2(mrank + 1))
+                 AS dcg_raw
+        FROM mrow GROUP BY method)
+      SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
+             round(coalesce(1.0 / firsthit, 0), 6) AS mrr,
+             round(dcg_raw, 6) AS dcg,
+             round(dcg_raw / i.idcg_raw, 6) AS ndcg
+      FROM agg, idcg i ORDER BY method""")
+    },
+  )
+
   val all: Seq[Q] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15)
+      s14, s15, s16)
 }

@@ -650,6 +650,38 @@ class PlanAuditSpec extends SparkSpec {
       s"text crossed the exchange:\n$exec")
   }
 
+  test("d18: sliding-window substring dedup detects cross-doc spans " +
+    "with NO self-join (min≠max over the hash window), and no exchange " +
+    "carries window text or the document") {
+    val exec = SparkEntry.queries("d18_exact_substrings")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // One posexplode generates the window stream; the only join is the
+    // final doc_id-equi left join against the per-doc token base — the
+    // candidate-pair self-join a naive substring dedup would do (and
+    // that a hot boilerplate span turns quadratic) must not exist.
+    assert("Generate posexplode".r.findAllIn(exec).size == 1, exec)
+    assert(!exec.contains("BroadcastNestedLoopJoin") &&
+      !exec.contains("CartesianProduct"), exec)
+    assert("Join \\[?doc_id|Join doc_id|(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[doc_id"
+      .r.findAllIn(exec).size <= 1, s"more than the base equi-join:\n$exec")
+    // Window text reduces to its md5 before the first exchange: no
+    // shuffle row carries a raw span or the document text.
+    val shuffles = "hashpartitioning\\([a-z_, #0-9L]+\\)".r
+      .findAllIn(exec).toSeq
+    assert(shuffles.nonEmpty &&
+      shuffles.forall(s => !s.contains("text") && !s.contains("w#")),
+      s"an exchange carries document text:\n$exec")
+  }
+
+  test("s16: every ranking leg reduces to a 10-row TakeOrdered cut " +
+    "before anything rank-aware runs — three corpus scans, no extra") {
+    val exec = SparkEntry.queries("s16_ranking_metrics")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("TakeOrderedAndProject".r.findAllIn(exec).size >= 2,
+      s"probe legs must plan as top-k cuts:\n$exec")
+    assert(!exec.contains("CartesianProduct"), exec)
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
@@ -682,7 +714,11 @@ class PlanAuditSpec extends SparkSpec {
       // s15's only non-equi join is the 20×20 pair grid over the
       // checkpointed candidate set (bounded by construction); its own
       // plan test pins the no-corpus-rescan shape.
-      "s15_mmr_rerank")
+      "s15_mmr_rerank",
+      // s16 rides the same probe legs as s01/s02/s04 (1-row query-vector
+      // broadcasts) plus a 1-row IDCG scalar cross — every cross side is
+      // a broadcast singleton; its own plan test pins the 10-row cuts.
+      "s16_ranking_metrics")
     val streaming = Set(
       "q28_stream_window", "q29_stream_dedup", "q30_stream_session",
       "q36_stream_join", "q37_stream_sliding", "q38_stream_static_join",
