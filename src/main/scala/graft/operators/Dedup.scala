@@ -99,16 +99,22 @@ object Dedup {
     * (`doc_id, h0..h7`): band equi-join, id1 < id2, distinct — the canopy
     * stage shared by d02's Jaccard verify and d11's edit-distance
     * verify. */
-  private def lshCandidates(sig: DataFrame): DataFrame = {
+  /** (doc_id, band_idx, band_val) rows from a signature frame — the LSH
+    * bucket keys, 4 short rows per doc. Shared by the symmetric canopy
+    * ([[lshCandidates]]) and d19's asymmetric delta→corpus probe. */
+  private def lshBands(sig: DataFrame): DataFrame = {
     val bandCols = (0 until NumHashes / BandSize).map { b =>
       concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
     }
-    // Tiny (4 short rows per doc) and read by both sides of the candidate
-    // self-join: checkpoint so the md5 minhash passes run exactly once.
-    val bands = sig.select(
+    sig.select(
       col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
-      .localCheckpoint(true)
+  }
+
+  private def lshCandidates(sig: DataFrame): DataFrame = {
+    // Tiny (4 short rows per doc) and read by both sides of the candidate
+    // self-join: checkpoint so the md5 minhash passes run exactly once.
+    val bands = lshBands(sig).localCheckpoint(true)
     val b1 = bands.select(
       col("doc_id").as("id1"),
       col("band_idx"),
@@ -174,21 +180,28 @@ object Dedup {
   /** The d02 pipeline as DuckDB CTEs ending in `pairs(id1, id2, jacc)`. */
   /** The d02 canopy as DuckDB CTEs ending in `cand(id1, id2)` — shared by
     * d02's Jaccard verify and d11's edit-distance verify. */
-  private def lshCandidatesSql: String = {
-    val mins = (0 until NumHashes)
-      .map { i =>
-        val seed = if (i < 4) "a" else "b"
-        val off  = (i % 4) * 8 + 1
-        s"list_min(list_transform(sh, x -> substr(md5('$seed:' || x), $off, 8))) AS h$i"
-      }
-      .mkString(", ")
-    val bandRows = (0 until NumHashes / BandSize)
+  /** The 8 per-shingle minhash minima as SQL select-list terms (DuckDB
+    * mirror of [[graft.functions.MinHash8]]). */
+  private def minsSql: String = (0 until NumHashes)
+    .map { i =>
+      val seed = if (i < 4) "a" else "b"
+      val off  = (i % 4) * 8 + 1
+      s"list_min(list_transform(sh, x -> substr(md5('$seed:' || x), $off, 8))) AS h$i"
+    }
+    .mkString(", ")
+
+  /** The banded bucket-key rows over a named signature CTE (DuckDB
+    * mirror of [[lshBands]]). */
+  private def bandRowsSql(sigName: String): String =
+    (0 until NumHashes / BandSize)
       .map(b =>
-        s"SELECT doc_id, $b AS band_idx, h${2 * b} || h${2 * b + 1} AS band_val FROM sig")
+        s"SELECT doc_id, $b AS band_idx, h${2 * b} || h${2 * b + 1} AS band_val FROM $sigName")
       .mkString(" UNION ALL ")
+
+  private def lshCandidatesSql: String = {
     s"""$shingledSql,
-      sig AS (SELECT doc_id, $mins FROM base),
-      bands AS ($bandRows),
+      sig AS (SELECT doc_id, $minsSql FROM base),
+      bands AS (${bandRowsSql("sig")}),
       cand AS (SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
                FROM bands b1 JOIN bands b2
                  ON b1.band_idx = b2.band_idx AND b1.band_val = b2.band_val
@@ -1483,9 +1496,132 @@ object Dedup {
       ORDER BY b.doc_id"""),
   )
 
+  /** Incremental (delta-vs-corpus) near-dup screen — the shape a daily
+    * ingest actually runs: d02 asks "which pairs inside ONE corpus are
+    * near-dups" (a symmetric self-join problem recomputed per snapshot);
+    * an increment pipeline asks "which of TODAY'S documents duplicate
+    * something already ingested", and must answer it at a cost
+    * proportional to the DELTA, never the corpus. The md5-parity split
+    * on doc_id (p10's convention) plays the corpus/delta roles here; at
+    * production the corpus side's minhash band table is the write-once
+    * stored index (the p01 funnel-table posture — signatures are
+    * computed when a document is first ingested and never again), so the
+    * per-increment cost is: shingle+sign the delta (map-only), probe the
+    * bucket-partitioned corpus band index with a band equi-join
+    * (delta-bands × matching buckets only — NOT corpus×corpus, and not
+    * d09's broadcast, which requires the probe set to fit in memory),
+    * verify exact Jaccard on the candidates, and emit one verdict row
+    * per delta doc: is_dup, match count, the best corpus match
+    * (max-Jaccard, corpus-id tie-break) — `match_id` −1 for genuinely
+    * new documents so the row stays null-free for the hash gate.
+    *
+    * Scale shape (100 TB corpus, ~TB delta): both band sides are
+    * fixed-width keys (band_idx + 16 hex chars); candidate volume is
+    * bounded by bucket collisions exactly as d02's canopy (hot
+    * boilerplate buckets skew the corpus side, but AQE skew-join
+    * handles a hot BUCKET where a hot self-join KEY would be
+    * quadratic); the verify join touches candidates only; the final
+    * left join and the best-match window partition on delta_id — every
+    * post-probe stage is delta-sized. */
+  private val d19 = Q(
+    "d19_incremental_dedup",
+    (s, d) => {
+      val base = shingled(s, d)
+        .withColumn("side",
+          expr("""CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 1),
+                       16, 10) AS BIGINT) % 2"""))
+        .localCheckpoint(true)
+      val corp  = base.filter(col("side") === 0).select(col("doc_id"), col("sh"))
+      val delta = base.filter(col("side") === 1).select(col("doc_id"), col("sh"))
+      val cand = lshBands(lshSignatures(s, delta))
+        .select(col("doc_id").as("delta_id"), col("band_idx"), col("band_val"))
+        .join(
+          lshBands(lshSignatures(s, corp))
+            .select(col("doc_id").as("corpus_id"),
+              col("band_idx").as("bi2"), col("band_val").as("bv2")),
+          col("band_idx") === col("bi2") && col("band_val") === col("bv2"))
+        .select(col("delta_id"), col("corpus_id"))
+        .distinct()
+      val scored = cand
+        .join(delta.select(col("doc_id").as("delta_id"), col("sh").as("shd")),
+          "delta_id")
+        .join(corp.select(col("doc_id").as("corpus_id"), col("sh").as("shc")),
+          "corpus_id")
+        .withColumn("inter",
+          size(array_intersect(col("shd"), col("shc"))).cast("double"))
+        .withColumn("jacc",
+          col("inter") /
+            (size(col("shd")) + size(col("shc")) - col("inter")))
+        .filter(col("jacc") >= 0.2)
+        .select(col("delta_id"), col("corpus_id"), col("jacc"))
+      val rankW  = Window.partitionBy(col("delta_id"))
+        .orderBy(col("jacc").desc, col("corpus_id"))
+      val countW = Window.partitionBy(col("delta_id"))
+      val best = scored
+        .withColumn("rk", row_number().over(rankW))
+        .withColumn("n_matches", count(lit(1)).over(countW))
+        .filter(col("rk") === 1)
+        .select(col("delta_id"), col("n_matches"),
+          col("corpus_id").as("match_id"),
+          round(col("jacc"), 6).as("best_jacc"))
+      delta.select(col("doc_id").as("delta_id"))
+        .join(best, Seq("delta_id"), "left")
+        .select(
+          col("delta_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("match_id"), lit(-1L)).as("match_id"),
+          coalesce(col("best_jacc"), lit(0.0)).as("best_jacc"),
+          (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"))
+        .orderBy(col("delta_id"))
+    },
+    Some(s"""
+      WITH $shingledSql,
+      tagged AS (
+        SELECT doc_id, sh,
+               (CAST(strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                     AS BIGINT) - 1) % 2 AS side
+        FROM base),
+      corp  AS (SELECT doc_id, sh FROM tagged WHERE side = 0),
+      delta AS (SELECT doc_id, sh FROM tagged WHERE side = 1),
+      csig AS (SELECT doc_id, $minsSql FROM corp),
+      dsig AS (SELECT doc_id, $minsSql FROM delta),
+      cbands AS (${bandRowsSql("csig")}),
+      dbands AS (${bandRowsSql("dsig")}),
+      cand AS (
+        SELECT DISTINCT db.doc_id AS delta_id, cb.doc_id AS corpus_id
+        FROM dbands db JOIN cbands cb
+          ON db.band_idx = cb.band_idx AND db.band_val = cb.band_val),
+      scored AS (
+        SELECT c.delta_id, c.corpus_id,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+               CAST(len(a.sh) AS DOUBLE) AS nd,
+               CAST(len(b.sh) AS DOUBLE) AS nc
+        FROM cand c JOIN delta a ON a.doc_id = c.delta_id
+                    JOIN corp b ON b.doc_id = c.corpus_id),
+      jmatch AS (
+        SELECT delta_id, corpus_id, inter / (nd + nc - inter) AS jacc
+        FROM scored WHERE inter / (nd + nc - inter) >= 0.2),
+      ranked AS (
+        SELECT delta_id, corpus_id, jacc,
+               row_number() OVER (PARTITION BY delta_id
+                                  ORDER BY jacc DESC, corpus_id) AS rk,
+               count(*) OVER (PARTITION BY delta_id) AS n_matches
+        FROM jmatch)
+      SELECT t.doc_id AS delta_id,
+             CAST(coalesce(r.n_matches, 0) AS BIGINT) AS n_matches,
+             CAST(coalesce(r.corpus_id, -1) AS BIGINT) AS match_id,
+             coalesce(round(r.jacc, 6), CAST(0 AS DOUBLE)) AS best_jacc,
+             coalesce(r.n_matches, 0) > 0 AS is_dup
+      FROM delta t
+      LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) r
+        ON r.delta_id = t.doc_id
+      ORDER BY delta_id"""),
+  )
+
   val all: Seq[Q] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13,
-      d14, d15, d16, d17, d18)
+      d14, d15, d16, d17, d18, d19)
 }
 
 /** Shared sign-LSH band SQL builders over [[graft.functions.SignDots16]]'s

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** d19 (incremental delta-vs-corpus near-dup screen) checked for
+  * consistency against the oracle-gated d02 pair list: a (delta, corpus)
+  * band collision is the SAME event as a d02 candidate pair that
+  * straddles the md5-parity split, so d19's verdicts must equal the
+  * straddling subset of d02's verified pairs regrouped per delta doc —
+  * same match sets, same counts, same best-match (max-Jaccard,
+  * corpus-id tie-break), and is_dup=false with match_id=-1 for every
+  * delta doc no straddling pair names. */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def side(id: Long): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Integer.parseInt(hex.substring(0, 1), 16) % 2
+  }
+
+  test("d19 equals the straddling subset of d02's verified pairs, " +
+    "regrouped per delta doc") {
+    val pairs = SparkEntry.queries("d02_dedup_minhash_lsh")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // Cross-side pairs, oriented delta -> corpus.
+    val oriented = pairs.flatMap { case (a, b, j) =>
+      (side(a), side(b)) match {
+        case (1, 0) => Some((a, b, j))
+        case (0, 1) => Some((b, a, j))
+        case _      => None
+      }
+    }
+    val byDelta = oriented.groupBy(_._1)
+
+    val deltaIds = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(r => r.getString(1).split(" ", -1).length >= 2) // >=1 bigram
+      .map(_.getLong(0)).filter(side(_) == 1).sorted
+
+    val expected = deltaIds.map { id =>
+      byDelta.get(id) match {
+        case Some(ms) =>
+          val best = ms.maxBy { case (_, cid, j) => (j, -cid) }
+          (id, ms.length.toLong, best._2, best._3, true)
+        case None => (id, 0L, -1L, 0.0, false)
+      }
+    }
+
+    val got = SparkEntry.queries("d19_incremental_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g === e, s"delta ${e._1}: got $g expected $e")
+    }
+    // The split must actually exercise the screen: straddling near-dups
+    // exist, and most delta docs are genuinely new.
+    assert(expected.count(_._5) > 0, "no straddling near-dup in fixture")
+    assert(expected.count(!_._5) > expected.count(_._5),
+      "most delta docs should be new")
+  }
+}

@@ -673,6 +673,21 @@ class PlanAuditSpec extends SparkSpec {
       s"an exchange carries document text:\n$exec")
   }
 
+  test("d19: the incremental screen probes the corpus band index with " +
+    "equi-joins only — no self-join blowup, no nested loop, and the " +
+    "candidate keys are the fixed-width band values") {
+    val exec = SparkEntry.queries("d19_incremental_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("BroadcastNestedLoopJoin") &&
+      !exec.contains("CartesianProduct"), exec)
+    // The probe join keys on band_val (the bucket key) — the shape that
+    // keeps per-increment cost ∝ delta and lets AQE handle a hot bucket.
+    assert(exec.contains("band_val"), s"no band-keyed probe join:\n$exec")
+    // One band explode per side (delta probe + corpus index derivation;
+    // at production the corpus side is a stored table, not a recompute).
+    assert("Generate posexplode".r.findAllIn(exec).size == 2, exec)
+  }
+
   test("s16: every ranking leg reduces to a 10-row TakeOrdered cut " +
     "before anything rank-aware runs — three corpus scans, no extra") {
     val exec = SparkEntry.queries("s16_ranking_metrics")(spark, sf)
