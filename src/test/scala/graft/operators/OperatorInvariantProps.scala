@@ -296,4 +296,70 @@ object OperatorInvariantProps extends Properties("OperatorInvariants") {
         .forall(p => dupDelta(if (side(p.srcId) == 1) p.srcId else p.copyId))
       consistent && caught
     }
+
+  /** Random L2-normalized 64-dim embedding corpus in the fixture schema
+    * (vec_id 0 is the query; int32 labels play the IVF cell role).
+    * Small label counts and small corpora deliberately exercise the
+    * probed-cells-hold-fewer-than-10 edge. */
+  private def embeddingsDir(seed: Long): String = {
+    val rnd = new scala.util.Random(seed)
+    val n   = 20 + rnd.nextInt(40)
+    val nLb = 1 + rnd.nextInt(8)
+    val rows = (0 until n).map { i =>
+      val raw  = Array.fill(64)(rnd.nextGaussian())
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      (i.toLong, raw.map(x => (x / norm).toFloat).toSeq, rnd.nextInt(nLb))
+    }
+    val dir  = Files.createTempDirectory("prop_embed").toString
+    val sqlc = spark
+    import sqlc.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "embedding", "CAST(label AS INT) AS label")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  property("s16 equals metrics recomputed from its own ranked legs on " +
+    "any embedding corpus, and the metrics respect their bounds") =
+    Prop.forAll(Gen.choose(0L, Long.MaxValue)) { seed =>
+      val dir = embeddingsDir(seed)
+      def ranked(name: String): Seq[Long] =
+        SparkEntry.queries(name)(spark, dir).collect().map(_.getLong(0)).toSeq
+      def log2(x: Double): Double = math.log(x) / math.log(2.0)
+      val exact = ranked("s01_ann_brute_topk")
+      val erank = exact.zipWithIndex.map { case (v, i) => v -> (i + 1) }.toMap
+      val idcg  = exact.zipWithIndex.map { case (v, i) =>
+        (10 - i).toDouble / log2(i + 2.0)
+      }.sum
+      def expect(lst: Seq[Long]): (Long, Double, Double, Double) = {
+        val hits = lst.count(erank.contains).toLong
+        val mrr = lst.zipWithIndex
+          .collectFirst { case (v, i) if erank.contains(v) => 1.0 / (i + 1) }
+          .getOrElse(0.0)
+        val dcg = lst.zipWithIndex.map { case (v, i) =>
+          erank.get(v).map(11 - _).getOrElse(0).toDouble / log2(i + 2.0)
+        }.sum
+        (hits, mrr, dcg, dcg / idcg)
+      }
+      def round6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val byMethod = Map(
+        "ivf" -> expect(ranked("s02_ann_ivf")),
+        "lsh" -> expect(ranked("s04_ann_lsh")))
+      val got = SparkEntry.queries("s16_ranking_metrics")(spark, dir)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+      got.keySet == byMethod.keySet && byMethod.forall { case (m, e) =>
+        val g = got(m)
+        g._1 == e._1 &&
+        math.abs(g._2 - round6(e._2)) < 1e-9 &&
+        math.abs(g._3 - round6(e._3)) < 1e-6 &&
+        math.abs(g._4 - round6(e._4)) < 1e-6 &&
+        g._2 >= 0.0 && g._2 <= 1.0 && g._4 >= 0.0 && g._4 <= 1.0 + 1e-9 &&
+        (g._1 > 0) == (g._2 > 0)
+      }
+    }
 }
