@@ -1046,7 +1046,89 @@ object TextAnalysis {
       ORDER BY source, rk"""),
   )
 
+  /** Source saturation curve — the "is this source exhausted?" signal a
+    * crawl scheduler reads: as ingestion proceeds (doc_id is the arrival
+    * order), what fraction of each new slice's content is NOVEL versus
+    * already seen anywhere in the corpus so far? Every doc's distinct
+    * word bigrams are marked first-occurrence-or-repeat against the
+    * GLOBAL ingestion order (a gram first seen in doc 7 is a repeat in
+    * doc 300 even across sources — marginal novelty is what a scheduler
+    * buys with the next crawl dollar), then rolled up per source into
+    * five ingestion-order buckets (ntile over doc_id within source).
+    * A healthy fresh source holds its novelty ppm flat across buckets; a
+    * saturating or templated one decays toward zero — the curve t19's
+    * static overlap matrix and d14's dedup can't show, because both are
+    * order-blind.
+    *
+    * Scale shape (100 TB): four bounded fixed-key shuffles, no join —
+    * the bucket window partitions on source (the t18/t20 grid shape),
+    * novelty is the d15/d18 no-join trick (doc_id == min(doc_id) over
+    * the gram-hash window — first-occurrence without a self-join or a
+    * distinct-rollup join-back), and the rollup is the (source × 5)
+    * grid plus the one extra exchange its exact distinct-doc count
+    * pays. Grams reduce to md5 before the first exchange, so raw text
+    * never shuffles. */
+  private val t21 = Q(
+    "t21_source_saturation",
+    (s, d) => {
+      val bktW = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.functions.GraftFunctions.wordNgrams(s, col("text"), 2)
+            .as("grams"))
+        .filter(size(col("grams")) >= 1)
+        .withColumn("bucket", ntile(5).over(bktW).cast("long"))
+      val gramW = Window.partitionBy(col("h"))
+      docs
+        .select(col("doc_id"), col("source"), col("bucket"),
+          explode(col("grams")).as("gram"))
+        .select(col("doc_id"), col("source"), col("bucket"),
+          md5(col("gram")).as("h"))
+        .withColumn("is_first", col("doc_id") === min(col("doc_id")).over(gramW))
+        .groupBy(col("source"), col("bucket"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_grams"),
+          sum(when(col("is_first"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("source"), col("bucket"), col("n_docs"),
+          col("n_grams"), col("n_novel"),
+          expr("(1000000 * n_novel) div n_grams").as("novel_ppm"))
+        .orderBy(col("source"), col("bucket"))
+    },
+    Some("""
+      WITH shingled AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i+1])) AS grams
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+              FROM documents)
+        WHERE len(ws) >= 2),
+      bucketed AS (
+        SELECT doc_id, source, grams,
+               CAST(ntile(5) OVER (PARTITION BY source ORDER BY doc_id)
+                    AS BIGINT) AS bucket
+        FROM shingled),
+      grams AS (
+        SELECT doc_id, source, bucket, md5(g) AS h
+        FROM (SELECT doc_id, source, bucket, unnest(grams) AS g
+              FROM bucketed)),
+      marked AS (
+        SELECT source, bucket, doc_id,
+               doc_id = min(doc_id) OVER (PARTITION BY h) AS is_first
+        FROM grams)
+      SELECT source, bucket,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+             CAST((1000000 * sum(CASE WHEN is_first THEN 1 ELSE 0 END))
+                  // count(*) AS BIGINT) AS novel_ppm
+      FROM marked
+      GROUP BY source, bucket
+      ORDER BY source, bucket"""),
+  )
+
   val all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20)
+      t14, t15, t16, t17, t18, t19, t20, t21)
 }

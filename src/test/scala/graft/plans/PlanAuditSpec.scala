@@ -697,6 +697,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exec.contains("CartesianProduct"), exec)
   }
 
+  test("t21: the saturation curve is three bounded shuffles, no join — " +
+    "and grams reduce to md5 before any exchange") {
+    val exec = SparkEntry.queries("t21_source_saturation")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("Join"), s"saturation must not join:\n$exec")
+    val shuffles = "hashpartitioning\\([a-z_, #0-9L]+\\)".r
+      .findAllIn(exec).toSeq
+    assert(shuffles.nonEmpty &&
+      shuffles.forall(s => !s.contains("text") && !s.contains("gram")),
+      s"an exchange carries raw gram text:\n$exec")
+  }
+
   test("no batch operator plans a CartesianProduct or an unbounded " +
     "BroadcastNestedLoopJoin") {
     // These queries intentionally cross-join against a BROADCAST side of
