@@ -60,16 +60,34 @@ object Dedup {
       |        WHERE len(string_split(text, ' ')) >= 2))""".stripMargin
 
   /** Exact dedup: md5 content hash, canonical = min doc_id per hash group.
-    * At scale this is one shuffle on the 128-bit hash. */
+    *
+    * Scale shape (100 TB): partial aggregation + equi-join-back, NOT a
+    * hash-partitioned window. `min/count over Window.partitionBy(hash)`
+    * gives every hash group ONE task and no map-side combine — a viral
+    * exact duplicate (an empty page, a license stub replicated across
+    * millions of URLs) becomes a single-task multi-billion-row window
+    * buffer. groupBy(hash) combines partially on the map side (the hot
+    * group arrives at its reducer as one row per upstream partition),
+    * and the join-back is a plain equi-join on the 128-bit hash that AQE
+    * can skew-split at runtime. The hashed projection is map-only and is
+    * recomputed for each side rather than checkpointed — two scans of
+    * (doc_id, 16-byte digest) beat materializing a corpus-sized frame. */
   private val d01 = Q(
     "d01_dedup_exact",
     (s, d) => {
-      val w = Window.partitionBy(col("content_hash"))
-      T.documents(s, d)
+      val hashed = T.documents(s, d)
         .select(col("doc_id"), md5(col("text")).as("content_hash"))
-        .withColumn("canonical_id", min(col("doc_id")).over(w))
-        .withColumn("group_size", count(lit(1)).over(w))
-        .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+      val groups = hashed
+        .groupBy(col("content_hash"))
+        .agg(
+          min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("group_size"))
+      hashed
+        .join(groups, Seq("content_hash"))
+        .select(
+          col("doc_id"), col("content_hash"), col("canonical_id"),
+          col("group_size"),
+          (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
         .orderBy(col("doc_id"))
     },
     Some("""
@@ -1058,12 +1076,20 @@ object Dedup {
     * chunk count, duplicated-span count, and exact integer retention ppm.
     *
     * Scale shape (100 TB): chunking is map-only (one fixed-size slice
-    * pass, no intermediate explode of shingle n-grams); the global
-    * first-occurrence rank is one shuffle on the 128-bit chunk hash —
-    * identical to d01's posture but at chunk granularity, so the shuffle
-    * carries (doc_id, chunk_idx, hash) triples, never the text itself;
-    * the per-doc rollup re-shuffles only those triples on doc_id.
-    * Window-rank over the hash (not a self-join) keeps it linear. */
+    * pass, no intermediate explode of shingle n-grams), and the global
+    * first-occurrence test is PARTIAL AGGREGATION, not a window: a
+    * row_number over Window.partitionBy(h) gives a viral boilerplate
+    * chunk (the exact content this pass exists to find) ONE task and no
+    * map-side combine. Instead, `min(struct(doc_id, chunk_idx))` per
+    * hash — the same total order row_number ranked by — combines
+    * map-side, so the hottest chunk hash arrives at its reducer as one
+    * row per upstream partition. A document's duplicated-span count is
+    * then `n_chunks − #hash-groups whose global first lands in it`, so
+    * the join-back keys on doc_id (near-unique — no hot key), never on
+    * the chunk hash, and the shuffles carry only (doc_id, chunk_idx,
+    * 128-bit hash) triples. The chunk projection is recomputed for the
+    * two aggregates rather than checkpointed: two map-only passes beat
+    * materializing a corpus-sized triple table. */
   private val d14 = Q(
     "d14_paragraph_dedup",
     (s, d) => {
@@ -1076,20 +1102,27 @@ object Dedup {
             i.as("idx"),
             array_join(slice(w, i * ChunkWords + 1, lit(ChunkWords)), " ")
               .as("chunk")))
-      val firstW = Window
-        .partitionBy(col("h"))
-        .orderBy(col("doc_id"), col("chunk_idx"))
-      docs(s, d)
+      val triples = docs(s, d)
         .select(col("doc_id"), explode(chunks).as("c"))
         .select(
           col("doc_id"),
           col("c.idx").as("chunk_idx"),
           md5(col("c.chunk")).as("h"))
-        .withColumn("rk", row_number().over(firstW))
+      val perDoc = triples
         .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_chunks"),
-          sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .agg(count(lit(1)).as("n_chunks"))
+      val firstPerDoc = triples
+        .groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+        .select(col("f.doc_id").as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_first"))
+      perDoc
+        .join(firstPerDoc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_chunks"),
+          (col("n_chunks") - coalesce(col("n_first"), lit(0L)))
+            .as("n_dup_chunks"))
         .select(
           col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
           expr("(n_chunks - n_dup_chunks) * 1000000 div n_chunks")
@@ -1143,13 +1176,21 @@ object Dedup {
     * Emits the per-document retention profile: chunk count, boilerplate
     * chunk count, exact integer retained ppm.
     *
-    * Scale shape (100 TB): chunking is map-only; then exactly three
-    * bounded shuffles over (doc_id, hash) triples — (h, doc_id) pair
-    * aggregation (collapses same-doc repeats), a count-only window over
-    * h on the DEDUPED pairs (each window partition is one chunk hash, ≤
-    * one row per containing doc), and the doc_id rollup. No join, so
-    * there is no skew-prone hash join on a hot boilerplate chunk, and
-    * document text never leaves the map side. */
+    * Scale shape (100 TB): chunking is map-only; the (h, doc_id) pair
+    * aggregation collapses same-doc repeats WITH map-side combine, and
+    * the corpus-frequency test is a partial count per hash filtered to
+    * `doc_freq >= threshold` — a SMALL set (only chunks shared by ≥3
+    * docs) that probes the pair table with a left-semi equi-join on h.
+    * The previous shape (count over Window.partitionBy(h)) handed a
+    * viral boilerplate chunk — the precise content this filter targets —
+    * one task and an unbounded window buffer; the aggregate + semi-join
+    * keeps the hot hash partial-combined and lets AQE skew-split the
+    * probe. The deduped pair table is localCheckpoint'd because three
+    * consumers read it (frequency agg, per-doc rollup, boiler probe);
+    * in a production pipeline it is the write-once derived table the
+    * funnel posture (p01) stores per corpus snapshot. Document text
+    * never leaves the map side — every shuffle row is (doc_id, 128-bit
+    * hash, count). */
   private val d15 = Q(
     "d15_boilerplate_chunks",
     (s, d) => {
@@ -1159,18 +1200,29 @@ object Dedup {
         sequence(lit(0), nCh - 1),
         i =>
           array_join(slice(w, i * ChunkWords + 1, lit(ChunkWords)), " "))
-      val freqW = Window.partitionBy(col("h"))
-      docs(s, d)
+      val pairs = docs(s, d)
         .select(col("doc_id"), explode(chunks).as("chunk"))
         .select(col("doc_id"), md5(col("chunk")).as("h"))
         .groupBy(col("h"), col("doc_id"))
         .agg(count(lit(1)).as("n_occ"))
-        .withColumn("doc_freq", count(lit(1)).over(freqW))
+        .localCheckpoint(true)
+      val boiler = pairs
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .filter(col("doc_freq") >= BoilerDocFreq)
+        .select(col("h"))
+      val perDoc = pairs
         .groupBy(col("doc_id"))
-        .agg(
-          sum(col("n_occ")).as("n_chunks"),
-          sum(when(col("doc_freq") >= BoilerDocFreq, col("n_occ"))
-            .otherwise(0L)).as("n_boiler_chunks"))
+        .agg(sum(col("n_occ")).as("n_chunks"))
+      val boilerPerDoc = pairs
+        .join(boiler, Seq("h"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_occ")).as("n_boiler_chunks"))
+      perDoc
+        .join(boilerPerDoc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_chunks"),
+          coalesce(col("n_boiler_chunks"), lit(0L)).as("n_boiler_chunks"))
         .select(
           col("doc_id"), col("n_chunks"), col("n_boiler_chunks"),
           expr("(n_chunks - n_boiler_chunks) * 1000000 div n_chunks")
@@ -1391,17 +1443,23 @@ object Dedup {
     *
     * Scale shape (100 TB): window hashing is map-only (array HOFs over
     * the split, text never leaves the map side — only (doc_id, pos,
-    * 128-bit md5) triples move). Cross-document detection is the d15
-    * no-join trick upgraded to keep positions: min≠max of doc_id over an
-    * h-partitioned window IS "appears in ≥2 distinct docs" — one shuffle
-    * on the hash, no self-join (so no skew-prone hot-chunk hash join and
-    * no candidate-pair blowup on boilerplate). Run merging is one
+    * 128-bit md5) triples move). Cross-document detection is partial
+    * aggregation + a filtered-hash-set semi-join: min≠max of doc_id per
+    * span hash IS "appears in ≥2 distinct docs", computed as a
+    * groupBy(h) aggregate (map-side combine — a viral boilerplate span,
+    * the exact content this detector targets, arrives at its reducer as
+    * one row per upstream partition instead of becoming a single-task
+    * multi-billion-row window buffer), filtered DOWN to the duplicated
+    * hashes only, then probed with a left-semi equi-join on h that AQE
+    * can broadcast or skew-split. The window stream is recomputed for
+    * the probe side rather than checkpointed — two map-only passes beat
+    * materializing a token-count-sized triple table. Run merging is one
     * doc_id-partitioned sort window (lag + running sum — the q106
     * sequence shape), and the final left join is doc_id-equi against the
-    * doc-id/count base. Three bounded shuffles total, all on fixed-width
-    * keys. A md5 birthday collision needs ~2^64 distinct windows —
-    * outside reach even at 100 TB (64-bit hashes would NOT be, which is
-    * why the span hash stays 128-bit). */
+    * doc-id/count base. All shuffles carry fixed-width keys. A md5
+    * birthday collision needs ~2^64 distinct windows — outside reach
+    * even at 100 TB (64-bit hashes would NOT be, which is why the span
+    * hash stays 128-bit). */
   private val d18 = Q(
     "d18_exact_substrings",
     (s, d) => {
@@ -1419,11 +1477,13 @@ object Dedup {
               sequence(lit(0), size(col("w")) - K),
               p => md5(array_join(slice(col("w"), p + 1, lit(K)), " "))))
             .as(Seq("pos", "h")))
-      val wh = Window.partitionBy(col("h"))
+      val dupHashes = wins
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx"))
+        .select(col("h"))
       val dups = wins
-        .withColumn("dup",
-          min(col("doc_id")).over(wh) =!= max(col("doc_id")).over(wh))
-        .filter(col("dup"))
+        .join(dupHashes, Seq("h"), "left_semi")
         .select(col("doc_id"), col("pos"))
       val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val runs = dups
