@@ -1060,14 +1060,20 @@ object TextAnalysis {
     * static overlap matrix and d14's dedup can't show, because both are
     * order-blind.
     *
-    * Scale shape (100 TB): four bounded fixed-key shuffles, no join —
-    * the bucket window partitions on source (the t18/t20 grid shape),
-    * novelty is the d15/d18 no-join trick (doc_id == min(doc_id) over
-    * the gram-hash window — first-occurrence without a self-join or a
-    * distinct-rollup join-back), and the rollup is the (source × 5)
-    * grid plus the one extra exchange its exact distinct-doc count
-    * pays. Grams reduce to md5 before the first exchange, so raw text
-    * never shuffles. */
+    * Scale shape (100 TB): the bucket window partitions on source (the
+    * t18/t20 grid shape), but global first-occurrence is PARTIAL
+    * AGGREGATION, never a gram-hash window: a min(doc_id) over
+    * Window.partitionBy(h) hands a stop-word bigram — present in
+    * essentially every document — ONE task and an unbounded window
+    * buffer at 100 TB. Instead `groupBy(h).agg(min(doc_id))` combines
+    * map-side (the hottest gram hash reaches its reducer as one row per
+    * upstream partition), and because each doc's grams are DISTINCT
+    * (wordNgrams dedups), "novel grams in this doc" is simply the count
+    * of hash-groups whose global min lands on it — so the join-back
+    * keys on near-unique doc_id, never on the gram hash, and the
+    * (source × 5) rollup closes the grid. Grams reduce to md5 before
+    * the first exchange, so raw text never shuffles; every shuffle row
+    * is a fixed-width (hash|doc_id|count) tuple. */
   private val t21 = Q(
     "t21_source_saturation",
     (s, d) => {
@@ -1078,18 +1084,23 @@ object TextAnalysis {
             .as("grams"))
         .filter(size(col("grams")) >= 1)
         .withColumn("bucket", ntile(5).over(bktW).cast("long"))
-      val gramW = Window.partitionBy(col("h"))
-      docs
-        .select(col("doc_id"), col("source"), col("bucket"),
-          explode(col("grams")).as("gram"))
-        .select(col("doc_id"), col("source"), col("bucket"),
-          md5(col("gram")).as("h"))
-        .withColumn("is_first", col("doc_id") === min(col("doc_id")).over(gramW))
+      val dims = docs.select(
+        col("doc_id"), col("source"), col("bucket"),
+        size(col("grams")).cast("long").as("n_grams_doc"))
+      val novelPerDoc = docs
+        .select(col("doc_id"), explode(col("grams")).as("gram"))
+        .select(col("doc_id"), md5(col("gram")).as("h"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_novel_doc"))
+      dims
+        .join(novelPerDoc, Seq("doc_id"), "left")
         .groupBy(col("source"), col("bucket"))
         .agg(
-          countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_grams"),
-          sum(when(col("is_first"), 1L).otherwise(0L)).as("n_novel"))
+          count(lit(1)).as("n_docs"),
+          sum(col("n_grams_doc")).as("n_grams"),
+          sum(coalesce(col("n_novel_doc"), lit(0L))).as("n_novel"))
         .select(col("source"), col("bucket"), col("n_docs"),
           col("n_grams"), col("n_novel"),
           expr("(1000000 * n_novel) div n_grams").as("novel_ppm"))

@@ -66,4 +66,22 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(expected.count(!_._5) > expected.count(_._5),
       "most delta docs should be new")
   }
+
+  test("the stored corpus band index serves exactly the rows a " +
+    "from-scratch recompute produces (stored ≡ recompute)") {
+    // d19's probe reads the write-once parquet index; the production
+    // claim is that storing signatures at ingest changes WHERE the rows
+    // live, never WHAT they are. Row-set equality (not just counts) —
+    // a drifted fixture version would silently change verdicts.
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, String)] =
+      df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSet
+    val stored = rows(Dedup.corpusBandIndexCached(spark, sf))
+    val fresh  = rows(Dedup.corpusBandIndex(spark, sf))
+    assert(stored.nonEmpty, "empty band index")
+    assert(stored === fresh,
+      s"stored index drifted: ${stored.diff(fresh).take(3)} vs " +
+        s"${fresh.diff(stored).take(3)}")
+  }
 }

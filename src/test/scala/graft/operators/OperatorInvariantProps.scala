@@ -297,6 +297,119 @@ object OperatorInvariantProps extends Properties("OperatorInvariants") {
       consistent && caught
     }
 
+  /** Adversarial-skew corpus: ONE 16-word boilerplate block opens EVERY
+    * document — the viral license-stub/empty-page shape whose chunk,
+    * span, and gram hashes each touch 100% of docs, i.e. the exact key
+    * a `Window.partitionBy(hash)` would buffer in ONE task. Even docs
+    * are EXACTLY the block (a corpus-wide exact-dup group, d01's worst
+    * case); odd docs append globally-unique filler. The property proves
+    * the partial-agg + join-back rewrites stay CORRECT under total key
+    * skew (the measured counterpart is ScaleRehearsal's skew mode). */
+  property("planted viral boilerplate in EVERY doc: d01/d14/d15/d18/t21 " +
+    "report the exact closed-form/reference answers under total skew") =
+    Prop.forAll(Gen.choose(0L, Long.MaxValue)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n   = 24 + rnd.nextInt(26)
+      var wc  = 0
+      def fresh(k: Int): Seq[String] =
+        (0 until k).map { _ => wc += 1; s"f$wc" }
+      val viral = (1 to 16).map(i => s"viral$i")
+      val corpus: Seq[(Long, Seq[String])] = (0 until n).map { i =>
+        if (i % 2 == 0) (i.toLong, viral)
+        else (i.toLong, viral ++ fresh(1 + rnd.nextInt(24)))
+      }
+      val dir  = Files.createTempDirectory("prop_skew").toString
+      val sqlc = spark
+      import sqlc.implicits._
+      corpus
+        .map { case (id, ws) =>
+          val t = ws.mkString(" ")
+          (id, t, "en", "gen", t.length.toLong)
+        }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      def run(q: String): Array[org.apache.spark.sql.Row] =
+        SparkEntry.queries(q)(spark, dir).collect()
+      val nEven = (n + 1) / 2
+      // d01: the even docs are one exact-dup group canonicalized to 0.
+      val d01ok = run("d01_dedup_exact").forall { r =>
+        val (id, canon, size, dup) =
+          (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4))
+        if (id % 2 == 0) canon == 0L && size == nEven.toLong && (dup == (id != 0L))
+        else canon == id && size == 1L && !dup
+      }
+      // Closed forms: every doc's chunk 0 is the viral block (first
+      // occurrence: doc 0); all other chunks are globally unique.
+      def chunksOf(id: Long): Int =
+        math.ceil(corpus(id.toInt)._2.length / 16.0).toInt
+      val d14ok = run("d14_paragraph_dedup").forall { r =>
+        val (id, nc, dup, ppm) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        val c = chunksOf(id)
+        nc == c.toLong && dup == (if (id == 0L) 0L else 1L) &&
+          ppm == (nc - dup) * 1000000L / nc
+      }
+      // d15 removes the viral chunk from EVERY doc, doc 0 included
+      // (doc_freq = n >= BoilerDocFreq).
+      val d15ok = run("d15_boilerplate_chunks").forall { r =>
+        val (id, nc, boiler, ppm) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        nc == chunksOf(id).toLong && boiler == 1L &&
+          ppm == (nc - 1L) * 1000000L / nc
+      }
+      // d18: the 6-word windows at positions 0..10 (inside the block)
+      // collide across ALL docs; any window touching position >= 16
+      // contains a globally-unique filler word. One maximal run of
+      // length 10 + 6 = 16 per doc.
+      val d18ok = run("d18_exact_substrings").forall { r =>
+        val (id, nt, runs, dupT, longest, ppm) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5))
+        nt == corpus(id.toInt)._2.length.toLong &&
+          runs == 1L && dupT == 16L && longest == 16L &&
+          ppm == 16L * 1000000L / nt
+      }
+      // t21 reference: recompute ntile buckets + global first-occurrence
+      // novelty in memory over the same distinct-bigram definition.
+      val grams = corpus.map { case (id, ws) =>
+        id -> ws.sliding(2).map(_.mkString(" ")).toSeq.distinct
+      }
+      val firstDoc = grams
+        .flatMap { case (id, gs) => gs.map(_ -> id) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+      val q = n / 5
+      val rem = n % 5
+      def bucketOf(rank: Int): Long = { // rank = 0-based position by doc_id
+        var b = 1; var consumed = 0
+        while (consumed + q + (if (b <= rem) 1 else 0) <= rank) {
+          consumed += q + (if (b <= rem) 1 else 0); b += 1
+        }
+        b.toLong
+      }
+      val expT21 = corpus.indices
+        .map { i =>
+          val id = corpus(i)._1
+          val gs = grams(i)._2
+          (bucketOf(i), gs.size.toLong,
+            gs.count(g => firstDoc(g) == id).toLong)
+        }
+        .groupBy(_._1)
+        .map { case (b, xs) =>
+          val ng = xs.map(_._2).sum
+          val nv = xs.map(_._3).sum
+          (b, (xs.size.toLong, ng, nv, 1000000L * nv / ng))
+        }
+      val t21ok = {
+        val got = run("t21_source_saturation").map { r =>
+          (r.getLong(1),
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        }.toMap
+        got == expT21
+      }
+      d01ok && d14ok && d15ok && d18ok && t21ok
+    }
+
   /** Random L2-normalized 64-dim embedding corpus in the fixture schema
     * (vec_id 0 is the query; int32 labels play the IVF cell role).
     * Small label counts and small corpora deliberately exercise the

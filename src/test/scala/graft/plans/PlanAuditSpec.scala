@@ -303,26 +303,63 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the rank window to shuffle on source:\n$exec")
   }
 
-  test("d14: chunk dedup is window-rank over the chunk hash — no join " +
-    "of any kind in the plan") {
-    val p = plan("d14_paragraph_dedup")
-    assert(!p.contains("Join"), s"chunk dedup must not self-join:\n$p")
-    assert(p.contains("Window"), p)
-    // Chunking is map-only: exactly one Generate (the chunk explode),
-    // fed straight from the scan projection.
-    assert("Generate explode".r.findAllIn(p).size == 1, p)
+  test("d14: chunk dedup is partial aggregation over the stored pair " +
+    "table + a doc_id join-back — no window (a viral chunk hash must " +
+    "map-side combine, never buffer in one task)") {
+    val exec = SparkEntry.queries("d14_paragraph_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // The old shape — row_number over Window.partitionBy(h) — gave the
+    // hottest chunk hash ONE task; it must never come back.
+    assert(!exec.contains("Window"), s"hot-key window returned:\n$exec")
+    // First-occurrence = min(doc_id) per hash with map-side combine, as
+    // a plain HashAggregate (the struct-min form planned SortAggregate).
+    assert(exec.contains("partial_min"),
+      s"first-occurrence lost its map-side combine:\n$exec")
+    assert(!exec.contains("SortAggregate"),
+      s"first-occurrence fell back to SortAggregate:\n$exec")
+    // Joins key on near-unique doc_id only — never on the chunk hash
+    // (an equi-join keyed on h would hand a viral chunk a hot key).
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"), exec)
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[doc_id"
+      .r.findFirstIn(exec).isDefined,
+      s"expected the doc_id-keyed join-back:\n$exec")
+    assert(!"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[h#"
+      .r.findFirstIn(exec).isDefined,
+      s"a join keys on the chunk hash:\n$exec")
+    // The stored pair table is pre-chunked: no explode, no text column
+    // anywhere in the query's own plan, fixed-width shuffle rows only.
+    assert(!exec.contains("Generate"), s"re-chunking in the query:\n$exec")
+    val shuffles = "hashpartitioning\\([a-z_, #0-9L]+\\)".r
+      .findAllIn(exec).toSeq
+    assert(shuffles.nonEmpty &&
+      shuffles.forall(s => !s.contains("chunk") && !s.contains("text")),
+      s"an exchange carries chunk text:\n$exec")
   }
 
-  test("d15: boilerplate filter is pair-agg + count window + rollup — " +
-    "no join (no hot-chunk skew join), text never shuffles") {
-    val p = plan("d15_boilerplate_chunks")
-    assert(!p.contains("Join"), s"boilerplate filter must not join:\n$p")
-    assert(p.contains("Window"), p)
-    assert("Generate explode".r.findAllIn(p).size == 1, p)
+  test("d15: boilerplate filter is pair-agg + filtered-hash semi-join " +
+    "over the stored pair table — no window, no hash-window buffer, " +
+    "text never shuffles") {
     val exec = SparkEntry.queries("d15_boilerplate_chunks")(spark, sf)
       .queryExecution.executedPlan.toString
-    // The chunk text reduces to its md5 before the first exchange: no
-    // exchange row carries a raw chunk or the document text.
+    // The old shape — count over Window.partitionBy(h) — buffered a
+    // viral boilerplate chunk in one task; it must never come back.
+    assert(!exec.contains("Window"), s"hot-key window returned:\n$exec")
+    // Corpus frequency = map-side-combined count per hash, filtered to
+    // the small boiler set, probed with a left-semi equi-join on h that
+    // AQE can broadcast or skew-split; the rollup joins on doc_id.
+    assert(exec.contains("partial_count"),
+      s"doc-frequency lost its map-side combine:\n$exec")
+    assert(exec.contains("LeftSemi"),
+      s"expected the boiler-set semi-join probe:\n$exec")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[doc_id"
+      .r.findFirstIn(exec).isDefined,
+      s"expected the doc_id-keyed rollup join:\n$exec")
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"), exec)
+    // The stored pair table is pre-chunked: no explode in the query,
+    // and no exchange row carries a raw chunk or the document text.
+    assert(!exec.contains("Generate"), s"re-chunking in the query:\n$exec")
     val shuffles = "hashpartitioning\\([a-z_, #0-9L]+\\)".r
       .findAllIn(exec).toSeq
     assert(shuffles.nonEmpty &&
@@ -651,19 +688,28 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("d18: sliding-window substring dedup detects cross-doc spans " +
-    "with NO self-join (min≠max over the hash window), and no exchange " +
-    "carries window text or the document") {
+    "with NO self-join — partial min/max per span hash + a filtered " +
+    "semi-join probe — and no exchange carries window text") {
     val exec = SparkEntry.queries("d18_exact_substrings")(spark, sf)
       .queryExecution.executedPlan.toString
-    // One posexplode generates the window stream; the only join is the
-    // final doc_id-equi left join against the per-doc token base — the
-    // candidate-pair self-join a naive substring dedup would do (and
-    // that a hot boilerplate span turns quadratic) must not exist.
-    assert("Generate posexplode".r.findAllIn(exec).size == 1, exec)
+    // Two posexplodes: the window stream is recomputed for the probe
+    // side (two map-only passes beat materializing a token-count-sized
+    // triple table). The candidate-pair self-join a naive substring
+    // dedup would do (quadratic on a hot boilerplate span) must not
+    // exist, and neither may the old min/max-over-Window.partitionBy(h)
+    // shape, which buffered a viral span hash in one task.
+    assert("Generate posexplode".r.findAllIn(exec).size == 2, exec)
+    assert(exec.contains("partial_min") && exec.contains("partial_max"),
+      s"cross-doc test lost its map-side combine:\n$exec")
+    assert(exec.contains("LeftSemi"),
+      s"expected the duplicated-hash semi-join probe:\n$exec")
     assert(!exec.contains("BroadcastNestedLoopJoin") &&
       !exec.contains("CartesianProduct"), exec)
-    assert("Join \\[?doc_id|Join doc_id|(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[doc_id"
-      .r.findAllIn(exec).size <= 1, s"more than the base equi-join:\n$exec")
+    // Windows are allowed only for the doc_id-partitioned run merge —
+    // never partitioned on the span hash.
+    assert(exec.linesIterator.filter(_.contains("Window"))
+      .forall(l => !l.contains("[h#")),
+      s"a window partitions on the span hash:\n$exec")
     // Window text reduces to its md5 before the first exchange: no
     // shuffle row carries a raw span or the document text.
     val shuffles = "hashpartitioning\\([a-z_, #0-9L]+\\)".r
@@ -683,9 +729,12 @@ class PlanAuditSpec extends SparkSpec {
     // The probe join keys on band_val (the bucket key) — the shape that
     // keeps per-increment cost ∝ delta and lets AQE handle a hot bucket.
     assert(exec.contains("band_val"), s"no band-keyed probe join:\n$exec")
-    // One band explode per side (delta probe + corpus index derivation;
-    // at production the corpus side is a stored table, not a recompute).
-    assert("Generate posexplode".r.findAllIn(exec).size == 2, exec)
+    // Exactly ONE band explode — the delta probe's. The corpus side is
+    // the stored band-index fixture (a parquet scan), so the query's own
+    // cost is ∝ delta, which is what an increment pipeline pays per day.
+    assert("Generate posexplode".r.findAllIn(exec).size == 1, exec)
+    assert(exec.contains("graft_corpus_band_index"),
+      s"corpus side is not the stored index:\n$exec")
   }
 
   test("s16: every ranking leg reduces to a 10-row TakeOrdered cut " +
@@ -697,11 +746,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exec.contains("CartesianProduct"), exec)
   }
 
-  test("t21: the saturation curve is three bounded shuffles, no join — " +
-    "and grams reduce to md5 before any exchange") {
+  test("t21: first-occurrence novelty is partial aggregation per gram " +
+    "hash + a doc_id join-back — the only window is the per-source " +
+    "ntile, never one partitioned on the gram hash") {
     val exec = SparkEntry.queries("t21_source_saturation")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(!exec.contains("Join"), s"saturation must not join:\n$exec")
+    // The old shape — min(doc_id) over Window.partitionBy(h) — handed a
+    // stop-word bigram (present in ~every document) ONE task; the
+    // rewrite combines map-side and joins back on near-unique doc_id.
+    assert(exec.contains("partial_min"),
+      s"novelty test lost its map-side combine:\n$exec")
+    assert(exec.linesIterator.filter(_.contains("Window"))
+      .forall(l => !l.contains("[h#")),
+      s"a window partitions on the gram hash:\n$exec")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[doc_id"
+      .r.findFirstIn(exec).isDefined,
+      s"expected the doc_id-keyed join-back:\n$exec")
+    assert(!"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[h#"
+      .r.findFirstIn(exec).isDefined,
+      s"a join keys on the gram hash:\n$exec")
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"), exec)
     val shuffles = "hashpartitioning\\([a-z_, #0-9L]+\\)".r
       .findAllIn(exec).toSeq
     assert(shuffles.nonEmpty &&
