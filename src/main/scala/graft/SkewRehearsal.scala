@@ -32,6 +32,12 @@ object SkewRehearsal {
   def main(args: Array[String]): Unit = {
     val src  = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out  = args.lift(1).getOrElse("target/skew01")
+    // Viral MASS multiplier: the block is repeated R times at the head
+    // of every doc. Identical blocks collapse to ONE chunk hash (and a
+    // handful of cyclic span/gram hashes), so the hot key's row count is
+    // R × corpus — the knob that makes a single-task window buffer grow
+    // past what a bench-scale corpus alone can demonstrate.
+    val viralRepeats = args.lift(2).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,7 +48,8 @@ object SkewRehearsal {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- skewed corpus: viral prefix on EVERY doc + exact-dup clones
-    val viral = (1 to 16).map(i => s"viralword$i").mkString(" ")
+    val viral = Seq.fill(viralRepeats)(
+      (1 to 16).map(i => s"viralword$i").mkString(" ")).mkString(" ")
     val ready = new java.io.File(out, "_READY")
     if (!ready.exists()) {
       new java.io.File(out).mkdirs()
@@ -86,8 +93,11 @@ object SkewRehearsal {
       ((System.nanoTime() - t0) / 1e9, df)
     }
     def fingerprint(df: DataFrame): (Long, Long) = {
+      // Order-invariant row-set fingerprint; XOR (not sum) because a
+      // long sum of 2^63-range hashes overflows under ANSI mode.
       val cols = df.columns.map(col)
-      val r = df.agg(count(lit(1)), sum(xxhash64(cols: _*))).head()
+      val r = df.select(xxhash64(cols: _*).as("rh"))
+        .agg(count(lit(1)), expr("bit_xor(rh)")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
@@ -213,15 +223,22 @@ object SkewRehearsal {
 
     val fmt = (v: Double) => "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val lines = ops.map { case (name, windowShape) =>
-      clearFixtures() // rewrite pays its fixture build inside the timing
+      // Unbilled warm pass per shape first (first-run codegen/JIT would
+      // otherwise be billed to whichever shape runs first), then the
+      // billed run — the rewrite's write-once fixture is cleared before
+      // BOTH of its runs so its build cost stays inside the timing.
+      clearFixtures()
+      timed(SparkEntry.queries(name)(spark, out))
+      clearFixtures()
       val (tRewrite, dfR) = timed(SparkEntry.queries(name)(spark, out))
-      val (tWindow, dfW)  = timed(windowShape())
+      timed(windowShape())
+      val (tWindow, dfW) = timed(windowShape())
       val same = fingerprint(dfR) == fingerprint(dfW)
       println(s"[skew] $name rewrite ${fmt(tRewrite)} s / " +
         s"window ${fmt(tWindow)} s / equal=$same")
       s""""$name":{"rewrite":${fmt(tRewrite)},"window":${fmt(tWindow)},"equal":$same}"""
     }
-    println(s"""{"metric":"skew_rehearsal","src":"$src","out":"$out","ops":{${lines.mkString(",")}}}""")
+    println(s"""{"metric":"skew_rehearsal","src":"$src","out":"$out","viral_repeats":$viralRepeats,"ops":{${lines.mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stage-isolated hot-key demonstration — the measured half of the
+  * hash-window removal story that SkewRehearsal's end-to-end timings
+  * cannot show cleanly (there the shared chunk-explode + md5 scan
+  * dominates both shapes). This main materializes the raw
+  * (doc_id, chunk-hash) stream of a planted-skew corpus ONCE as
+  * parquet, then times ONLY the global first-occurrence stage over it,
+  * two ways on identical input:
+  *
+  *   - window:  row_number() OVER (PARTITION BY h ORDER BY doc_id)
+  *     — the r12-era shape: every row of the hot hash lands in ONE
+  *     task's sort buffer, so the stage's wall clock grows with the
+  *     hot key's row count regardless of cluster size;
+  *   - partial: groupBy(h).agg(min(doc_id)) — map-side combine hands
+  *     the reducer one row per upstream partition, so the stage stays
+  *     flat as the hot key grows.
+  *
+  * Both reduce to the same per-doc first-occurrence counts (asserted).
+  * Usage: sbt "runMain graft.SkewStage target/skew1x64"
+  * (build the corpus with SkewRehearsal first; its viral-repeats knob
+  * controls the hot key's share of the stream).
+  */
+object SkewStage {
+
+  def main(args: Array[String]): Unit = {
+    val corpus = args.lift(0).getOrElse("target/skew1x64")
+    val cpus   = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ChunkWords = 16
+    // `synthetic:N:H` skips the corpus and generates the stream
+    // directly: N rows over N/8 docs, H of them carrying ONE hash — the
+    // 100 TB thought experiment made runnable (a corpus big enough to
+    // hand the window a 10^8-row hot key does not fit this machine, but
+    // the STAGE's input does).
+    val stream: DataFrame =
+      if (corpus.startsWith("synthetic:")) {
+        val parts = corpus.split(":")
+        val n     = parts(1).toLong
+        val h     = parts(2).toLong
+        // Materialized once: the generator's 10^8 md5 calls must not be
+        // re-billed to every timed pass — the stage reads parquet, as
+        // the production operator reads the stored chunk table.
+        val path = s"target/_skew_stream_${n}_$h.parquet"
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          spark.range(n)
+            .select((col("id") % (n / 8)).as("doc_id"),
+              when(col("id") < h, lit("viralhash_viralhash_viralhash_vi"))
+                .otherwise(md5(col("id").cast("string"))).as("h"))
+            .write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      } else {
+        val triplesPath = s"$corpus/_chunk_stream.parquet"
+        if (!new java.io.File(triplesPath, "_SUCCESS").exists()) {
+          val w   = split(col("text"), " ")
+          val nCh = ceil(size(w) / lit(ChunkWords.toDouble)).cast("int")
+          val chunks = transform(sequence(lit(0), nCh - 1),
+            i => array_join(slice(w, i * ChunkWords + 1, lit(ChunkWords)), " "))
+          spark.read.parquet(s"$corpus/documents.parquet")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select(col("doc_id"), explode(chunks).as("chunk"))
+            .select(col("doc_id"), md5(col("chunk")).as("h"))
+            .write.mode("overwrite").parquet(triplesPath)
+        }
+        spark.read.parquet(triplesPath)
+      }
+    val total  = stream.count()
+    val hot = stream.groupBy(col("h")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    println(s"[stage] stream rows=$total hottest-key rows=$hot " +
+      s"(${100L * hot / total}% of the stream)")
+
+    def firstViaWindow: DataFrame = {
+      val hw = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      stream.withColumn("rk", row_number().over(hw))
+        .filter(col("rk") === 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_first"))
+    }
+    def firstViaPartialAgg: DataFrame =
+      stream.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_first"))
+
+    def timed(name: String)(body: => DataFrame): Double = {
+      body.write.format("noop").mode("overwrite").save() // warm: JIT/codegen
+      val t0 = System.nanoTime()
+      body.write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(s"[stage] $name ${"%.2f".formatLocal(java.util.Locale.ROOT, t)} s")
+      t
+    }
+    val tAgg = timed("partial-agg")(firstViaPartialAgg)
+    val tWin = timed("window")(firstViaWindow)
+    def fp(df: DataFrame): (Long, Long) = {
+      val r = df.select(xxhash64(col("doc_id"), col("n_first")).as("rh"))
+        .agg(count(lit(1)), expr("bit_xor(rh)")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val same = fp(firstViaPartialAgg) == fp(firstViaWindow)
+    val fmt = (v: Double) => "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    println(s"""{"metric":"skew_stage","corpus":"$corpus","rows":$total,"hot_rows":$hot,"partial_agg":${fmt(tAgg)},"window":${fmt(tWin)},"equal":$same}""")
+    spark.stop()
+  }
+}
