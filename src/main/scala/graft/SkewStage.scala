@@ -75,9 +75,15 @@ object SkewStage {
         }
         spark.read.parquet(triplesPath)
       }
-    val total  = stream.count()
-    val hot = stream.groupBy(col("h")).count()
-      .agg(max(col("count"))).head().getLong(0)
+    val total = stream.count() // parquet footer counts — cheap at any N
+    // Hottest-key census: in synthetic mode the answer is the H
+    // parameter by construction — a groupBy over ~N distinct md5
+    // strings exists only to MEASURE a corpus, and at N=2e8 it is
+    // itself a multi-GB aggregation worth skipping.
+    val hot =
+      if (corpus.startsWith("synthetic:")) corpus.split(":")(2).toLong
+      else stream.groupBy(col("h")).count()
+        .agg(max(col("count"))).head().getLong(0)
     println(s"[stage] stream rows=$total hottest-key rows=$hot " +
       s"(${100L * hot / total}% of the stream)")
 
@@ -91,22 +97,26 @@ object SkewStage {
       stream.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_first"))
 
-    def timed(name: String)(body: => DataFrame): Double = {
-      body.write.format("noop").mode("overwrite").save() // warm: JIT/codegen
-      val t0 = System.nanoTime()
-      body.write.format("noop").mode("overwrite").save()
-      val t = (System.nanoTime() - t0) / 1e9
-      println(s"[stage] $name ${"%.2f".formatLocal(java.util.Locale.ROOT, t)} s")
-      t
-    }
-    val tAgg = timed("partial-agg")(firstViaPartialAgg)
-    val tWin = timed("window")(firstViaWindow)
+    // The billed action IS the order-invariant fingerprint aggregate —
+    // one full execution yields both the timing and the row-set hash
+    // (a separate equality pass would re-run the expensive shape).
     def fp(df: DataFrame): (Long, Long) = {
       val r = df.select(xxhash64(col("doc_id"), col("n_first")).as("rh"))
         .agg(count(lit(1)), expr("bit_xor(rh)")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    val same = fp(firstViaPartialAgg) == fp(firstViaWindow)
+    def timed(name: String)(body: => DataFrame): (Double, (Long, Long)) = {
+      val t0 = System.nanoTime()
+      val f  = fp(body)
+      val t  = (System.nanoTime() - t0) / 1e9
+      println(s"[stage] $name ${"%.2f".formatLocal(java.util.Locale.ROOT, t)} s")
+      (t, f)
+    }
+    // Cheap warm pass (JIT/codegen/page cache) before either billed run.
+    firstViaPartialAgg.write.format("noop").mode("overwrite").save()
+    val (tAgg, fpAgg) = timed("partial-agg")(firstViaPartialAgg)
+    val (tWin, fpWin) = timed("window")(firstViaWindow)
+    val same = fpAgg == fpWin
     val fmt = (v: Double) => "%.2f".formatLocal(java.util.Locale.ROOT, v)
     println(s"""{"metric":"skew_stage","corpus":"$corpus","rows":$total,"hot_rows":$hot,"partial_agg":${fmt(tAgg)},"window":${fmt(tWin)},"equal":$same}""")
     spark.stop()
