@@ -38,6 +38,12 @@ object SkewRehearsal {
     // R × corpus — the knob that makes a single-task window buffer grow
     // past what a bench-scale corpus alone can demonstrate.
     val viralRepeats = args.lift(2).map(_.toInt).getOrElse(1)
+    // `prewarm` as arg 3: bill the rewrites' READ pass only (the
+    // write-once fixtures stay warm between runs) — the amortized
+    // production posture, where chunking/banding 100 TB happens once
+    // per corpus snapshot at ingest. Default bills total work per
+    // shape (fixtures cleared before every rewrite run).
+    val prewarmFixtures = args.lift(3).contains("prewarm")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -227,9 +233,9 @@ object SkewRehearsal {
       // otherwise be billed to whichever shape runs first), then the
       // billed run — the rewrite's write-once fixture is cleared before
       // BOTH of its runs so its build cost stays inside the timing.
-      clearFixtures()
+      if (!prewarmFixtures) clearFixtures()
       timed(SparkEntry.queries(name)(spark, out))
-      clearFixtures()
+      if (!prewarmFixtures) clearFixtures()
       val (tRewrite, dfR) = timed(SparkEntry.queries(name)(spark, out))
       timed(windowShape())
       val (tWindow, dfW) = timed(windowShape())
@@ -238,7 +244,7 @@ object SkewRehearsal {
         s"window ${fmt(tWindow)} s / equal=$same")
       s""""$name":{"rewrite":${fmt(tRewrite)},"window":${fmt(tWindow)},"equal":$same}"""
     }
-    println(s"""{"metric":"skew_rehearsal","src":"$src","out":"$out","viral_repeats":$viralRepeats,"ops":{${lines.mkString(",")}}}""")
+    println(s"""{"metric":"skew_rehearsal","src":"$src","out":"$out","viral_repeats":$viralRepeats,"prewarm":$prewarmFixtures,"ops":{${lines.mkString(",")}}}""")
     spark.stop()
   }
 }
