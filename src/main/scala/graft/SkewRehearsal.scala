@@ -220,8 +220,37 @@ object SkewRehearsal {
         .orderBy(col("source"), col("bucket"))
     }
 
+    // d10's r13-era shape: row_number over Window.partitionBy(cluster_id).
+    // The ~10% clone block is ONE cluster, so that window hands one task
+    // the whole clone set. Both shapes share the memoized cluster-label
+    // fixpoint (computed once per session+dir on the warm pass), so the
+    // billed delta isolates window-vs-partial-agg on the survivor step
+    // itself — the label fixpoint is common cost, like the prewarmed
+    // chunk fixtures under `prewarm`.
+    def d10Window: DataFrame = {
+      val labeled = operators.Dedup.clusterLabels(spark, out)
+        .join(Tables.documents(spark, out)
+          .select(col("doc_id"), col("n_chars")), "doc_id")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      labeled
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(
+          count(lit(1)).as("cluster_size"),
+          sum(when(col("rk") === 1, col("doc_id"))).as("survivor_id"),
+          sum(when(col("rk") === 1, col("n_chars"))).as("survivor_chars"),
+          coalesce(sum(when(col("rk") > 1, col("doc_id"))), lit(0L))
+            .as("dropped_id_sum"),
+          coalesce(sum(when(col("rk") > 1, col("n_chars"))), lit(0L))
+            .as("dropped_chars_sum"))
+        .filter(col("cluster_size") >= 2)
+        .orderBy(col("cluster_id"))
+    }
+
     val ops: Seq[(String, () => DataFrame)] = Seq(
       "d01_dedup_exact"     -> (() => d01Window),
+      "d10_dedup_survivors" -> (() => d10Window),
       "d14_paragraph_dedup" -> (() => d14Window),
       "d15_boilerplate_chunks" -> (() => d15Window),
       "d18_exact_substrings" -> (() => d18Window),

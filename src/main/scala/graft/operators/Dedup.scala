@@ -396,7 +396,7 @@ object Dedup {
   private val clusterCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), (DataFrame, Set[Int])]
 
-  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame =
+  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame =
     clusterCache.synchronized {
       // Evict entries for stopped sessions on every lookup: a stale
       // entry strongly retains the dead session and its DataFrame
@@ -503,6 +503,39 @@ object Dedup {
       ORDER BY c.doc_id"""),
   )
 
+  /** Per-cluster survivor frame shared by d10 and the pipeline funnel
+    * (Pipeline.stageFrame): one row per cluster with the keep-longest
+    * pick and the exact member rollups. The survivor — longest `n_chars`,
+    * ties to the LOWEST doc_id — is the lexicographic MAX of
+    * `struct(n_chars, -doc_id, doc_id)`, computed as a plain aggregate
+    * with map-side partial combine.
+    *
+    * Scale shape (100 TB): this used to be `row_number() over
+    * Window.partitionBy(cluster_id)` — but a viral exact-duplicate page
+    * (d01's hot group) forms ONE cluster holding every copy, so the
+    * window handed that cluster_id a single task buffering millions of
+    * rows: the same hot-key cliff the d14/d15/d18/t21 rewrites removed,
+    * keyed by cluster label instead of content hash. The struct-max
+    * aggregate partial-combines (the viral cluster reaches its reducer
+    * as one row per upstream partition); the struct buffer plans
+    * SortAggregate/ObjectHashAggregate rather than HashAggregate, which
+    * keeps the partial combine — the property that matters. Dropped-set
+    * rollups are subtractions from total sums, so no second pass and no
+    * per-member rank is ever materialized. */
+  private[operators] def clusterSurvivors(
+      s: SparkSession, d: String): DataFrame =
+    clusterLabels(s, d)
+      .join(T.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        max(struct(
+          col("n_chars"),
+          (-col("doc_id")).as("neg_id"),
+          col("doc_id"))).as("best"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("chars_sum"))
+
   /** Survivor selection — the step that turns d07's cluster assignment
     * into a deduplicated corpus: within each multi-document cluster keep
     * exactly one representative (the longest document by `n_chars`, ties
@@ -513,32 +546,23 @@ object Dedup {
     * under the hash gate without emitting every member row.
     *
     * Scale shape: reuses the memoized cluster labels (the fixpoint runs
-    * once per session), then one broadcast-sized join back to the
-    * documents table on doc_id and one window + aggregate over
-    * cluster_id — at 100 TB that is a single shuffle on the cluster key,
-    * and cluster cardinality is tiny relative to the corpus (only docs in
-    * multi-member clusters carry weight). */
+    * once per session), one doc_id equi-join to the documents table, and
+    * ONE partial-combining aggregate over cluster_id
+    * ([[clusterSurvivors]] — no window: a viral duplicate page's cluster
+    * must map-side combine, never buffer in a single task). */
   private val d10 = Q(
     "d10_dedup_survivors",
-    (s, d) => {
-      val labeled = clusterLabels(s, d)
-        .join(T.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
-      val w = Window.partitionBy(col("cluster_id"))
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      labeled
-        .withColumn("rk", row_number().over(w))
-        .groupBy(col("cluster_id"))
-        .agg(
-          count(lit(1)).as("cluster_size"),
-          sum(when(col("rk") === 1, col("doc_id"))).as("survivor_id"),
-          sum(when(col("rk") === 1, col("n_chars"))).as("survivor_chars"),
-          coalesce(sum(when(col("rk") > 1, col("doc_id"))), lit(0L))
-            .as("dropped_id_sum"),
-          coalesce(sum(when(col("rk") > 1, col("n_chars"))), lit(0L))
-            .as("dropped_chars_sum"))
+    (s, d) =>
+      clusterSurvivors(s, d)
         .filter(col("cluster_size") >= 2)
-        .orderBy(col("cluster_id"))
-    },
+        .select(
+          col("cluster_id"),
+          col("cluster_size"),
+          col("best.doc_id").as("survivor_id"),
+          col("best.n_chars").as("survivor_chars"),
+          (col("id_sum") - col("best.doc_id")).as("dropped_id_sum"),
+          (col("chars_sum") - col("best.n_chars")).as("dropped_chars_sum"))
+        .orderBy(col("cluster_id")),
     Some(s"""
       WITH RECURSIVE $clustersCteSql,
       ranked AS (

@@ -43,13 +43,18 @@ object Pipeline {
         "(2 * (8000 * least(nw, 50) * 8 * nw + 2400000 * nstop" +
           " + 300000 * least(m, 8 * nw)) + 8 * nw) div (2 * 8 * nw)"))
     // d10's dropped set: non-survivor members of multi-doc clusters.
-    val labeled = Dedup.clusterLabels(s, d)
-      .join(T.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    val dupDropped = labeled
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") > 1)
+    // Survivor per cluster from the shared partial-combining aggregate
+    // (Dedup.clusterSurvivors — no cluster_id window: a viral duplicate
+    // page's cluster must never buffer in one task), then members
+    // join back on cluster_id and keep everything but the survivor.
+    // The join's hot key (that same viral cluster) is a plain equi-join
+    // AQE can skew-split — the campaign's standard join-back posture.
+    val survivors = Dedup.clusterSurvivors(s, d)
+      .filter(col("cluster_size") >= 2)
+      .select(col("cluster_id"), col("best.doc_id").as("survivor_id"))
+    val dupDropped = Dedup.clusterLabels(s, d)
+      .join(survivors, Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("survivor_id"))
       .select(col("doc_id"), lit(true).as("dup_dropped"))
     // d09's contaminated set: ≥ 3 distinct trigrams shared with the
     // held-out probe slice (doc_id % 100 = 7).

@@ -1502,13 +1502,18 @@ object Relational {
     * exact id sum, value sum) pins the exact selected row set under the
     * hash gate without emitting 500 sampled rows.
     *
-    * Scale shape: one window shuffle on the stratum key (same posture as
-    * q08's per-group top-k; for a handful of giant strata the custom
-    * bounded-heap plan of q33 is the drop-in upgrade — rank-by-hash is
-    * just top-k with a hash sort key). */
+    * Scale shape: rank-by-hash is just top-k with a hash sort key, so
+    * the q64 optimizer rewrite applies verbatim: registering it turns
+    * the textbook window formulation below into q33's bounded-heap
+    * TopKPerGroup plan — no per-stratum WindowExec sort, the shuffle
+    * carries ≤ partitions·strata·100 rows, and a 95%-click stratum
+    * (event_type is LOW cardinality, so every stratum is a hot key)
+    * heap-folds map-side instead of buffering its billions of rows in
+    * the single task `Window.partitionBy(event_type)` would give it. */
   private val q57 = Q(
     "q57_sample_stratified",
     (s, d) => {
+      graft.plans.TopK.registerRewrite(s)
       val w = Window.partitionBy(col("event_type"))
         .orderBy(md5(col("event_id").cast("string")), col("event_id"))
       T.events(s, d)

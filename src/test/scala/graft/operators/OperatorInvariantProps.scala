@@ -407,7 +407,37 @@ object OperatorInvariantProps extends Properties("OperatorInvariants") {
         }.toMap
         got == expT21
       }
-      d01ok && d14ok && d15ok && d18ok && t21ok
+      // d10 under total skew: the even docs form ONE viral exact-dup
+      // cluster (the shape whose cluster_id window buffered every copy
+      // in one task before the clusterSurvivors rewrite). Reference:
+      // recompute keep-longest per cluster in memory from the engine's
+      // own labels, so the check is robust to d07's edge semantics on
+      // the odd (viral-prefixed but unique-tailed) docs.
+      val labels = Dedup.clusterLabels(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nchars = corpus.map { case (id, ws) =>
+        id -> ws.mkString(" ").length.toLong
+      }.toMap
+      val byCluster = labels.groupBy(_._2).map { case (cid, m) =>
+        cid -> m.keys.toSeq.sorted
+      }
+      val evenOneCluster =
+        (0 until n by 2).map(i => labels(i.toLong)).distinct.size == 1
+      val expD10 = byCluster.filter(_._2.size >= 2).map {
+        case (cid, members) =>
+          val surv = members.maxBy(id => (nchars(id), -id))
+          cid -> (members.size.toLong, surv, nchars(surv),
+            members.filter(_ != surv).sum,
+            members.filter(_ != surv).map(nchars).sum)
+      }
+      val d10ok = evenOneCluster && {
+        val got = run("d10_dedup_survivors").map { r =>
+          r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5))
+        }.toMap
+        got == expD10
+      }
+      d01ok && d14ok && d15ok && d18ok && t21ok && d10ok
     }
 
   /** Random L2-normalized 64-dim embedding corpus in the fixture schema

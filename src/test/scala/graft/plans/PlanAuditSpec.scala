@@ -197,6 +197,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"WindowExec survived the rewrite:\n$p")
   }
 
+  test("q57: the stratified hash-rank sample plans as the bounded-heap " +
+    "TopKPerGroup — event_type strata are hot keys, so the per-stratum " +
+    "sort must never run in a WindowExec task") {
+    val p = plan("q57_sample_stratified")
+    assert(p.contains("TopKPerGroup"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window"), s"WindowExec survived the rewrite:\n$p")
+  }
+
   test("d09: the probe gram set broadcasts — the corpus is never " +
     "shuffled to meet a benchmark-sized table") {
     val p = plan("d09_decontamination")
@@ -365,6 +373,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles.nonEmpty &&
       shuffles.forall(s => !s.contains("chunk") && !s.contains("text")),
       s"an exchange carries chunk text:\n$exec")
+  }
+
+  test("d10: survivor selection is ONE partial-combining aggregate over " +
+    "cluster_id — no window (a viral duplicate page's cluster must " +
+    "map-side combine, never buffer in one task)") {
+    val exec = SparkEntry.queries("d10_dedup_survivors")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // The old shape — row_number over Window.partitionBy(cluster_id) —
+    // handed the viral exact-duplicate cluster ONE task buffering every
+    // member row; it must never come back.
+    assert(!exec.contains("Window"), s"hot-key window returned:\n$exec")
+    // Keep-longest = max(struct(n_chars, -doc_id, doc_id)) per cluster
+    // with map-side combine (struct buffer → Sort/ObjectHashAggregate,
+    // which still partial-combines — the property that matters).
+    assert(exec.contains("partial_max") || exec.contains("partial max"),
+      s"survivor pick lost its map-side combine:\n$exec")
+    // The label join keys on near-unique doc_id; nothing joins on
+    // cluster_id in this query (the rollups are subtractions, not a
+    // second pass over members).
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[doc_id"
+      .r.findFirstIn(exec).isDefined,
+      s"expected the doc_id-keyed label join:\n$exec")
+    assert(!"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cluster_id"
+      .r.findFirstIn(exec).isDefined,
+      s"a join keys on cluster_id:\n$exec")
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"), exec)
+    // No exchange row carries document text — only ids, lengths, labels.
+    val shuffles = "hashpartitioning\\([a-z_, #0-9L]+\\)".r
+      .findAllIn(exec).toSeq
+    assert(shuffles.forall(s => !s.contains("text")),
+      s"an exchange carries document text:\n$exec")
   }
 
   test("q112: the PIT lookup is an equi-keyed join on user_id with the " +
