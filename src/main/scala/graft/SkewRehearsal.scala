@@ -44,6 +44,10 @@ object SkewRehearsal {
     // per corpus snapshot at ingest. Default bills total work per
     // shape (fixtures cleared before every rewrite run).
     val prewarmFixtures = args.lift(3).contains("prewarm")
+    // arg 4: comma-separated op-name filter (decade runs bill one op at
+    // a time — d10's tier needs the cluster fixpoint, which at sf1 is
+    // minutes of common-cost setup the other tiers shouldn't wait on).
+    val onlyOps = args.lift(4).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -255,6 +259,7 @@ object SkewRehearsal {
       "d15_boilerplate_chunks" -> (() => d15Window),
       "d18_exact_substrings" -> (() => d18Window),
       "t21_source_saturation" -> (() => t21Window))
+      .filter { case (n, _) => onlyOps.forall(_.contains(n)) }
 
     val fmt = (v: Double) => "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val lines = ops.map { case (name, windowShape) =>

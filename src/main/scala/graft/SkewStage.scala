@@ -38,6 +38,19 @@ object SkewStage {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // `survivor:N:H` times d10's stage instead: keep-longest per cluster
+    // over a synthetic (doc_id, cluster_id, n_chars) label table where
+    // ONE cluster holds H of the N docs — the viral exact-duplicate page
+    // whose every copy lands in a single connected component. Window =
+    // the r13-era row_number over Window.partitionBy(cluster_id);
+    // partial = clusterSurvivors' max(struct(n_chars, -doc_id, doc_id))
+    // + count, map-side combined. Exits after printing its own JSON.
+    if (corpus.startsWith("survivor:")) {
+      survivorStage(spark, corpus)
+      spark.stop()
+      return
+    }
+
     val ChunkWords = 16
     // `synthetic:N:H` skips the corpus and generates the stream
     // directly: N rows over N/8 docs, H of them carrying ONE hash — the
@@ -120,5 +133,67 @@ object SkewStage {
     val fmt = (v: Double) => "%.2f".formatLocal(java.util.Locale.ROOT, v)
     println(s"""{"metric":"skew_stage","corpus":"$corpus","rows":$total,"hot_rows":$hot,"partial_agg":${fmt(tAgg)},"window":${fmt(tWin)},"equal":$same}""")
     spark.stop()
+  }
+
+  /** The d10 survivor stage, isolated: N labeled docs, H of them in
+    * cluster 0 (the hot component), the rest one singleton cluster per
+    * doc so reducer-side work everywhere else is negligible. n_chars is
+    * a deterministic per-doc pseudo-random so the keep-longest pick is
+    * non-trivial inside the hot cluster. */
+  private def survivorStage(spark: SparkSession, spec: String): Unit = {
+    val parts = spec.split(":")
+    val n     = parts(1).toLong
+    val h     = parts(2).toLong
+    val path  = s"target/_skew_labels_${n}_$h.parquet"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      spark.range(n)
+        .select(col("id").as("doc_id"),
+          when(col("id") < h, lit(0L)).otherwise(col("id")).as("cluster_id"),
+          (pmod(xxhash64(col("id")), lit(100000L)) + 16L).as("n_chars"))
+        .write.mode("overwrite").parquet(path)
+    val labels = spark.read.parquet(path)
+    val total  = labels.count()
+    println(s"[stage] label rows=$total hot-cluster rows=$h " +
+      s"(${100L * h / total}% of the table)")
+
+    def viaWindow: DataFrame = {
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      labels.withColumn("rk", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          sum(when(col("rk") === 1, col("doc_id"))).as("survivor_id"),
+          sum(when(col("rk") === 1, col("n_chars"))).as("survivor_chars"))
+        .filter(col("cluster_size") >= 2)
+    }
+    def viaPartialAgg: DataFrame =
+      labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"),
+            col("doc_id"))).as("best"))
+        .filter(col("cluster_size") >= 2)
+        .select(col("cluster_id"), col("cluster_size"),
+          col("best.doc_id").as("survivor_id"),
+          col("best.n_chars").as("survivor_chars"))
+
+    def fp(df: DataFrame): (Long, Long) = {
+      val r = df.select(xxhash64(col("cluster_id"), col("cluster_size"),
+        col("survivor_id"), col("survivor_chars")).as("rh"))
+        .agg(count(lit(1)), expr("bit_xor(rh)")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def timed(name: String)(body: => DataFrame): (Double, (Long, Long)) = {
+      val t0 = System.nanoTime()
+      val f  = fp(body)
+      val t  = (System.nanoTime() - t0) / 1e9
+      println(s"[stage] $name ${"%.2f".formatLocal(java.util.Locale.ROOT, t)} s")
+      (t, f)
+    }
+    viaPartialAgg.write.format("noop").mode("overwrite").save()
+    val (tAgg, fpAgg) = timed("partial-agg")(viaPartialAgg)
+    val (tWin, fpWin) = timed("window")(viaWindow)
+    val same = fpAgg == fpWin
+    val fmt = (v: Double) => "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    println(s"""{"metric":"skew_stage_survivor","spec":"$spec","rows":$total,"hot_rows":$h,"partial_agg":${fmt(tAgg)},"window":${fmt(tWin)},"equal":$same}""")
   }
 }
