@@ -386,16 +386,15 @@ object Multimodal {
     * stream in doc_id order; all arithmetic is integer (`div`, ceil via
     * (x+k-1) div k) so both engines place every sample identically.
     *
-    * Scale shape: map-only costing, one per-stream window cumsum
-    * (streams pack in parallel across the cluster), k-bin rollup —
-    * identical posture to t11. */
+    * Scale shape: map-only costing, then the bounded two-level scan
+    * ([[DistributedScan.exclusivePrefixSum]]) for the running sum —
+    * identical posture to t11, and MORE load-bearing here: media_type
+    * has THREE values, so the textbook per-stream window would split a
+    * 100 TB corpus across three unbounded tasks. */
   private val m06 = Q(
     "m06_multimodal_packing",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("media_type")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-      T.documents(s, d)
+      val costed = T.documents(s, d)
         .selectExpr(
           "doc_id",
           """CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
@@ -412,7 +411,8 @@ object Multimodal {
                     ELSE ((w0 + 31) div 32) * ((h0 + 31) div 32) * 4
                   END"""))
         .withColumn("toks", col("text_toks") + col("media_toks"))
-        .withColumn("prior", coalesce(sum(col("toks")).over(w), lit(0L)))
+      DistributedScan.exclusivePrefixSum(
+          costed, col("media_type"), col("doc_id"), col("toks"), "prior")
         .withColumn("bin", expr("prior div 8192"))
         .groupBy(col("media_type"), col("bin"))
         .agg(

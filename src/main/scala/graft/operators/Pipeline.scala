@@ -247,13 +247,15 @@ object Pipeline {
     * 16-shard tree. Returns the tree root. */
   private def writeShardTree(
       s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    val packed = stageFrameCached(s, d)
+    // Packing prior via the bounded two-level scan (t11's shape): a
+    // language stream at corpus scale must never become one unbounded
+    // window task — see DistributedScan.exclusivePrefixSum.
+    val survivors = stageFrameCached(s, d)
       .filter(col("s5"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         col("nw").as("toks"))
-      .withColumn("prior", coalesce(sum(col("toks")).over(w), lit(0L)))
+    val packed = DistributedScan.exclusivePrefixSum(
+        survivors, col("lang"), col("doc_id"), col("toks"), "prior")
       .withColumn("bin", expr("prior div 2048"))
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("shard", expr(

@@ -1374,8 +1374,12 @@ object Similarity {
             col("n_hits"),
             round(coalesce(lit(1.0) / col("firsthit"), lit(0.0)), 6)
               .as("mrr"),
-            round(col("dcg_raw"), 6).as("dcg"),
-            round(col("dcg_raw") / col("idcg_raw"), 6).as("ndcg"))
+            // An empty probe leg (a band-starved LSH query) reaches the
+            // global agg as zero rows → sum() is NULL; the metric for
+            // "retrieved nothing" is 0, not NULL, on both engines.
+            round(coalesce(col("dcg_raw"), lit(0.0)), 6).as("dcg"),
+            round(coalesce(col("dcg_raw"), lit(0.0)) / col("idcg_raw"), 6)
+              .as("ndcg"))
       row("ivf", ivf10(s, d))
         .unionByName(row("lsh", lsh10(s, d)))
         .orderBy(col("method"))
@@ -1444,12 +1448,16 @@ object Similarity {
                  AS firsthit,
                sum(coalesce(CAST(rel AS DOUBLE), 0) / log2(mrank + 1))
                  AS dcg_raw
-        FROM mrow GROUP BY method)
-      SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
-             round(coalesce(1.0 / firsthit, 0), 6) AS mrr,
-             round(dcg_raw, 6) AS dcg,
-             round(dcg_raw / i.idcg_raw, 6) AS ndcg
-      FROM agg, idcg i ORDER BY method""")
+        FROM mrow GROUP BY method),
+      -- method spine: an empty probe leg must still emit its zero row
+      -- (the Spark side unions two always-one-row global aggregates)
+      methods AS (SELECT 'ivf' AS method UNION ALL SELECT 'lsh')
+      SELECT m.method, CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+             round(coalesce(1.0 / a.firsthit, 0), 6) AS mrr,
+             round(coalesce(a.dcg_raw, 0), 6) AS dcg,
+             round(coalesce(a.dcg_raw, 0) / i.idcg_raw, 6) AS ndcg
+      FROM methods m LEFT JOIN agg a USING (method), idcg i
+      ORDER BY m.method""")
     },
   )
 

@@ -496,19 +496,23 @@ object TextAnalysis {
     *
     * The bin index is floor(exclusive-prefix-sum / budget): pure integer
     * arithmetic over a window cumsum, so both engines agree exactly.
-    * Scale shape: one shuffle on lang (the stream key), a per-partition
-    * running sum — the same single-window-pass posture as q09 — and a
-    * tiny per-bin aggregate. The sequential dependence is PER STREAM,
-    * not global: 1000 languages/sources pack in parallel. */
+    * Scale shape: the running sum is [[DistributedScan.exclusivePrefixSum]]
+    * — the two-level scan, NOT `sum over Window.partitionBy(lang)`: a
+    * language is a LOW-cardinality stream key (one language can be half
+    * a 100 TB corpus), so the single-window formulation hands that
+    * stream ONE task holding its every row. The scan blocks the stream
+    * into 4096-doc_id ranges (block sums partial-combine; the only
+    * per-lang window runs over the one-row-per-block table; the
+    * within-block cumsum's partition is bounded at 4096 rows) — integer
+    * addition is associative, so the rows are EXACTLY the textbook
+    * window's, which stays as the oracle SQL. */
   private val t11 = Q(
     "t11_seq_packing",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-      T.documents(s, d)
+      val sized = T.documents(s, d)
         .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).as("toks"))
-        .withColumn("prior", coalesce(sum(col("toks")).over(w), lit(0L)))
+      DistributedScan.exclusivePrefixSum(
+          sized, col("lang"), col("doc_id"), col("toks"), "prior")
         // integer division (`div`), not `/`: Spark's `/` routes two longs
         // through DOUBLE, whose quotient can misround at large prefix
         // sums; DuckDB's `//` on BIGINT is the exact mirror.

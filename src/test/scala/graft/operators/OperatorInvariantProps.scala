@@ -465,7 +465,19 @@ object OperatorInvariantProps extends Properties("OperatorInvariants") {
 
   property("s16 equals metrics recomputed from its own ranked legs on " +
     "any embedding corpus, and the metrics respect their bounds") =
-    Prop.forAll(Gen.choose(0L, Long.MaxValue)) { seed =>
+    Prop.forAll(Gen.choose(0L, Long.MaxValue))(s16Check)
+
+  /** Regression pin: this seed generates a corpus whose sign-LSH probe
+    * retrieves ZERO candidates (no band of any non-query vector matches
+    * the query's), so the global metric aggregate sees an empty leg —
+    * before the r14 coalesce fix, dcg/ndcg came back NULL and the
+    * collect threw ROW_VALUE_IS_NULL. The metrics for "retrieved
+    * nothing" are all-zero on both engines. */
+  property("s16 on the band-starved corpus (empty LSH leg) emits zero " +
+    "metrics, not NULLs") =
+    Prop.secure(s16Check(8180272454719892060L))
+
+  private def s16Check(seed: Long): Boolean = {
       val dir = embeddingsDir(seed)
       def ranked(name: String): Seq[Long] =
         SparkEntry.queries(name)(spark, dir).collect().map(_.getLong(0)).toSeq
@@ -504,5 +516,5 @@ object OperatorInvariantProps extends Properties("OperatorInvariants") {
         g._2 >= 0.0 && g._2 <= 1.0 && g._4 >= 0.0 && g._4 <= 1.0 + 1e-9 &&
         (g._1 > 0) == (g._2 > 0)
       }
-    }
+  }
 }

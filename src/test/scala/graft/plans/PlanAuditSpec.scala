@@ -407,6 +407,42 @@ class PlanAuditSpec extends SparkSpec {
       s"an exchange carries document text:\n$exec")
   }
 
+  test("t11: the packing prior is the bounded two-level scan — the only " +
+    "per-lang window runs over the one-row-per-block table, the " +
+    "within-block cumsum partitions on (stream, block), and block sums " +
+    "partial-combine") {
+    val exec = SparkEntry.queries("t11_seq_packing")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // The single-window formulation — sum over
+    // Window.partitionBy(lang).orderBy(doc_id) on the RAW corpus — gave
+    // a half-the-corpus language ONE unbounded task; the scan caps every
+    // raw-row window partition at blockSize rows.
+    val winLines = exec.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, exec)
+    // Every window over raw rows includes the block id in its partition
+    // spec; the block-offset window (no _eps_blk in its partition) is
+    // fine — it consumes the aggregated block table.
+    assert(winLines.exists(_.contains("_eps_blk")),
+      s"no bounded within-block window found:\n$exec")
+    assert(exec.contains("partial_sum"),
+      s"block sums lost their map-side combine:\n$exec")
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"), exec)
+  }
+
+  test("m06: the multimodal packing prior uses the same bounded scan — " +
+    "THREE media streams must never become three unbounded window tasks") {
+    val exec = SparkEntry.queries("m06_multimodal_packing")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val winLines = exec.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.exists(_.contains("_eps_blk")),
+      s"no bounded within-block window found:\n$exec")
+    assert(exec.contains("partial_sum"),
+      s"block sums lost their map-side combine:\n$exec")
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"), exec)
+  }
+
   test("q112: the PIT lookup is an equi-keyed join on user_id with the " +
     "tile range as residual — never a nested-loop — and the dimension " +
     "build shares one window sort") {
