@@ -50,6 +50,15 @@ object SkewStage {
       spark.stop()
       return
     }
+    // `scan:N:H` times t11/p02/m06's stage: the exclusive running sum
+    // over a stream key where ONE stream holds H of the N rows (a
+    // half-the-corpus language). Window = the single unbounded
+    // per-stream cumsum; scan = DistributedScan.exclusivePrefixSum.
+    if (corpus.startsWith("scan:")) {
+      scanStage(spark, corpus)
+      spark.stop()
+      return
+    }
 
     val ChunkWords = 16
     // `synthetic:N:H` skips the corpus and generates the stream
@@ -133,6 +142,68 @@ object SkewStage {
     val fmt = (v: Double) => "%.2f".formatLocal(java.util.Locale.ROOT, v)
     println(s"""{"metric":"skew_stage","corpus":"$corpus","rows":$total,"hot_rows":$hot,"partial_agg":${fmt(tAgg)},"window":${fmt(tWin)},"equal":$same}""")
     spark.stop()
+  }
+
+  /** The packing-prior stage, isolated: N (stream, seq, x) rows, H of
+    * them in stream "hot" (the one-language-is-half-the-corpus shape),
+    * the rest across 1000 cold streams. Exclusive running sum two ways
+    * on identical input; the billed action is the order-invariant
+    * fingerprint over every (stream, seq, prior) row, so both shapes
+    * must produce — and ship — the full result. Needs
+    * SPARK_DRIVER_MEM=32g at N=2e8 (string stream keys). Expect a
+    * local WASH, not a cliff: a prefix sum's output equals its input,
+    * so both shapes are data-movement-bound here — the scan's claim is
+    * task-boundedness (no single 0.95·N-row sort buffer), measured
+    * instead by the decade table's t11/m06 ratios (BASELINE tier 3c). */
+  private def scanStage(spark: SparkSession, spec: String): Unit = {
+    val parts = spec.split(":")
+    val n     = parts(1).toLong
+    val h     = parts(2).toLong
+    val path  = s"target/_skew_scan_${n}_$h.parquet"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      spark.range(n)
+        .select(
+          when(col("id") < h, lit("hot"))
+            .otherwise(concat(lit("cold"), pmod(col("id"), lit(1000L))))
+            .as("stream"),
+          col("id").as("seq"),
+          pmod(xxhash64(col("id")), lit(1000L)).as("x"))
+        .write.mode("overwrite").parquet(path)
+    val rows  = spark.read.parquet(path)
+    val total = rows.count()
+    println(s"[stage] scan rows=$total hot-stream rows=$h " +
+      s"(${100L * h / total}% of the stream)")
+
+    def viaWindow: DataFrame = {
+      val w = Window.partitionBy(col("stream")).orderBy(col("seq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      rows.withColumn("prior", coalesce(sum(col("x")).over(w), lit(0L)))
+        .select(col("stream"), col("seq"), col("prior"))
+    }
+    def viaScan: DataFrame =
+      operators.DistributedScan.exclusivePrefixSum(
+          rows, col("stream"), col("seq"), col("x"), "prior")
+        .select(col("stream"), col("seq"), col("prior"))
+
+    def fp(df: DataFrame): (Long, Long) = {
+      val r = df.select(
+        xxhash64(col("stream"), col("seq"), col("prior")).as("rh"))
+        .agg(count(lit(1)), expr("bit_xor(rh)")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def timed(name: String)(body: => DataFrame): (Double, (Long, Long)) = {
+      val t0 = System.nanoTime()
+      val f  = fp(body)
+      val t  = (System.nanoTime() - t0) / 1e9
+      println(s"[stage] $name ${"%.2f".formatLocal(java.util.Locale.ROOT, t)} s")
+      (t, f)
+    }
+    viaScan.write.format("noop").mode("overwrite").save()
+    val (tScan, fpScan) = timed("two-level-scan")(viaScan)
+    val (tWin, fpWin)   = timed("window")(viaWindow)
+    val same = fpScan == fpWin
+    val fmt = (v: Double) => "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    println(s"""{"metric":"skew_stage_scan","spec":"$spec","rows":$total,"hot_rows":$h,"two_level_scan":${fmt(tScan)},"window":${fmt(tWin)},"equal":$same}""")
   }
 
   /** The d10 survivor stage, isolated: N labeled docs, H of them in
