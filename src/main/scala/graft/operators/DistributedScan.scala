@@ -34,6 +34,17 @@ import org.apache.spark.sql.functions._
   */
 object DistributedScan {
 
+  /** The helpers are general-purpose: a caller whose frame already uses
+    * a working-column name (or the output name) would be silently
+    * clobbered and get wrong priors with no error — refuse loudly. */
+  private def requireFreeNames(
+      df: DataFrame, as: String, prefix: String): Unit = {
+    val clash = df.columns.filter(c => c == as || c.startsWith(prefix))
+    require(clash.isEmpty,
+      s"DistributedScan working/output column names collide with input " +
+        s"columns ${clash.mkString(", ")} — alias them before calling")
+  }
+
   /** Adds `as` = exclusive running sum of `x` over `seq` within
     * `stream`, computed with bounded window partitions. `seq` must be
     * unique per stream row (doc_id here); `x` must be integral. */
@@ -44,6 +55,7 @@ object DistributedScan {
       x: Column,
       as: String,
       blockSize: Long = 4096L): DataFrame = {
+    requireFreeNames(df, as, "_eps_")
     val in = df
       .withColumn("_eps_stream", stream)
       .withColumn("_eps_seq", seq)
@@ -71,5 +83,59 @@ object DistributedScan {
       .withColumn(as,
         col("_eps_boff") + coalesce(sum(col("_eps_x")).over(innerW), lit(0L)))
       .drop("_eps_stream", "_eps_seq", "_eps_x", "_eps_blk", "_eps_boff")
+  }
+
+  /** Adds `as` = `row_number() OVER (PARTITION BY stream ORDER BY
+    * order...)` (as LONG), computed with bounded window partitions —
+    * [[exclusivePrefixSum]]'s sibling applied to COUNTS, the upgrade
+    * path SURVEY recorded for the rank family: a per-stream rank window
+    * hands each stream ONE task that sorts the stream's every row; here
+    * the task bound is rows/buckets.
+    *
+    * `bucket` must be MONOTONE in the leading sort key — every row of a
+    * smaller bucket sorts before every row of a larger one (e.g. a hex
+    * prefix of a fixed-width hash string the ordering leads with). Then
+    * rank = (count of the stream's rows in earlier buckets) + (rank
+    * within the bucket):
+    * (1) per-(stream, bucket) row counts — a plain partial-combining
+    *     aggregate, the only pass that sees every row on the wire;
+    * (2) an exclusive count-scan over the BUCKET TABLE (one row per
+    *     non-empty bucket: the per-stream window frame is ≤ #buckets
+    *     rows, catalog-bounded by the bucket-key width);
+    * (3) equi-join the offsets back on the near-unique (stream, bucket)
+    *     key and add a within-bucket `row_number` whose window
+    *     partition holds rows/buckets rows by construction.
+    * Counting is associative, so the result row-for-row equals the
+    * single-window formulation (DistributedScanSpec replays both on a
+    * planted hot stream); oracles keep the textbook SQL. */
+  def bucketedRowNumber(
+      df: DataFrame,
+      stream: Column,
+      bucket: Column,
+      order: Seq[Column],
+      as: String): DataFrame = {
+    requireFreeNames(df, as, "_drn_")
+    val in = df
+      .withColumn("_drn_stream", stream)
+      .withColumn("_drn_blk", bucket)
+    // (1) bucket counts: plain partial-combining aggregate.
+    val counts = in.groupBy(col("_drn_stream"), col("_drn_blk"))
+      .agg(count(lit(1)).as("_drn_bcnt"))
+    // (2) exclusive count-scan over the bucket table — the only
+    // per-stream window, one row per non-empty bucket.
+    val blockW = Window.partitionBy(col("_drn_stream"))
+      .orderBy(col("_drn_blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = counts
+      .withColumn("_drn_boff",
+        coalesce(sum(col("_drn_bcnt")).over(blockW), lit(0L)))
+      .select(col("_drn_stream"), col("_drn_blk"), col("_drn_boff"))
+    // (3) within-bucket rank: window partition bounded at rows/buckets.
+    val innerW = Window.partitionBy(col("_drn_stream"), col("_drn_blk"))
+      .orderBy(order: _*)
+    in.join(offsets, Seq("_drn_stream", "_drn_blk"))
+      .withColumn(as,
+        col("_drn_boff") + row_number().over(innerW).cast("long"))
+      .drop("_drn_stream", "_drn_blk", "_drn_boff")
   }
 }

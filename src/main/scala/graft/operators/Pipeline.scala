@@ -706,31 +706,43 @@ object Pipeline {
     * before/after the mixture designer (p05) consumes — document counts
     * kept/dropped and the character mass that survives the cap.
     *
-    * Scale shape (100 TB): one shuffle on `source` for the rank window.
-    * Per-source partitions are exactly the skew the cap EXISTS to bound,
-    * so at warehouse scale the rank runs as d10 does: the window needs
-    * only (source, n_chars, doc_id) triples — the projection Spark
-    * pushes to the scan (text never shuffles) — and a two-level top-K
-    * (partial per-partition heap, then per-source) bounds any one
-    * source's spill. */
+    * Scale shape (100 TB): the d10 decomposition — the report needs the
+    * kept SET and per-source TOTALS, never every document's rank, so the
+    * full `row_number` the textbook formulation plans is wasted work and
+    * a per-source single-task sort (one mirror-farm source = one task
+    * sorting its billions of rows — exactly the skew the cap EXISTS to
+    * bound). Instead: (1) the kept branch writes the window-top-K idiom
+    * and the q64 optimizer rewrite plans it as the two-phase bounded-heap
+    * TopKPerGroup — each map task keeps ≤ K rows per source, the shuffle
+    * carries ≤ partitions·sources·K rows, no WindowExec sort anywhere;
+    * (2) totals are a plain partial-combining count per source; (3)
+    * dropped = totals − kept, by subtraction on the k-row join
+    * (plan-pinned: PlanAuditSpec's p07 test asserts TopKPerGroup and no
+    * Window). Both branches read only the (source, doc_id, n_chars)
+    * projection — text never leaves the scan. */
   private val p07 = Q(
     "p07_source_caps",
     (s, d) => {
+      graft.plans.TopK.registerRewrite(s)
+      val docs = T.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val totals = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
       val capW = Window
         .partitionBy(col("source"))
         .orderBy(col("n_chars").desc, col("doc_id"))
-      T.documents(s, d)
-        .select(col("source"), col("doc_id"), col("n_chars"))
+      val kept = docs
         .withColumn("rk", row_number().over(capW))
+        .filter(col("rk") <= SourceCapK)
         .groupBy(col("source"))
         .agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("rk") <= SourceCapK, 1L).otherwise(0L))
-            .as("n_kept"),
-          sum(when(col("rk") > SourceCapK, 1L).otherwise(0L))
-            .as("n_dropped"),
-          sum(when(col("rk") <= SourceCapK, col("n_chars")).otherwise(0L))
-            .as("kept_chars"))
+          count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"))
+      totals.join(kept, Seq("source"))
+        .select(
+          col("source"), col("n_docs"), col("n_kept"),
+          (col("n_docs") - col("n_kept")).as("n_dropped"),
+          col("kept_chars"))
         .orderBy(col("source"))
     },
     Some(s"""
@@ -851,24 +863,36 @@ object Pipeline {
     * both engines compute the identical IEEE quotient and the row needs
     * no tolerance oracle.
     *
-    * Scale shape (100 TB): one shuffle on source, two in-partition
-    * sorts (the two epoch rank windows share the exchange), k-row
-    * output. Ranks are per-source, so no global single-reducer
-    * row_number; a source too big to sort twice audits on q55's
-    * deterministic hash-sample instead. */
+    * Scale shape (100 TB): the ranks are per-source, but a plain
+    * `row_number() OVER (PARTITION BY source ORDER BY h)` still hands
+    * each source ONE task that sorts the source's every document — the
+    * rank-family cliff SURVEY's count-scan note describes. Both epoch
+    * ranks therefore run as [[graft.operators.DistributedScan
+    * .bucketedRowNumber]], the two-level scan applied to COUNTS: the
+    * epoch hash is md5 hex (fixed-width, uniform), so its first three
+    * hex chars are a 4096-ary bucket key MONOTONE in the sort order —
+    * rank = per-source count of earlier buckets (an exclusive
+    * count-scan over the ≤ 4096-row-per-source bucket table) plus a
+    * within-bucket row_number whose window partition holds
+    * n_source/4096 rows by construction. No per-source-only sort task
+    * anywhere (plan-pinned); d² accumulates in LONG (the int window
+    * rank would overflow (r1−r2)² past ~46 k docs/source). A source too
+    * big even for its bucket slices audits on q55's deterministic
+    * hash-sample instead. */
   private val p09 = Q(
     "p09_epoch_shuffle_audit",
     (s, d) => {
-      val w1 = Window.partitionBy(col("source"))
-        .orderBy(col("h1"), col("doc_id"))
-      val w2 = Window.partitionBy(col("source"))
-        .orderBy(col("h2"), col("doc_id"))
-      T.documents(s, d)
+      val hashed = T.documents(s, d)
         .select(col("source"), col("doc_id"),
           md5(concat(col("doc_id").cast("string"), lit(":1"))).as("h1"),
           md5(concat(col("doc_id").cast("string"), lit(":2"))).as("h2"))
-        .withColumn("r1", row_number().over(w1))
-        .withColumn("r2", row_number().over(w2))
+      val ranked1 = DistributedScan.bucketedRowNumber(
+        hashed, col("source"), substring(col("h1"), 1, 3),
+        Seq(col("h1"), col("doc_id")), "r1")
+      val ranked2 = DistributedScan.bucketedRowNumber(
+        ranked1, col("source"), substring(col("h2"), 1, 3),
+        Seq(col("h2"), col("doc_id")), "r2")
+      ranked2
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),

@@ -994,9 +994,23 @@ object TextAnalysis {
     * not a contrast against an empty rest.
     *
     * Scale shape (100 TB): the corpus pays ONE (source, term) explode +
-    * rollup with map-side combine; everything after — term totals,
-    * source totals, the rest-rate join, the per-source top-3 window —
-    * runs on the vocabulary-bounded grid. */
+    * rollup with map-side combine into the grid, materialized once
+    * (eager localCheckpoint — four consumers, one build). The grid is
+    * vocabulary-SIZED, not vocabulary-"bounded-small": at 100 TB the
+    * distinct-term count is billions (URLs, typos, code tokens), so
+    * none of the rates may run as a window over it — `sum OVER
+    * (PARTITION BY ())` is ONE task buffering the whole vocabulary, and
+    * the per-source sum is one task per source. Every total is instead
+    * a partial-combining aggregate joined back: source totals broadcast
+    * (catalog-sized), term totals equi-join on `term` (each term's key
+    * group ≤ #sources rows — a stop word is NOT a hot join key here
+    * because the grid already collapsed its corpus frequency), and the
+    * global total is a 1-row broadcast cross join. The top-3 rank runs
+    * as the two-phase bounded-heap TopKPerGroup (the q33/q57 operator —
+    * map-side ≤ 3 rows per source per task, never a per-source
+    * WindowExec sort over the vocabulary); the only Window left numbers
+    * the ≤ 3 survivor rows per source — a k-bounded frame by
+    * construction (plan-pinned). */
   private val t20 = Q(
     "t20_source_terms",
     (s, d) => {
@@ -1004,22 +1018,25 @@ object TextAnalysis {
         .select(col("source"), explode(split(col("text"), " ")).as("term"))
         .groupBy(col("source"), col("term"))
         .agg(count(lit(1)).as("f"))
-      val wSrc = Window.partitionBy(col("source"))
-      val wTerm = Window.partitionBy(col("term"))
-      val wAll = Window.partitionBy(lit(1))
-      grid
-        .withColumn("t_src", sum(col("f")).over(wSrc))
-        .withColumn("f_term", sum(col("f")).over(wTerm))
-        .withColumn("t_all", sum(col("f")).over(wAll))
+        .localCheckpoint(true) // computed once, four consumers
+      val srcTot  = grid.groupBy(col("source")).agg(sum(col("f")).as("t_src"))
+      val termTot = grid.groupBy(col("term")).agg(sum(col("f")).as("f_term"))
+      val allTot  = grid.agg(sum(col("f")).as("t_all"))
+      val rated = grid
+        .join(broadcast(srcTot), Seq("source"))
+        .join(termTot, Seq("term"))
+        .crossJoin(broadcast(allTot))
         .select(col("source"), col("term"),
           expr("(1000000 * f) div t_src").as("src_ppm"),
           expr("(1000000 * (f_term - f)) div (t_all - t_src)")
             .as("rest_ppm"))
         .withColumn("lift_ppm", col("src_ppm") - col("rest_ppm"))
+      graft.plans.TopK
+        .perGroup(s, rated, Seq(col("source")),
+          Seq(col("lift_ppm").desc, col("term").asc), 3)
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("source"))
             .orderBy(col("lift_ppm").desc, col("term"))))
-        .filter(col("rk") <= 3)
         .select(col("source"), col("rk").cast("long").as("rk"),
           col("term"), col("src_ppm"), col("rest_ppm"), col("lift_ppm"))
         .orderBy(col("source"), col("rk"))

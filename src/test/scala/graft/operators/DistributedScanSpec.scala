@@ -43,4 +43,50 @@ class DistributedScanSpec extends SparkSpec {
     assert(got.size === exp.size)
     assert(got === exp)
   }
+
+  test("bucketed count-scan rank equals the single-window row_number on " +
+    "a skewed multi-stream table — hex-prefix buckets, tie-broken order") {
+    val sqlc = spark
+    import sqlc.implicits._
+    // Stream "hot" gets ~90% of rows (the per-stream sort-task shape the
+    // scan removes); the md5 sort key exercises uneven bucket fills and
+    // the id tiebreak exercises within-bucket ordering determinism.
+    val df = (0 until 20000).map { i =>
+      (if (i % 10 == 0) s"cold${i % 7}" else "hot", i.toLong)
+    }.toDF("stream", "id")
+      .withColumn("h", md5(col("id").cast("string")))
+
+    val got = DistributedScan.bucketedRowNumber(
+        df, col("stream"), substring(col("h"), 1, 2),
+        Seq(col("h"), col("id")), "rk")
+      .select(col("stream"), col("id"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+
+    val w = Window.partitionBy(col("stream")).orderBy(col("h"), col("id"))
+    val exp = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("stream"), col("id"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+
+    assert(got.size === exp.size)
+    assert(got === exp)
+  }
+
+  test("the helpers refuse input frames whose column names collide with " +
+    "the working or output columns (silent clobber would corrupt priors)") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val clash1 = Seq(("a", 1L, 2L)).toDF("stream", "seq", "_eps_x")
+    intercept[IllegalArgumentException] {
+      DistributedScan.exclusivePrefixSum(
+        clash1, col("stream"), col("seq"), col("_eps_x"), "prior")
+    }
+    val clash2 = Seq(("a", 1L)).toDF("stream", "rk")
+    intercept[IllegalArgumentException] {
+      DistributedScan.bucketedRowNumber(
+        clash2, col("stream"), col("stream"), Seq(col("rk")), "rk")
+    }
+  }
 }

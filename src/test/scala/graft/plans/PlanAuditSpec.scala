@@ -301,14 +301,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(samp.count() <= k, s"truth sample exceeded K=$k rows")
   }
 
-  test("p07: the cap rank never shuffles document text — the scan reads " +
-    "only (source, doc_id, n_chars) and the window keys on source") {
+  test("p07: the kept set plans as the bounded-heap TopKPerGroup and " +
+    "dropped counts come from subtraction — no per-source WindowExec " +
+    "sort (one mirror-farm source must never become one sort task), " +
+    "and text never leaves the scan") {
     val p = plan("p07_source_caps")
+    assert(p.contains("TopKPerGroup"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window"), s"WindowExec survived the rewrite:\n$p")
     assert(!p.contains("text"), s"text column read for a metadata cap:\n$p")
-    val exec = SparkEntry.queries("p07_source_caps")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert("hashpartitioning\\(source".r.findAllIn(exec).size >= 1,
-      s"expected the rank window to shuffle on source:\n$exec")
   }
 
   test("d14: chunk dedup is partial aggregation over the stored pair " +
@@ -631,13 +631,24 @@ class PlanAuditSpec extends SparkSpec {
       s"pair generation degenerated to n²:\n$exec")
   }
 
-  test("p09: both epoch rank windows share ONE source shuffle and the " +
-    "Spearman rollup reuses the partitioning — no join") {
+  test("p09: epoch ranks run as the bucketed count-scan — no per-source " +
+    "sort task: every row_number window partitions on (stream, bucket), " +
+    "and the only stream-wide windows are count-scans over the " +
+    "<=4096-row-per-stream bucket table") {
     val exec = SparkEntry.queries("p09_epoch_shuffle_audit")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 1,
-      s"expected one source exchange:\n$exec")
-    assert(!exec.contains("Join"), exec)
+    val windows = "Window \\[[^\\n]*".r.findAllIn(exec).toList
+    assert(windows.nonEmpty, exec)
+    windows.foreach { w =>
+      if (w.contains("row_number"))
+        assert(w.contains("_drn_blk"),
+          s"a row_number window lost its bucket partition:\n$w")
+      else
+        assert(w.contains("_drn_bcnt"),
+          s"unexpected stream-wide window:\n$w")
+    }
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"), exec)
   }
 
   test("q120: both MAD ranking windows and the rollup ride ONE " +
@@ -730,13 +741,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exec.contains("CartesianProduct"), exec)
   }
 
-  test("t20: the corpus pays one (source, term) rollup — every rate " +
-    "window and the top-3 rank run on the vocabulary grid, no join") {
+  test("t20: rates are partial aggregates joined back on the " +
+    "checkpointed grid — no vocabulary-sized window; top-3 is the " +
+    "bounded-heap TopKPerGroup and the one surviving Window numbers " +
+    "its <= 3 output rows per source") {
     val exec = SparkEntry.queries("t20_source_terms")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert("FileScan".r.findAllIn(exec).size == 1,
-      s"the corpus must be scanned exactly once:\n$exec")
-    assert(!exec.contains("Join"), exec)
+    assert(!exec.contains("FileScan"),
+      s"a branch replays the corpus scan past the grid checkpoint:\n$exec")
+    assert(exec.contains("TopKPerGroup"),
+      s"the top-3 must plan as the bounded heap:\n$exec")
+    val windows = "Window \\[".r.findAllIn(exec).size
+    assert(windows == 1, s"expected only the k-row numbering window:\n$exec")
+    assert(exec.indexOf("Window") < exec.indexOf("TopKPerGroup"),
+      s"the numbering window must sit on TopKPerGroup's <= k-row " +
+        s"output, not below it:\n$exec")
+    // The one BroadcastNestedLoopJoin is the deliberate 1-row global
+    // total cross join; the term-total join must stay an equi-join.
+    assert(!exec.contains("CartesianProduct"), exec)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[term"
+      .r.findFirstIn(exec).isDefined,
+      s"expected the term-total equi-join:\n$exec")
   }
 
   test("m11: the keyframe pass rides m10's single doc_id exchange — " +
