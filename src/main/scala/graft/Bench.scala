@@ -185,13 +185,13 @@ object Bench {
     // reproduces, it is a real regression — the distinction four rounds
     // of d-pack inflation could not make. Capped so a globally-slow
     // machine can't double the bench.
+    // The committed basis is sf0.1/cpus=32 — only comparable when this
+    // run is on the same basis (an sf1 rehearsal is legitimately many-x
+    // over it and must not trigger a rerun storm).
+    val onBasis = new java.io.File(sfDir).getName == "sf0.1"
     val basis: Map[String, Double] =
-      try {
-        // The committed basis is sf0.1/cpus=32 — only comparable when
-        // this run is on the same basis (an sf1 rehearsal is legitimately
-        // many-x over it and must not trigger a rerun storm).
-        if (new java.io.File(sfDir).getName != "sf0.1")
-          throw new Exception("off-basis")
+      if (!onBasis) Map.empty
+      else try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("bench_queries.json")), "UTF-8")
         // Parse ONLY the "queries" object — the artifact also carries
@@ -200,7 +200,18 @@ object Bench {
           .map(_.group(1)).getOrElse("")
         "\"([a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(obj)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+      } catch {
+        // NonFatal only: a swallowed InterruptedException/OOM here would
+        // hide a dying JVM behind an empty map.
+        case scala.util.control.NonFatal(_) => Map.empty
+      }
+    // A silently-empty basis DISARMS the >5x rerun self-attribution the
+    // artifact exists to provide — make that visible in the run log
+    // instead of discovering it at judging time.
+    if (onBasis && basis.isEmpty)
+      System.err.println(
+        "[bench] WARNING: on-basis run but bench_queries.json yielded no " +
+          "basis entries — the >5x rerun gate is disarmed for this run")
     val warmupSecs = warmupLog
       .collect { case (n, t, None) if n.startsWith("warmup:") =>
         n.stripPrefix("warmup:") -> t }
@@ -303,8 +314,8 @@ object Bench {
     // bench_queries_local.json (gitignored) unless GRAFT_BENCH_COMMIT=1
     // AND the run is genuinely on-basis — basis detection normalizes the
     // path (File.getName, not a raw suffix match, which a trailing slash
-    // or symlink would defeat).
-    val onBasis = new java.io.File(sfDir).getName == "sf0.1"
+    // or symlink would defeat); `onBasis` is shared with the basis parse
+    // above.
     val commitRequested = sys.env.get("GRAFT_BENCH_COMMIT").contains("1")
     val artifact =
       if (onBasis && commitRequested) "bench_queries.json"

@@ -60,7 +60,25 @@ object SkewRehearsal {
     // ---- skewed corpus: viral prefix on EVERY doc + exact-dup clones
     val viral = Seq.fill(viralRepeats)(
       (1 to 16).map(i => s"viralword$i").mkString(" ")).mkString(" ")
-    val ready = new java.io.File(out, "_READY")
+    // The marker records the BUILD PARAMETERS, not bare existence:
+    // rerunning with a different (src, viralRepeats) against a warm out
+    // dir must rebuild, not silently reuse the old corpus while the
+    // emitted JSON labels results with the new viral_repeats value.
+    val ready      = new java.io.File(out, "_READY")
+    val buildStamp = s"src=$src viralRepeats=$viralRepeats"
+    if (ready.exists()) {
+      val prior = new String(
+        java.nio.file.Files.readAllBytes(ready.toPath), "UTF-8").trim
+      if (prior != buildStamp) {
+        println(s"[skew] $out was built with '$prior', requested " +
+          s"'$buildStamp' — rebuilding")
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          x.delete()
+        }
+        rm(new java.io.File(out))
+      }
+    }
     if (!ready.exists()) {
       new java.io.File(out).mkdirs()
       val docs   = spark.read.parquet(s"$src/documents.parquet")
@@ -80,7 +98,7 @@ object SkewRehearsal {
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           length(col("text")).cast("long").as("n_chars"))
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      java.nio.file.Files.createFile(ready.toPath)
+      java.nio.file.Files.write(ready.toPath, buildStamp.getBytes("UTF-8"))
       println(s"[skew] $out built from $src (+${nDocs / 10} clones)")
     }
 
@@ -102,13 +120,21 @@ object SkewRehearsal {
       df.write.format("noop").mode("overwrite").save()
       ((System.nanoTime() - t0) / 1e9, df)
     }
-    def fingerprint(df: DataFrame): (Long, Long) = {
-      // Order-invariant row-set fingerprint; XOR (not sum) because a
-      // long sum of 2^63-range hashes overflows under ANSI mode.
+    def fingerprint(df: DataFrame): (Long, Long, BigDecimal) = {
+      // Order-invariant row-set fingerprint. XOR alone (chosen over a
+      // long sum, which overflows 2^63-range hashes under ANSI mode)
+      // collides for multisets differing by PAIRED duplicate rows —
+      // {a,a,b,b} and {c,c,d,d} both XOR to 0 at equal count — so a
+      // second independent reduction (exact decimal sum of the same
+      // hashes) runs alongside: paired-duplicate cancellation cannot
+      // zero both.
       val cols = df.columns.map(col)
       val r = df.select(xxhash64(cols: _*).as("rh"))
-        .agg(count(lit(1)), expr("bit_xor(rh)")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        .agg(count(lit(1)), expr("bit_xor(rh)"),
+          expr("sum(CAST(rh AS DECIMAL(38,0)))")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) BigDecimal(0) else BigDecimal(r.getDecimal(2)))
     }
 
     // ---- the r12-era Window.partitionBy(hash) shapes, verbatim in

@@ -37,12 +37,36 @@ object Dedup {
     * an older formula (p01's StageFrameVersion convention). */
   private val ChunkPairsVersion = "v1"
 
+  /** Source-data fingerprint folded into the derived-fixture paths: the
+    * sf-tag alone keys only the DIRECTORY BASENAME, so regenerating a
+    * corpus in place (the driver refreshes testdata between rounds) or
+    * two corpora sharing a basename (a test tree vs a skew-rehearsal
+    * tree) would silently serve a stale pair/band table built from the
+    * OLD bytes — and a bench-only run has no oracle compare to catch
+    * it. Hashing every part-file's (name, length, mtime) makes the
+    * fixture path a function of the source documents.parquet contents:
+    * new bytes → new path → rebuild; same bytes → warm hit. */
+  private[graft] def sourceFingerprint(d: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val parts = walk(new java.io.File(d, "documents.parquet"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(parts.mkString("\n").getBytes("UTF-8"))
+    md.digest().take(6).map("%02x".format(_)).mkString
+  }
+
   /** Where the materialized chunk pair table lives for a given sf dir
     * (Relational.fixtureLoc: one deterministic parquet per sf tag under
-    * the shared warehouse root). */
+    * the shared warehouse root, content-bound via
+    * [[sourceFingerprint]]). */
   private[graft] def chunkPairsPath(d: String): String = {
     val (tag, wh) = Relational.fixtureLoc(d)
-    new java.io.File(wh, s"graft_chunk_pairs_${ChunkPairsVersion}_$tag")
+    new java.io.File(wh,
+      s"graft_chunk_pairs_${ChunkPairsVersion}_${tag}_${sourceFingerprint(d)}")
       .getAbsolutePath
   }
 
@@ -1636,10 +1660,13 @@ object Dedup {
     * family, band layout): versioned fixture path, p01's convention. */
   private val BandIndexVersion = "v1"
 
-  /** Where the materialized corpus band index lives for a given sf dir. */
+  /** Where the materialized corpus band index lives for a given sf dir
+    * (content-bound via [[sourceFingerprint]], like [[chunkPairsPath]]). */
   private[graft] def corpusBandIndexPath(d: String): String = {
     val (tag, wh) = Relational.fixtureLoc(d)
-    new java.io.File(wh, s"graft_corpus_band_index_${BandIndexVersion}_$tag")
+    new java.io.File(wh,
+      s"graft_corpus_band_index_${BandIndexVersion}_${tag}_" +
+        sourceFingerprint(d))
       .getAbsolutePath
   }
 

@@ -84,4 +84,28 @@ class IncrementalDedupSpec extends SparkSpec {
       s"stored index drifted: ${stored.diff(fresh).take(3)} vs " +
         s"${fresh.diff(stored).take(3)}")
   }
+
+  test("the write-once fixture paths are bound to the source bytes: " +
+    "regenerating a corpus in place (or two corpora sharing a basename) " +
+    "can never serve a stale pair/band table") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_fp_test").toFile
+    try {
+      val docs = new java.io.File(tmp, "documents.parquet")
+      java.nio.file.Files.write(docs.toPath, "v1".getBytes)
+      val before = Dedup.chunkPairsPath(tmp.getAbsolutePath)
+      // Regenerate in place: same path on disk, different bytes/mtime.
+      java.nio.file.Files.write(docs.toPath, "v2-longer".getBytes)
+      val after = Dedup.chunkPairsPath(tmp.getAbsolutePath)
+      assert(before !== after,
+        "fixture path ignored a source regeneration in place")
+      // Distinct corpora sharing the directory basename must not share
+      // a fixture path with this one either.
+      assert(Dedup.corpusBandIndexPath(tmp.getAbsolutePath) !==
+        Dedup.corpusBandIndexPath(sf))
+    } finally {
+      new java.io.File(tmp, "documents.parquet").delete()
+      tmp.delete()
+    }
+  }
 }
