@@ -138,4 +138,25 @@ object DistributedScan {
         col("_drn_boff") + row_number().over(innerW).cast("long"))
       .drop("_drn_stream", "_drn_blk", "_drn_boff")
   }
+
+  /** `ntile(k)`'s SQL-standard bucket assignment as a CLOSED FORM over
+    * (rank, group size) — the piece that turns [[bucketedRowNumber]]
+    * into a distributed ntile: with q = n div k and rem = n mod k, the
+    * first rem buckets hold q+1 rows and the rest hold q, so the bucket
+    * is pure integer arithmetic on the two inputs (`div`, not `/` —
+    * the double path misrounds large quotients). The ELSE divisor q is
+    * 0 only when n < k, and then every row satisfies the THEN branch
+    * (rem = n), so the NULL-on-zero-div branch is never taken.
+    * `rankCol`/`sizeCol` are COLUMN NAMES in the calling frame (1-based
+    * rank, positive group size). */
+  def ntileFromRank(k: Int, rankCol: String, sizeCol: String): Column = {
+    require(k > 0, s"ntile bucket count must be positive, got $k")
+    expr(
+      s"""CASE WHEN $rankCol <= ($sizeCol % $k) * ($sizeCol div $k + 1)
+          THEN ($rankCol + $sizeCol div $k) div ($sizeCol div $k + 1)
+          ELSE $sizeCol % $k
+               + ($rankCol - ($sizeCol % $k) * ($sizeCol div $k + 1) - 1)
+                 div ($sizeCol div $k) + 1
+          END""")
+  }
 }

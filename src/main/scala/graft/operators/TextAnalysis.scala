@@ -766,21 +766,30 @@ object TextAnalysis {
     * identically.
     *
     * Scale shape (100 TB): explode → (lang, word) count with map-side
-    * combine, then per-lang top-100 by window rank — the rank shuffle
-    * carries only the DISTINCT vocabulary (tiny vs the corpus), and the
-    * regression is an O(1)-state aggregate over ≤100 rows per language. */
+    * combine; the per-lang top-100 runs as the two-phase bounded-heap
+    * TopKPerGroup, NOT a window rank — the vocabulary is data-bounded
+    * (billions of distinct terms at warehouse scale), so a rank window
+    * partitioned on the handful of languages would hand one language's
+    * entire vocabulary to ONE sort task. The heap keeps ≤ 100 rows per
+    * lang per map task; the only window left numbers the ≤ 100
+    * survivors per language (the regression needs ln(rank) as an input,
+    * so rank can't just be discarded — it is recomputed on the k-row
+    * output, a k-bounded frame by construction). The regression itself
+    * is an O(1)-state aggregate over ≤ 100 rows per language. */
   private val t16 = Q(
     "t16_zipf_slope",
     (s, d) => {
       val rk = Window
         .partitionBy(col("lang"))
         .orderBy(col("n").desc, col("word"))
-      T.documents(s, d)
+      val freq = T.documents(s, d)
         .select(col("lang"), explode(split(col("text"), " ")).as("word"))
         .groupBy(col("lang"), col("word"))
         .agg(count(lit(1)).as("n"))
+      graft.plans.TopK
+        .perGroup(s, freq, Seq(col("lang")),
+          Seq(col("n").desc, col("word").asc), 100)
         .withColumn("rk", row_number().over(rk))
-        .filter(col("rk") <= 100)
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_terms"),
@@ -1081,8 +1090,7 @@ object TextAnalysis {
     * static overlap matrix and d14's dedup can't show, because both are
     * order-blind.
     *
-    * Scale shape (100 TB): the bucket window partitions on source (the
-    * t18/t20 grid shape), but global first-occurrence is PARTIAL
+    * Scale shape (100 TB): global first-occurrence is PARTIAL
     * AGGREGATION, never a gram-hash window: a min(doc_id) over
     * Window.partitionBy(h) hands a stop-word bigram — present in
     * essentially every document — ONE task and an unbounded window
@@ -1094,20 +1102,43 @@ object TextAnalysis {
     * keys on near-unique doc_id, never on the gram hash, and the
     * (source × 5) rollup closes the grid. Grams reduce to md5 before
     * the first exchange, so raw text never shuffles; every shuffle row
-    * is a fixed-width (hash|doc_id|count) tuple. */
+    * is a fixed-width (hash|doc_id|count) tuple.
+    *
+    * The ingestion-order bucket is ntile's CLOSED FORM over the
+    * count-scan rank, not an ntile window: `ntile(5) OVER (PARTITION BY
+    * source ORDER BY doc_id)` would hand each source ONE task buffering
+    * every row — and the frame here would carry each doc's gram ARRAY,
+    * not just metadata. Instead the per-source position comes from
+    * [[graft.operators.DistributedScan.bucketedRowNumber]] on the
+    * (doc_id, source, n_grams) METADATA projection (`doc_id div 4096`
+    * is monotone in the order key and caps every window task at 4096
+    * rows by construction), the per-source count joins back from a
+    * k-row broadcast, and the tile is the SQL-standard assignment
+    * (first n mod k buckets get one extra row) computed in integer
+    * arithmetic — exactly the rows ntile emits, so the oracle keeps the
+    * textbook SQL. */
   private val t21 = Q(
     "t21_source_saturation",
     (s, d) => {
-      val bktW = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       val docs = T.documents(s, d)
         .select(col("doc_id"), col("source"),
           graft.functions.GraftFunctions.wordNgrams(s, col("text"), 2)
             .as("grams"))
         .filter(size(col("grams")) >= 1)
-        .withColumn("bucket", ntile(5).over(bktW).cast("long"))
-      val dims = docs.select(
-        col("doc_id"), col("source"), col("bucket"),
+      val meta = docs.select(
+        col("doc_id"), col("source"),
         size(col("grams")).cast("long").as("n_grams_doc"))
+      val ranked = DistributedScan.bucketedRowNumber(
+        meta, col("source"), expr("doc_id div 4096L"),
+        Seq(col("doc_id")), "r")
+      val srcCounts = ranked.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src"))
+      val dims = ranked
+        .join(broadcast(srcCounts), Seq("source"))
+        .withColumn("bucket",
+          DistributedScan.ntileFromRank(5, "r", "n_src").cast("long"))
+        .select(col("doc_id"), col("source"), col("bucket"),
+          col("n_grams_doc"))
       val novelPerDoc = docs
         .select(col("doc_id"), explode(col("grams")).as("gram"))
         .select(col("doc_id"), md5(col("gram")).as("h"))

@@ -74,6 +74,28 @@ class DistributedScanSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("ntileFromRank equals the ntile window for every group size " +
+    "around the bucket count (n < k, n = k, every remainder class)") {
+    val sqlc = spark
+    import sqlc.implicits._
+    // Streams of every size 1..23 cover q = 0, rem = 0, and all rem
+    // classes for k in {2, 5, 7}.
+    val df = (1 to 23).flatMap(n => (1 to n).map(r => (s"g$n", n.toLong)))
+      .toDF("g", "n")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("g")).orderBy(monotonically_increasing_id()))
+        .cast("long"))
+    for (k <- Seq(2, 5, 7)) {
+      val bad = df
+        .withColumn("closed", DistributedScan.ntileFromRank(k, "r", "n"))
+        .withColumn("window", ntile(k).over(
+          Window.partitionBy(col("g")).orderBy(col("r"))).cast("long"))
+        .filter(col("closed") =!= col("window"))
+        .count()
+      assert(bad === 0L, s"closed-form ntile($k) diverged on $bad rows")
+    }
+  }
+
   test("the helpers refuse input frames whose column names collide with " +
     "the working or output columns (silent clobber would corrupt priors)") {
     val sqlc = spark

@@ -460,17 +460,19 @@ class PlanAuditSpec extends SparkSpec {
       s"row_number and lead must share ONE window:\n$exec")
   }
 
-  test("t16: the Zipf rank shuffle carries only the distinct vocabulary " +
-    "(count aggregates before the window) and the OLS runs as one " +
-    "aggregate") {
+  test("t16: the per-lang top-100 plans as the bounded-heap " +
+    "TopKPerGroup (a lang-partitioned rank window would hand one " +
+    "language's entire vocabulary to ONE sort task); the only Window " +
+    "numbers the <= 100 survivors per language") {
     val exec = SparkEntry.queries("t16_zipf_slope")(spark, sf)
       .queryExecution.executedPlan.toString
-    // Partial (lang, word) count must appear BELOW the window's
-    // lang-only exchange: the explode output aggregates map-side first.
-    val winAt = exec.indexOf("Window")
-    val aggAt = exec.lastIndexOf("HashAggregate")
-    assert(winAt >= 0 && aggAt > winAt,
-      s"expected the vocabulary count to aggregate before the rank:\n$exec")
+    assert(exec.contains("TopKPerGroup"),
+      s"the top-100 must plan as the bounded heap:\n$exec")
+    val windows = "Window \\[".r.findAllIn(exec).size
+    assert(windows == 1, s"expected only the k-row numbering window:\n$exec")
+    assert(exec.indexOf("Window") < exec.indexOf("TopKPerGroup"),
+      s"the numbering window must sit on TopKPerGroup's <= k-row " +
+        s"output:\n$exec")
     assert(!exec.contains("Join"), exec)
   }
 
@@ -848,8 +850,9 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("t21: first-occurrence novelty is partial aggregation per gram " +
-    "hash + a doc_id join-back — the only window is the per-source " +
-    "ntile, never one partitioned on the gram hash") {
+    "hash + a doc_id join-back, and the ingestion buckets come from " +
+    "the count-scan rank — no per-source ntile task, no gram-hash " +
+    "window") {
     val exec = SparkEntry.queries("t21_source_saturation")(spark, sf)
       .queryExecution.executedPlan.toString
     // The old shape — min(doc_id) over Window.partitionBy(h) — handed a
@@ -860,6 +863,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(exec.linesIterator.filter(_.contains("Window"))
       .forall(l => !l.contains("[h#")),
       s"a window partitions on the gram hash:\n$exec")
+    // The ntile window buffered each source's every row (gram arrays
+    // included) in one task; the count-scan bounds window tasks at the
+    // 4096-row doc_id blocks.
+    assert(!exec.contains("ntile"),
+      s"the single-task ntile window returned:\n$exec")
+    assert(exec.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number"))
+      .forall(_.contains("_drn_blk")),
+      s"a rank window lost its bucket partition:\n$exec")
     assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[doc_id"
       .r.findFirstIn(exec).isDefined,
       s"expected the doc_id-keyed join-back:\n$exec")
@@ -911,7 +923,11 @@ class PlanAuditSpec extends SparkSpec {
       // s16 rides the same probe legs as s01/s02/s04 (1-row query-vector
       // broadcasts) plus a 1-row IDCG scalar cross — every cross side is
       // a broadcast singleton; its own plan test pins the 10-row cuts.
-      "s16_ranking_metrics")
+      "s16_ranking_metrics",
+      // t20 crosses the grid with its 1-row global-total aggregate (the
+      // p05/p08 pattern); its own plan test pins the equi term-total
+      // join and the TopKPerGroup top-3.
+      "t20_source_terms")
     val streaming = Set(
       "q28_stream_window", "q29_stream_dedup", "q30_stream_session",
       "q36_stream_join", "q37_stream_sliding", "q38_stream_static_join",
