@@ -1109,16 +1109,40 @@ object Relational {
   private val q44 = Q(
     "q44_window_rank_family",
     (s, d) => {
-      val w = Window.partitionBy(col("c_nationkey"))
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      T.customer(s, d)
+      // The whole distribution-rank family collapses to closed forms of
+      // (row position r, group size n) because the ORDER BY carries the
+      // unique c_custkey tiebreak — no peer groups, so dense_rank = r,
+      // percent_rank = (r−1)/(n−1), cume_dist = r/n, and ntile is its
+      // standard assignment. That turns the textbook window — ONE task
+      // per nation sorting the nation's every customer — into the
+      // two-level count-scan: r from DistributedScan.bucketedRowNumber
+      // (value-band buckets −floor(acctbal/100), monotone in the DESC
+      // key; window tasks bounded by band occupancy), n from a k-row
+      // broadcast join-back. The double arithmetic mirrors the window
+      // functions' own ((r−1)/(n−1) then ×1e6, both exact-integer
+      // operands under 2^53), so the rows are bit-identical to the
+      // textbook formulation the oracle keeps.
+      val base = T.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val ranked = DistributedScan.bucketedRowNumber(
+        base, col("c_nationkey"),
+        (-floor(col("c_acctbal") / 100)).cast("long"),
+        Seq(col("c_acctbal").desc, col("c_custkey")), "r")
+      val counts = ranked.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_nat"))
+      ranked.join(broadcast(counts), Seq("c_nationkey"))
         .select(
           col("c_custkey"),
           col("c_nationkey"),
-          ntile(4).over(w).as("quartile"),
-          dense_rank().over(w).as("drank"),
-          floor(percent_rank().over(w) * 1000000).cast("long").as("prank_ppm"),
-          floor(cume_dist().over(w) * 1000000).cast("long").as("cdist_ppm"))
+          DistributedScan.ntileFromRank(4, "r", "n_nat")
+            .cast("int").as("quartile"),
+          col("r").cast("int").as("drank"),
+          expr("""CAST(floor(CASE WHEN n_nat > 1
+                 THEN (CAST(r - 1 AS DOUBLE) / CAST(n_nat - 1 AS DOUBLE))
+                      * 1000000
+                 ELSE CAST(0 AS DOUBLE) END) AS BIGINT)""").as("prank_ppm"),
+          expr("""CAST(floor((CAST(r AS DOUBLE) / CAST(n_nat AS DOUBLE))
+                 * 1000000) AS BIGINT)""").as("cdist_ppm"))
         .orderBy(col("c_custkey"))
     },
     Some("""

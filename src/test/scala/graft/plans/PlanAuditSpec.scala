@@ -197,6 +197,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"WindowExec survived the rewrite:\n$p")
   }
 
+  test("q44: the distribution-rank family runs as the bucketed " +
+    "count-scan closed forms — no per-nation WindowExec sorting a " +
+    "nation's every customer; every row_number window partitions on " +
+    "(nation, value band)") {
+    val exec = SparkEntry.queries("q44_window_rank_family")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("ntile") && !exec.contains("percent_rank") &&
+      !exec.contains("cume_dist") && !exec.contains("dense_rank"),
+      s"a distribution-rank window survived the closed-form rewrite:\n$exec")
+    val windows = "Window \\[[^\\n]*".r.findAllIn(exec).toList
+    assert(windows.nonEmpty, exec)
+    windows.foreach { w =>
+      if (w.contains("row_number"))
+        assert(w.contains("_drn_blk"),
+          s"a row_number window lost its bucket partition:\n$w")
+      else
+        assert(w.contains("_drn_bcnt"),
+          s"unexpected stream-wide window:\n$w")
+    }
+  }
+
   test("q57: the stratified hash-rank sample plans as the bounded-heap " +
     "TopKPerGroup — event_type strata are hot keys, so the per-stratum " +
     "sort must never run in a WindowExec task") {
