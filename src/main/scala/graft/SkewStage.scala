@@ -59,6 +59,16 @@ object SkewStage {
       spark.stop()
       return
     }
+    // `rank:N:H` times the rank-family stage (q44/p09/t21): per-stream
+    // row_number over a hash order where ONE stream holds H of the N
+    // rows. Window = the textbook rank (one task sorts — and buffers —
+    // the hot stream's H rows); scan = DistributedScan.bucketedRowNumber
+    // (hex-prefix buckets bound every sort task at ~N/4096 rows).
+    if (corpus.startsWith("rank:")) {
+      rankStage(spark, corpus)
+      spark.stop()
+      return
+    }
 
     val ChunkWords = 16
     // `synthetic:N:H` skips the corpus and generates the stream
@@ -204,6 +214,71 @@ object SkewStage {
     val same = fpScan == fpWin
     val fmt = (v: Double) => "%.2f".formatLocal(java.util.Locale.ROOT, v)
     println(s"""{"metric":"skew_stage_scan","spec":"$spec","rows":$total,"hot_rows":$h,"two_level_scan":${fmt(tScan)},"window":${fmt(tWin)},"equal":$same}""")
+  }
+
+  /** The rank-family stage, isolated: N (stream, id, h) rows, H of them
+    * in stream "hot" (one source/nation/language holding most of the
+    * corpus), the rest across 1000 cold streams; h = md5(id) is the
+    * sort key, so its first three hex chars are the monotone 4096-ary
+    * bucket the count-scan uses. Output = input rows (like scan:), so
+    * both shapes pay the data movement — but the window's hot task
+    * additionally sorts H rows in ONE buffer, which is the cliff the
+    * bucketed rank removes. The billed action is the order-invariant
+    * fingerprint over every (stream, id, r) row; XOR plus an exact
+    * decimal sum of the same hashes, so paired-duplicate cancellation
+    * cannot fake an equal= verdict. Needs SPARK_DRIVER_MEM=32g at
+    * N=2e8. */
+  private def rankStage(spark: SparkSession, spec: String): Unit = {
+    val parts = spec.split(":")
+    val n     = parts(1).toLong
+    val h     = parts(2).toLong
+    val path  = s"target/_skew_rank_${n}_$h.parquet"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      spark.range(n)
+        .select(
+          when(col("id") < h, lit("hot"))
+            .otherwise(concat(lit("cold"), pmod(col("id"), lit(1000L))))
+            .as("stream"),
+          col("id"),
+          md5(col("id").cast("string")).as("h"))
+        .write.mode("overwrite").parquet(path)
+    val rows  = spark.read.parquet(path)
+    val total = rows.count()
+    println(s"[stage] rank rows=$total hot-stream rows=$h " +
+      s"(${100L * h / total}% of the stream)")
+
+    def viaWindow: DataFrame =
+      rows.withColumn("r", row_number().over(
+          Window.partitionBy(col("stream")).orderBy(col("h"), col("id")))
+        .cast("long"))
+        .select(col("stream"), col("id"), col("r"))
+    def viaScan: DataFrame =
+      operators.DistributedScan.bucketedRowNumber(
+          rows, col("stream"), substring(col("h"), 1, 3),
+          Seq(col("h"), col("id")), "r")
+        .select(col("stream"), col("id"), col("r"))
+
+    def fp(df: DataFrame): (Long, Long, String) = {
+      val r = df.select(xxhash64(col("stream"), col("id"), col("r")).as("rh"))
+        .agg(count(lit(1)), expr("bit_xor(rh)"),
+          expr("sum(CAST(rh AS DECIMAL(38,0)))")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) "0" else r.getDecimal(2).toPlainString)
+    }
+    def timed(name: String)(body: => DataFrame): (Double, (Long, Long, String)) = {
+      val t0 = System.nanoTime()
+      val f  = fp(body)
+      val t  = (System.nanoTime() - t0) / 1e9
+      println(s"[stage] $name ${"%.2f".formatLocal(java.util.Locale.ROOT, t)} s")
+      (t, f)
+    }
+    viaScan.write.format("noop").mode("overwrite").save()
+    val (tScan, fpScan) = timed("bucketed-rank")(viaScan)
+    val (tWin, fpWin)   = timed("window")(viaWindow)
+    val same = fpScan == fpWin
+    val fmt = (v: Double) => "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    println(s"""{"metric":"skew_stage_rank","spec":"$spec","rows":$total,"hot_rows":$h,"bucketed_rank":${fmt(tScan)},"window":${fmt(tWin)},"equal":$same}""")
   }
 
   /** The d10 survivor stage, isolated: N labeled docs, H of them in
