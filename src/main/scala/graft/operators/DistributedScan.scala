@@ -107,7 +107,25 @@ object DistributedScan {
     *     partition holds rows/buckets rows by construction.
     * Counting is associative, so the result row-for-row equals the
     * single-window formulation (DistributedScanSpec replays both on a
-    * planted hot stream); oracles keep the textbook SQL. */
+    * planted hot stream); oracles keep the textbook SQL.
+    *
+    * WHEN TO PREFER THE TEXTBOOK WINDOW INSTEAD (the cold-case rule,
+    * from BASELINE tier 3d's measurements): this shape pays one extra
+    * shuffle + join over the plain window, so on a stream population
+    * with NO hot key — every stream small enough that its sort fits one
+    * task comfortably — the textbook window wins (measured 0.63× at a
+    * 0.5%-max-stream cold case). The cliff this removes is the HOT
+    * stream: one stream holding a large share of the corpus, where the
+    * window's floor is a single task sorting that share regardless of
+    * cluster size (measured 5.1× at 95%-hot, 2×10⁸ rows). Every
+    * production caller here is hot-stream-shaped BY CONSTRUCTION:
+    * q44/q67/q99/q116/q120 partition on ≤~25-value catalog keys
+    * (nation, event_type, priority — each stratum is a corpus-scale
+    * fraction), q122 ranks a user population under a 5-value type key,
+    * and p09/t21 partition on k≈20 sources. A caller whose partition
+    * key is a near-unique entity id (user_id, doc_id) should use the
+    * plain window — that is the census's `entity` class, bounded by
+    * per-entity activity, and the extra shuffle buys nothing. */
   def bucketedRowNumber(
       df: DataFrame,
       stream: Column,

@@ -1967,28 +1967,42 @@ object Relational {
     * order across engines (lo + d·(hi−lo) vs (1−d)·lo + d·hi), so this
     * uses DISCRETE quantiles selected by pure integer rank arithmetic:
     * rank r(q) = ceil(q·n/100) over the per-stratum value order, value
-    * picked by an exact row_number match — the emitted doubles are raw
+    * picked by an exact rank match — the emitted doubles are raw
     * stored values, bit-identical in any engine, no tolerance oracle
     * needed. Tie order between equal values cannot change the picked
     * VALUE (same multiset, same rank).
     *
-    * Scale shape: ONE shuffle (the per-stratum sort the window needs);
-    * n arrives via a frame-less count over the same partitioning, so no
-    * second aggregate-and-join pass; the final pivot is a k-row
-    * aggregate. When a stratum stops fitting a partition, q40's sketch
-    * IS the scale path — this pair is the same exact/approx menu as
-    * q31/q40 and q26/q63. */
+    * Scale shape: event_type is a ~5-value hot key, so the textbook
+    * `row_number() OVER (PARTITION BY event_type ORDER BY value)` hands
+    * each stratum ONE task sorting a fifth of the corpus — the rank:N:H
+    * tier measured that cliff at 5.1× on a 2×10⁸-row 95%-hot stream.
+    * The rank therefore runs as [[DistributedScan.bucketedRowNumber]]
+    * with unit-value bands (floor(value), monotone in the leading sort
+    * key): rank = per-stratum count of earlier bands (a count-scan over
+    * the band table) + a within-band row_number whose window partition
+    * holds one band's rows by construction. n comes from a k-row
+    * partial-combining count broadcast back; the quantile rows are then
+    * FILTERED to the ≤4 exact rank matches per stratum before the k-row
+    * pivot, so nothing corpus-sized moves after the rank pass. The
+    * `count(*) OVER (PARTITION BY event_type)` twin the old plan rode is
+    * gone with the stratum window. When even a band stops fitting a
+    * task, q40's sketch IS the scale path — the same exact/approx menu
+    * as q31/q40 and q26/q63. Oracle keeps the textbook window SQL:
+    * counting is associative, so the rows are bit-identical. */
   private val q67 = Q(
     "q67_stratified_quantiles",
     (s, d) => {
-      val byVal = Window.partitionBy(col("event_type"))
-        .orderBy(col("value"), col("event_id"))
-      val all = Window.partitionBy(col("event_type"))
       def rank(q: Int) = expr(s"(($q * n) + 99) div 100")
-      T.events(s, d)
+      val base = T.events(s, d)
         .select(col("event_type"), col("event_id"), col("value"))
-        .withColumn("rk", row_number().over(byVal))
-        .withColumn("n", count(lit(1)).over(all))
+      val ranked = DistributedScan.bucketedRowNumber(
+        base, col("event_type"), floor(col("value")).cast("long"),
+        Seq(col("value"), col("event_id")), "rk")
+      val counts = base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(counts), Seq("event_type"))
+        .filter(col("rk") === rank(25) || col("rk") === rank(50) ||
+          col("rk") === rank(90) || col("rk") === rank(99))
         .groupBy(col("event_type"))
         .agg(
           max(col("n")).as("n"),
@@ -3279,20 +3293,35 @@ object Relational {
     * bins collapse into one overloaded bucket. The ntile ordering is
     * made total with the key tie-break, so both engines cut identically.
     *
-    * 100 TB shape: one shuffle on the group key, one window pass, one
-    * k×8-row rollup. For a GLOBAL equi-depth profile at scale,
-    * q40's approx_percentile sketch is the documented path — a global
-    * ntile would single-partition the sort. */
+    * 100 TB shape: o_orderpriority is a ~5-value hot key, so a textbook
+    * `ntile(8) OVER (PARTITION BY priority ORDER BY price)` hands each
+    * stratum ONE task sorting a fifth of the order book. The cut runs
+    * instead as q44's closed-form pair: rank from
+    * [[DistributedScan.bucketedRowNumber]] over 128-currency-unit price
+    * bands (floor(price/128), monotone in the sort key — window tasks
+    * bounded by band occupancy), group size n from a k-row
+    * partial-combining count broadcast back, and the bin is
+    * [[DistributedScan.ntileFromRank]]'s pure integer arithmetic on
+    * (rank, n) — bit-identical to the SQL-standard ntile the oracle
+    * keeps. The k×8-row rollup rides map-side combine. For a GLOBAL
+    * equi-depth profile at scale, q40's approx_percentile sketch is the
+    * documented path. */
   private val q99 = Q(
     "q99_histogram_equidepth",
     (s, d) => {
-      val w = Window
-        .partitionBy(col("priority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      T.orders(s, d)
+      val base = T.orders(s, d)
         .select(col("o_orderpriority").as("priority"),
           col("o_totalprice"), col("o_orderkey"))
-        .withColumn("bucket", ntile(8).over(w))
+      val ranked = DistributedScan.bucketedRowNumber(
+        base, col("priority"),
+        floor(col("o_totalprice") / 128).cast("long"),
+        Seq(col("o_totalprice"), col("o_orderkey")), "r")
+      val counts = base.groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_grp"))
+      ranked.join(broadcast(counts), Seq("priority"))
+        .select(col("priority"), col("o_totalprice"),
+          DistributedScan.ntileFromRank(8, "r", "n_grp")
+            .cast("int").as("bucket"))
         .groupBy(col("priority"), col("bucket"))
         .agg(
           count(lit(1)).as("n"),
@@ -4312,27 +4341,41 @@ object Relational {
     * rank selection is bit-exact — and the clip itself, the clipped-tail
     * counts, and the before/after means all run in exact integer cents.
     *
-    * Scale shape (100 TB): ONE shuffle — the per-group ranking sort —
-    * then the boundaries reach every row as frame-less window aggregates
-    * over the SAME partitioning (no join-back pass, no second scan), and
-    * the report is a k-row map-side-combined rollup. Groups too large to
-    * sort fall back to q40's sketch boundaries; the clip stays exact. */
+    * Scale shape (100 TB): event_type is a ~5-value hot key, so the
+    * old one-shuffle plan's per-stratum ranking sort ran in ONE task
+    * holding a fifth of the corpus — the rank:N:H tier's measured 5.1×
+    * cliff. The p05/p95 ranks therefore run as
+    * [[DistributedScan.bucketedRowNumber]] over 16-cent value bands
+    * (cents div 16, monotone in the sort key; window tasks bounded by
+    * band occupancy), n comes from a k-row partial-combining count, and
+    * the two boundary rows per stratum are FILTERED out of the ranked
+    * stream and broadcast back onto the raw rows — the clip, the
+    * clipped-tail counts, and both means then ride one k-row
+    * map-side-combined rollup that never sees a rank. Costs one extra
+    * pruned scan + two broadcast joins vs the old plan; removes its
+    * single-task sort (p09's documented trade). Groups too large even
+    * per band fall back to q40's sketch boundaries; the clip stays
+    * exact. Oracle keeps the textbook window SQL — counting is
+    * associative, the rows are bit-identical. */
   private val q116 = Q(
     "q116_winsorize",
     (s, d) => {
-      val byVal = Window.partitionBy(col("event_type"))
-        .orderBy(col("cents"), col("event_id"))
-      val grp = Window.partitionBy(col("event_type"))
       def rank(q: Int) = expr(s"(($q * n) + 99) div 100")
-      T.events(s, d)
+      val base = T.events(s, d)
         .select(col("event_type"), col("event_id"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-        .withColumn("rk", row_number().over(byVal))
-        .withColumn("n", count(lit(1)).over(grp))
-        .withColumn("lo",
-          min(when(col("rk") === rank(5), col("cents"))).over(grp))
-        .withColumn("hi",
-          min(when(col("rk") === rank(95), col("cents"))).over(grp))
+      val ranked = DistributedScan.bucketedRowNumber(
+        base, col("event_type"), expr("cents div 16"),
+        Seq(col("cents"), col("event_id")), "rk")
+      val counts = base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ranked.join(broadcast(counts), Seq("event_type"))
+        .filter(col("rk") === rank(5) || col("rk") === rank(95))
+        .groupBy(col("event_type"))
+        .agg(
+          min(when(col("rk") === rank(5), col("cents"))).as("lo"),
+          min(when(col("rk") === rank(95), col("cents"))).as("hi"))
+      base.join(broadcast(bounds), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
@@ -4552,33 +4595,48 @@ object Relational {
     * degenerate mad2=0 group (>50% of values identical) flags every
     * deviating row, the documented MAD behavior.
     *
-    * Scale shape (100 TB): ONE exchange — both ranking windows and the
-    * final rollup partition by the same event_type key, so the plan is
-    * hash-exchange once, then sort-by-cents / sort-by-dev2 within
-    * unmoved partitions (PlanAuditSpec pins the single-Exchange shape).
-    * Per-group boundaries reach rows as frame-less window aggregates —
-    * q116's no-join-back posture. */
+    * Scale shape (100 TB): event_type is a ~5-value hot key, so the old
+    * one-exchange plan's two per-stratum ranking sorts each ran in ONE
+    * task holding a fifth of the corpus — the rank:N:H tier's measured
+    * 5.1× cliff, twice. Both median selections therefore run as
+    * [[DistributedScan.bucketedRowNumber]] count-scans (p09's two-pass
+    * posture): pass 1 ranks cents over 16-cent value bands and the two
+    * median-pair rows per stratum are FILTERED out and broadcast back
+    * as med2; pass 2 ranks dev2 = |2·cents − med2| over 32-unit bands
+    * the same way for mad2. The final rollup reads the raw rows plus
+    * two broadcast k-row boundary tables — no rank ever reaches it.
+    * Costs extra pruned scans + broadcast joins vs the old plan;
+    * removes both single-task sorts. Oracle keeps the textbook window
+    * SQL — counting is associative, the rows are bit-identical. */
   private val q120 = Q(
     "q120_mad_outliers",
     (s, d) => {
-      val grp = Window.partitionBy(col("event_type"))
-      val byVal = grp.orderBy(col("cents"), col("event_id"))
       val loRk = expr("(n + 1) div 2")
       val hiRk = expr("n div 2 + 1")
-      T.events(s, d)
+      val base = T.events(s, d)
         .select(col("event_type"), col("event_id"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-        .withColumn("rk", row_number().over(byVal))
-        .withColumn("n", count(lit(1)).over(grp))
-        .withColumn("med2",
-          min(when(col("rk") === loRk, col("cents"))).over(grp)
-            + min(when(col("rk") === hiRk, col("cents"))).over(grp))
+      val counts = base.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val rankedA = DistributedScan.bucketedRowNumber(
+        base, col("event_type"), expr("cents div 16"),
+        Seq(col("cents"), col("event_id")), "rk")
+      val medTab = rankedA.join(broadcast(counts), Seq("event_type"))
+        .filter(col("rk") === loRk || col("rk") === hiRk)
+        .groupBy(col("event_type"))
+        .agg((min(when(col("rk") === loRk, col("cents")))
+          + min(when(col("rk") === hiRk, col("cents")))).as("med2"))
+      val dev = base.join(broadcast(medTab), Seq("event_type"))
         .withColumn("dev2", abs(lit(2) * col("cents") - col("med2")))
-        .withColumn("rk2",
-          row_number().over(grp.orderBy(col("dev2"), col("event_id"))))
-        .withColumn("mad2",
-          min(when(col("rk2") === loRk, col("dev2"))).over(grp)
-            + min(when(col("rk2") === hiRk, col("dev2"))).over(grp))
+      val rankedB = DistributedScan.bucketedRowNumber(
+        dev, col("event_type"), expr("dev2 div 32"),
+        Seq(col("dev2"), col("event_id")), "rk2")
+      val madTab = rankedB.join(broadcast(counts), Seq("event_type"))
+        .filter(col("rk2") === loRk || col("rk2") === hiRk)
+        .groupBy(col("event_type"))
+        .agg((min(when(col("rk2") === loRk, col("dev2")))
+          + min(when(col("rk2") === hiRk, col("dev2")))).as("mad2"))
+      dev.join(broadcast(madTab), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
@@ -4762,18 +4820,30 @@ object Relational {
     * both engines (s06's overflow posture).
     *
     * Scale shape (100 TB): the (event_type, user_id) rollup shuffles
-    * once with map-side combine; the ranking window then re-keys on
-    * event_type over k·users rows (counts only, no payload), and the
-    * report is a k-row aggregate. */
+    * once with map-side combine — but the old plan then ranked those
+    * k·users count rows in a per-event_type window, i.e. ONE task
+    * sorting a fifth of the user population (at 10⁹ users that is the
+    * same cliff the rank:N:H tier measured at 5.1×). The Gini rank i
+    * therefore runs as [[DistributedScan.bucketedRowNumber]] with a
+    * composite (c, user_id div 4096) STRUCT bucket — lexicographically
+    * monotone in the (c, user_id) sort order, and the user_id sub-band
+    * keeps a bucket bounded even when most users share one count (c=1
+    * is the hot band in any heavy-tailed corpus, where a value band
+    * alone would recreate the cliff). The report stays a k-row
+    * aggregate; the count table is computed twice inside the count-scan
+    * (p09's documented trade) and carries counts only, never payload.
+    * Oracle keeps the textbook window SQL — counting is associative,
+    * the rows are bit-identical. */
   private val q122 = Q(
     "q122_skew_gini",
     (s, d) => {
-      val byCnt = Window.partitionBy(col("event_type"))
-        .orderBy(col("c"), col("user_id"))
-      T.events(s, d)
+      val cnt = T.events(s, d)
         .groupBy(col("event_type"), col("user_id"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("i", row_number().over(byCnt))
+      DistributedScan.bucketedRowNumber(
+        cnt, col("event_type"),
+        struct(col("c"), expr("user_id div 4096").as("ub")),
+        Seq(col("c"), col("user_id")), "i")
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n_users"),

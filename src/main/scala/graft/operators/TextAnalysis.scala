@@ -1004,7 +1004,17 @@ object TextAnalysis {
     *
     * Scale shape (100 TB): the corpus pays ONE (source, term) explode +
     * rollup with map-side combine into the grid, materialized once
-    * (eager localCheckpoint — four consumers, one build). The grid is
+    * (eager localCheckpoint — four consumers, one build). Failure
+    * posture, stated deliberately: localCheckpoint blocks die with
+    * their executor, so losing one mid-query fails THIS query, which
+    * then restarts from the corpus — acceptable here because the grid
+    * is consumed only within this one query's plan (all four consumers
+    * finish or the query does), unlike the cross-QUERY chunk-pair /
+    * band-index tables (Dedup.scala), which multiple registered queries
+    * read and which therefore use the write-once stored-parquet
+    * convention. A deployment that runs this report repeatedly should
+    * promote the grid to that stored convention; the query's own
+    * correctness never depends on block survival. The grid is
     * vocabulary-SIZED, not vocabulary-"bounded-small": at 100 TB the
     * distinct-term count is billions (URLs, typos, code tokens), so
     * none of the rates may run as a window over it — `sum OVER

@@ -233,16 +233,42 @@ class PlanAuditSpec extends SparkSpec {
       s"probe side did not broadcast:\n$p")
   }
 
-  test("q67: the stratified-quantile aggregate reuses the window's " +
-    "hash partitioning — one hash shuffle, not two") {
-    // Exchanges are inserted by EnsureRequirements, so audit the
-    // executed plan (not sparkPlan).
-    val p = SparkEntry.queries("q67_stratified_quantiles")(spark, sf)
+  // The five former stratum-sort queries (q67/q99/q116/q120/q122) now
+  // rank via DistributedScan.bucketedRowNumber — event_type/priority are
+  // ~5-value hot keys, so a stratum-partitioned rank window would hand
+  // one task a fifth of the corpus (the rank:N:H tier's measured 5.1×
+  // cliff). Pin: every row_number window partitions on (stream, bucket),
+  // and the only stream-wide windows are the count-scans over the bucket
+  // table; no O(n²) join shapes appear.
+  private def assertBucketedRankOnly(name: String): Unit = {
+    val exec = SparkEntry.queries(name)(spark, sf)
       .queryExecution.executedPlan.toString
-    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(hashExchanges == 1,
-      s"expected the groupBy to ride the window's partitioning:\n$p")
-    assert(p.contains("Window"), p)
+    assert(!exec.contains("ntile("),
+      s"an ntile window survived the closed-form rewrite:\n$exec")
+    val windows = "Window \\[[^\\n]*".r.findAllIn(exec).toList
+    assert(windows.nonEmpty, exec)
+    windows.foreach { w =>
+      if (w.contains("row_number"))
+        assert(w.contains("_drn_blk"),
+          s"$name: a row_number window lost its bucket partition:\n$w")
+      else
+        assert(w.contains("_drn_bcnt"),
+          s"$name: unexpected stream-wide window:\n$w")
+    }
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"), exec)
+  }
+
+  test("q67: the stratified-quantile ranks run as the bucketed " +
+    "count-scan — no per-stratum WindowExec sorting a fifth of the " +
+    "corpus; every row_number window partitions on (stratum, value band)") {
+    assertBucketedRankOnly("q67_stratified_quantiles")
+  }
+
+  test("q99: the equi-depth cut runs as the bucketed count-scan + " +
+    "closed-form ntile — no per-priority WindowExec sorting a fifth of " +
+    "the order book") {
+    assertBucketedRankOnly("q99_histogram_equidepth")
   }
 
   test("s09: learned-quantizer IVF probe hash-broadcasts the probed-cell " +
@@ -600,14 +626,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(exec.contains("Window"), exec)
   }
 
-  test("q116: the winsorize pass is ONE ranking shuffle — boundaries " +
-    "reach rows as same-partition window aggregates, no join-back, and " +
-    "the rollup reuses the partitioning") {
+  test("q116: the winsorize boundary ranks run as the bucketed " +
+    "count-scan (16-cent bands) — no per-stratum WindowExec; the p05/p95 " +
+    "rows broadcast back onto the raw rows") {
+    assertBucketedRankOnly("q116_winsorize")
     val exec = SparkEntry.queries("q116_winsorize")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 1,
-      s"expected one event_type exchange:\n$exec")
-    assert(!exec.contains("Join"), s"boundary must not join back:\n$exec")
+    assert(exec.contains("BroadcastHashJoin"),
+      s"the k-row boundary table must broadcast:\n$exec")
   }
 
   test("q117: the power iteration runs against the once-materialized " +
@@ -674,15 +700,14 @@ class PlanAuditSpec extends SparkSpec {
       !exec.contains("BroadcastNestedLoopJoin"), exec)
   }
 
-  test("q120: both MAD ranking windows and the rollup ride ONE " +
-    "event_type exchange — sorts move, rows don't; no join-back") {
+  test("q120: both MAD median selections run as bucketed count-scans " +
+    "(cents + dev2 bands) — no per-stratum WindowExec anywhere in the " +
+    "two-pass plan; med2/mad2 broadcast back onto the raw rows") {
+    assertBucketedRankOnly("q120_mad_outliers")
     val exec = SparkEntry.queries("q120_mad_outliers")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 1,
-      s"expected one event_type exchange:\n$exec")
-    assert(!exec.contains("Join"), s"boundaries must not join back:\n$exec")
-    assert("Sort \\[".r.findAllIn(exec).size >= 2,
-      s"expected the cents + dev2 sorts:\n$exec")
+    assert(exec.contains("BroadcastHashJoin"),
+      s"the k-row med2/mad2 tables must broadcast:\n$exec")
   }
 
   test("q121: touch→purchase binding is a window (never a touch×purchase " +
@@ -698,13 +723,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(exec.contains("Window"), exec)
   }
 
-  test("q122: the skew audit is the count rollup + one event_type " +
-    "ranking pass — two exchanges, counts only on the wire, no join") {
-    val exec = SparkEntry.queries("q122_skew_gini")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 2,
-      s"expected the (type,user) rollup + type window exchanges:\n$exec")
-    assert(!exec.contains("Join"), exec)
+  test("q122: the Gini rank runs as the bucketed count-scan over a " +
+    "(c, user-block) struct bucket — no per-event_type WindowExec " +
+    "sorting a fifth of the user population") {
+    assertBucketedRankOnly("q122_skew_gini")
   }
 
   test("d17: exemplar pruning is linear — the assigned frame is read " +
@@ -1001,11 +1023,6 @@ class PlanAuditSpec extends SparkSpec {
     //                   (types x types, source x lang, months, spine
     //                   days, partition bounds, k sources), not on raw
     //                   rows.
-    //   stratum-sort  — exact order statistics (quantiles, winsorize,
-    //                   MAD, gini, equidepth) per low-card stratum: the
-    //                   per-stratum sort IS the semantics; documented
-    //                   residual with the q55 hash-sample / sketch
-    //                   twins (q15/q63/q79) as the at-scale fallback.
     //   textbook      — q08 is the DELIBERATE textbook window-top-k
     //                   kept as q64's comparison baseline (q64 runs the
     //                   same shape through the TopKPerGroup rewrite).
@@ -1048,11 +1065,11 @@ class PlanAuditSpec extends SparkSpec {
       "p08_token_budget"         -> "grid (k-source remainder frame)",
       "s16_ranking_metrics"      -> "grid (<= 10-row cut frames, own pin)",
       "p10_snapshot_drift"       -> "grid (9-row bin grid, own pin)",
-      "q67_stratified_quantiles" -> "stratum-sort (exact quantiles)",
-      "q99_histogram_equidepth"  -> "stratum-sort (exact equidepth cuts)",
-      "q116_winsorize"           -> "stratum-sort (exact percentile bounds)",
-      "q120_mad_outliers"        -> "stratum-sort (exact median-of-deviations)",
-      "q122_skew_gini"           -> "stratum-sort (exact gini rank)",
+      "q67_stratified_quantiles" -> "scan-blocks (bucketedRowNumber, unit-value bands)",
+      "q99_histogram_equidepth"  -> "scan-blocks (bucketedRowNumber, 128-unit price bands)",
+      "q116_winsorize"           -> "scan-blocks (bucketedRowNumber, 16-cent bands)",
+      "q120_mad_outliers"        -> "scan-blocks (bucketedRowNumber ×2, cents + dev2 bands)",
+      "q122_skew_gini"           -> "scan-blocks (bucketedRowNumber, (c, user-block) struct bucket)",
       "q08_window_topk_group"    -> "textbook (q64's rewrite baseline)",
     )
     val withWindows = SparkEntry.queries.keys.toSeq.sorted
