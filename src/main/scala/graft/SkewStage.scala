@@ -69,6 +69,16 @@ object SkewStage {
       spark.stop()
       return
     }
+    // `stratum:N:H` times the r16 stratum-order-statistics stage
+    // (q67/q99/q116/q120/q122): exact per-stratum quantile selection
+    // where ONE stratum holds H of the N rows. Window = the textbook
+    // row_number + count(*) pair over the stratum partition; scan =
+    // bucketedRowNumber over value bands + rank-filtered boundary rows.
+    if (corpus.startsWith("stratum:")) {
+      stratumStage(spark, corpus)
+      spark.stop()
+      return
+    }
 
     val ChunkWords = 16
     // `synthetic:N:H` skips the corpus and generates the stream
@@ -279,6 +289,91 @@ object SkewStage {
     val same = fpScan == fpWin
     val fmt = (v: Double) => "%.2f".formatLocal(java.util.Locale.ROOT, v)
     println(s"""{"metric":"skew_stage_rank","spec":"$spec","rows":$total,"hot_rows":$h,"bucketed_rank":${fmt(tScan)},"window":${fmt(tWin)},"equal":$same}""")
+  }
+
+  /** The r16 stratum-order-statistics stage, isolated: N (stream, id, v)
+    * rows, H of them in stratum "hot" (the event_type-is-a-fifth-of-the-
+    * corpus shape, turned up to 95%), the rest across 1000 cold strata;
+    * v is a deterministic pseudo-random value in [0, 100 000). The task
+    * is q67's: exact discrete p25/p50/p90/p99 per stratum, rank
+    * r(q) = ceil(q·n/100) over the (v, id) order. Window = the textbook
+    * pair (row_number + frameless count(*) over the stratum partition) —
+    * the hot stratum's H rows land in ONE task's sort buffer; scan =
+    * [[graft.operators.DistributedScan.bucketedRowNumber]] over 32-unit
+    * value bands + a k-row broadcast count, with the boundary rows
+    * rank-FILTERED before the k-row pivot, so unlike rank:/scan: the
+    * output is k rows and the stage isolates pure rank-selection cost
+    * (no output shipping on either side). The billed action is the
+    * order-invariant fingerprint over every (stream, n, p25..p99) row;
+    * XOR plus an exact decimal sum so paired cancellation cannot fake
+    * equality. Needs SPARK_DRIVER_MEM=32g at N=2e8. */
+  private def stratumStage(spark: SparkSession, spec: String): Unit = {
+    val parts = spec.split(":")
+    val n     = parts(1).toLong
+    val h     = parts(2).toLong
+    val path  = s"target/_skew_stratum_${n}_$h.parquet"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      spark.range(n)
+        .select(
+          when(col("id") < h, lit("hot"))
+            .otherwise(concat(lit("cold"), pmod(col("id"), lit(1000L))))
+            .as("stream"),
+          col("id"),
+          pmod(xxhash64(col("id")), lit(100000L)).as("v"))
+        .write.mode("overwrite").parquet(path)
+    val rows  = spark.read.parquet(path)
+    val total = rows.count()
+    println(s"[stage] stratum rows=$total hot-stratum rows=$h " +
+      s"(${100L * h / total}% of the table)")
+
+    def quantRank(q: Int) = expr(s"(($q * n) + 99) div 100")
+    def pivot(df: DataFrame): DataFrame = df
+      .groupBy(col("stream"))
+      .agg(
+        max(col("n")).as("n"),
+        min(when(col("rk") === quantRank(25), col("v"))).as("p25"),
+        min(when(col("rk") === quantRank(50), col("v"))).as("p50"),
+        min(when(col("rk") === quantRank(90), col("v"))).as("p90"),
+        min(when(col("rk") === quantRank(99), col("v"))).as("p99"))
+
+    def viaWindow: DataFrame = {
+      val byV = Window.partitionBy(col("stream")).orderBy(col("v"), col("id"))
+      val all = Window.partitionBy(col("stream"))
+      pivot(rows
+        .withColumn("rk", row_number().over(byV).cast("long"))
+        .withColumn("n", count(lit(1)).over(all)))
+    }
+    def viaScan: DataFrame = {
+      val ranked = operators.DistributedScan.bucketedRowNumber(
+        rows, col("stream"), expr("v div 32"), Seq(col("v"), col("id")), "rk")
+      val counts = rows.groupBy(col("stream")).agg(count(lit(1)).as("n"))
+      pivot(ranked.join(broadcast(counts), Seq("stream"))
+        .filter(col("rk") === quantRank(25) || col("rk") === quantRank(50) ||
+          col("rk") === quantRank(90) || col("rk") === quantRank(99)))
+    }
+
+    def fp(df: DataFrame): (Long, Long, String) = {
+      val r = df.select(xxhash64(col("stream"), col("n"), col("p25"),
+        col("p50"), col("p90"), col("p99")).as("rh"))
+        .agg(count(lit(1)), expr("bit_xor(rh)"),
+          expr("sum(CAST(rh AS DECIMAL(38,0)))")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) "0" else r.getDecimal(2).toPlainString)
+    }
+    def timed(name: String)(body: => DataFrame): (Double, (Long, Long, String)) = {
+      val t0 = System.nanoTime()
+      val f  = fp(body)
+      val t  = (System.nanoTime() - t0) / 1e9
+      println(s"[stage] $name ${"%.2f".formatLocal(java.util.Locale.ROOT, t)} s")
+      (t, f)
+    }
+    viaScan.write.format("noop").mode("overwrite").save()
+    val (tScan, fpScan) = timed("count-scan")(viaScan)
+    val (tWin, fpWin)   = timed("window")(viaWindow)
+    val same = fpScan == fpWin
+    val fmt = (v: Double) => "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    println(s"""{"metric":"skew_stage_stratum","spec":"$spec","rows":$total,"hot_rows":$h,"count_scan":${fmt(tScan)},"window":${fmt(tWin)},"equal":$same}""")
   }
 
   /** The d10 survivor stage, isolated: N labeled docs, H of them in

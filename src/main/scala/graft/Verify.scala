@@ -30,6 +30,7 @@ object Verify {
     val sfDir  = args(0)
     val outDir = args(1)
     val only   = args.drop(2).toSet
+    val runT0  = System.nanoTime()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -93,6 +94,30 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Run manifest: a deterministic all-green correctness sweep produces a
+    // byte-identical comparison artifact round over round, which is
+    // indistinguishable from a stale file copy. This stamps each dump with
+    // when it ran, on what code, and how long it took, so every round's
+    // run is self-identifying from the output tree alone.
+    locally {
+      val commit =
+        try {
+          val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+            .redirectErrorStream(true).start()
+          val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+          if (p.waitFor() == 0) out else "unknown"
+        } catch { case _: Throwable => "unknown" }
+      val manifest =
+        s"""{"completed_at":${q(java.time.Instant.now.toString)},""" +
+          s""""git_commit":${q(commit)},""" +
+          s""""wall_sec":${"%.1f".formatLocal(java.util.Locale.ROOT,
+            (System.nanoTime() - runT0) / 1e9)},""" +
+          s""""sf_dir":${q(sfDir)},"queries_dumped":${
+            SparkEntry.queries.count { case (n, _) =>
+              only.isEmpty || only(n) }}}"""
+      Files.writeString(Paths.get(s"$outDir/run_manifest.json"),
+        manifest + "\n")
+    }
     spark.stop()
   }
 }
