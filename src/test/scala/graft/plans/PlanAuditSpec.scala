@@ -1072,15 +1072,11 @@ class PlanAuditSpec extends SparkSpec {
       "q122_skew_gini"           -> "scan-blocks (bucketedRowNumber, (c, user-block) struct bucket)",
       "q08_window_topk_group"    -> "textbook (q64's rewrite baseline)",
     )
-    val withWindows = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(_.contains("stream")) // streaming audited via its specs
-      .flatMap { name =>
-        val p = SparkEntry.queries(name)(spark, sf)
-          .queryExecution.sparkPlan.toString
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        if ("Window \\[".r.findFirstIn(p).isDefined) Some(name) else None
-      }.toSet
+    // Enumeration shared with the graft.tools.WindowCensus dev main —
+    // one source of truth, so the tool's printed inventory and this
+    // test's checked one cannot drift.
+    val withWindows =
+      graft.tools.WindowCensus.enumerate(spark, sf).map(_._1).toSet
     val undocumented = withWindows -- documented.keySet
     val stale        = documented.keySet -- withWindows
     assert(undocumented.isEmpty,
