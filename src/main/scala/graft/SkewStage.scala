@@ -70,10 +70,10 @@ object SkewStage {
       return
     }
     // `stratum:N:H` times the r16 stratum-order-statistics stage
-    // (q67/q99/q116/q120/q122): exact per-stratum quantile selection
+    // (q67/q116/q120's shape): exact per-stratum quantile selection
     // where ONE stratum holds H of the N rows. Window = the textbook
     // row_number + count(*) pair over the stratum partition; scan =
-    // bucketedRowNumber over value bands + rank-filtered boundary rows.
+    // rankSelect over value bands (boundary buckets only).
     if (corpus.startsWith("stratum:")) {
       stratumStage(spark, corpus)
       spark.stop()
@@ -299,11 +299,12 @@ object SkewStage {
     * r(q) = ceil(q·n/100) over the (v, id) order. Window = the textbook
     * pair (row_number + frameless count(*) over the stratum partition) —
     * the hot stratum's H rows land in ONE task's sort buffer; scan =
-    * [[graft.operators.DistributedScan.bucketedRowNumber]] over 32-unit
-    * value bands + a k-row broadcast count, with the boundary rows
-    * rank-FILTERED before the k-row pivot, so unlike rank:/scan: the
-    * output is k rows and the stage isolates pure rank-selection cost
-    * (no output shipping on either side). The billed action is the
+    * [[graft.operators.DistributedScan.rankSelect]] over 32-unit value
+    * bands — the production q67 plan: band counts by partial aggregate,
+    * a count-scan locating the one band straddling each target rank,
+    * and a sort of ONLY those boundary bands' rows. Unlike rank:/scan:
+    * the output is k rows on both sides, so the stage isolates pure
+    * rank-selection cost (no output shipping). The billed action is the
     * order-invariant fingerprint over every (stream, n, p25..p99) row;
     * XOR plus an exact decimal sum so paired cancellation cannot fake
     * equality. Needs SPARK_DRIVER_MEM=32g at N=2e8. */
@@ -343,14 +344,16 @@ object SkewStage {
         .withColumn("rk", row_number().over(byV).cast("long"))
         .withColumn("n", count(lit(1)).over(all)))
     }
-    def viaScan: DataFrame = {
-      val ranked = operators.DistributedScan.bucketedRowNumber(
-        rows, col("stream"), expr("v div 32"), Seq(col("v"), col("id")), "rk")
-      val counts = rows.groupBy(col("stream")).agg(count(lit(1)).as("n"))
-      pivot(ranked.join(broadcast(counts), Seq("stream"))
-        .filter(col("rk") === quantRank(25) || col("rk") === quantRank(50) ||
-          col("rk") === quantRank(90) || col("rk") === quantRank(99)))
-    }
+    def viaScan: DataFrame =
+      operators.DistributedScan.rankSelect(
+          rows, "stream", expr("v div 32"), Seq(col("v"), col("id")),
+          col("v"),
+          Seq("p25" -> "((25 * n) + 99) div 100",
+            "p50" -> "((50 * n) + 99) div 100",
+            "p90" -> "((90 * n) + 99) div 100",
+            "p99" -> "((99 * n) + 99) div 100"))
+        .select(col("stream"), col("n"),
+          col("p25"), col("p50"), col("p90"), col("p99"))
 
     def fp(df: DataFrame): (Long, Long, String) = {
       val r = df.select(xxhash64(col("stream"), col("n"), col("p25"),

@@ -157,6 +157,91 @@ object DistributedScan {
       .drop("_drn_stream", "_drn_blk", "_drn_boff")
   }
 
+  /** Per-stream EXACT RANK SELECTION — the value at rank r(n) within
+    * each stream's `order`, WITHOUT numbering a single non-candidate
+    * row: [[bucketedRowNumber]]'s sibling for the quantile/median-pick
+    * family (q67's p25..p99, q116's p05/p95 clip bounds, q120's median
+    * pairs), where the full ranking is wasted work — selection only
+    * needs the ONE bucket that straddles each target rank.
+    *
+    *   (1) per-(stream, bucket) row counts — a partial-combining
+    *       aggregate, the only pass that aggregates every row;
+    *   (2) exclusive count-scan over the bucket table (≤ #buckets rows
+    *       per stream) → bucket offsets, and stream totals n = Σ counts;
+    *   (3) each target rank rk = f(n) lands in exactly the bucket with
+    *       boff < rk ≤ boff + bcnt — a (streams × ranks)-row BOUNDARY
+    *       table, broadcast;
+    *   (4) a second scan joins the boundary table and keeps ONLY the
+    *       boundary buckets' rows (~rows/buckets of the corpus), ranks
+    *       them in a window partitioned per (stream, bucket, target) —
+    *       bounded by one bucket's occupancy — and picks rk − boff.
+    *
+    * vs bucketedRowNumber + rank-filter: pass 2 becomes a broadcast-join
+    * filter instead of shuffling and sorting the whole corpus to number
+    * rows that are then thrown away. Same monotone-bucket contract as
+    * [[bucketedRowNumber]]; same result rows (DistributedScanSpec
+    * replays the textbook window on a planted hot stream).
+    *
+    * `stream` is a COLUMN NAME in `df` (it names the output key too);
+    * `ranks` maps each output column name to a SQL expression over `n`
+    * (the stream's row count, e.g. `"((25 * n) + 99) div 100"`) that
+    * must evaluate into [1, n]. Returns one row per stream:
+    * (stream, n, <rank-name>...), where each rank column carries
+    * `value` at that rank. */
+  def rankSelect(
+      df: DataFrame,
+      stream: String,
+      bucket: Column,
+      order: Seq[Column],
+      value: Column,
+      ranks: Seq[(String, String)]): DataFrame = {
+    require(ranks.nonEmpty, "rankSelect needs at least one target rank")
+    val outNames = ranks.map(_._1) :+ "n"
+    val clash = df.columns.filter(c =>
+      (outNames.contains(c) && c != stream) || c.startsWith("_rsel_"))
+    require(clash.isEmpty,
+      s"rankSelect working/output column names collide with input " +
+        s"columns ${clash.mkString(", ")} — alias them before calling")
+    val in = df
+      .withColumn("_rsel_blk", bucket)
+      .withColumn("_rsel_val", value)
+    // (1) bucket counts: plain partial-combining aggregate.
+    val counts = in.groupBy(col(stream), col("_rsel_blk"))
+      .agg(count(lit(1)).as("_rsel_bcnt"))
+    // (2) exclusive count-scan over the bucket table + stream totals.
+    val blockW = Window.partitionBy(col(stream))
+      .orderBy(col("_rsel_blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = counts.withColumn("_rsel_boff",
+      coalesce(sum(col("_rsel_bcnt")).over(blockW), lit(0L)))
+    val totals = counts.groupBy(col(stream))
+      .agg(sum(col("_rsel_bcnt")).as("n"))
+    // (3) targets in long form, one row per (stream, rank name); the
+    // boundary bucket is unique per target because bucket counts are
+    // positive and rk ∈ [1, n].
+    val targets = ranks.map { case (name, rkExpr) =>
+      totals.select(col(stream), lit(name).as("_rsel_name"),
+        expr(rkExpr).cast("long").as("_rsel_rk"), col("n"))
+    }.reduce(_ unionByName _)
+    val boundary = offsets.join(targets, Seq(stream))
+      .filter(col("_rsel_boff") < col("_rsel_rk") &&
+        col("_rsel_rk") <= col("_rsel_boff") + col("_rsel_bcnt"))
+      .select(col(stream), col("_rsel_blk"), col("_rsel_name"),
+        col("_rsel_rk"), col("_rsel_boff"), col("n"))
+    // (4) candidates only: the inner join keeps boundary buckets' rows;
+    // the window partition is one bucket's occupancy per target.
+    val innerW = Window
+      .partitionBy(col(stream), col("_rsel_blk"), col("_rsel_name"))
+      .orderBy(order: _*)
+    val picked = in.join(broadcast(boundary), Seq(stream, "_rsel_blk"))
+      .withColumn("_rsel_rn", row_number().over(innerW).cast("long"))
+      .filter(col("_rsel_boff") + col("_rsel_rn") === col("_rsel_rk"))
+    val rankCols = ranks.map { case (name, _) =>
+      min(when(col("_rsel_name") === name, col("_rsel_val"))).as(name) }
+    picked.groupBy(col(stream))
+      .agg(max(col("n")).as("n"), rankCols: _*)
+  }
+
   /** `ntile(k)`'s SQL-standard bucket assignment as a CLOSED FORM over
     * (rank, group size) — the piece that turns [[bucketedRowNumber]]
     * into a distributed ntile: with q = n div k and rem = n mod k, the

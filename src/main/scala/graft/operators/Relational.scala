@@ -1976,40 +1976,32 @@ object Relational {
     * `row_number() OVER (PARTITION BY event_type ORDER BY value)` hands
     * each stratum ONE task sorting a fifth of the corpus — the rank:N:H
     * tier measured that cliff at 5.1× on a 2×10⁸-row 95%-hot stream.
-    * The rank therefore runs as [[DistributedScan.bucketedRowNumber]]
-    * with unit-value bands (floor(value), monotone in the leading sort
-    * key): rank = per-stratum count of earlier bands (a count-scan over
-    * the band table) + a within-band row_number whose window partition
-    * holds one band's rows by construction. n comes from a k-row
-    * partial-combining count broadcast back; the quantile rows are then
-    * FILTERED to the ≤4 exact rank matches per stratum before the k-row
-    * pivot, so nothing corpus-sized moves after the rank pass. The
-    * `count(*) OVER (PARTITION BY event_type)` twin the old plan rode is
-    * gone with the stratum window. When even a band stops fitting a
-    * task, q40's sketch IS the scale path — the same exact/approx menu
-    * as q31/q40 and q26/q63. Oracle keeps the textbook window SQL:
-    * counting is associative, so the rows are bit-identical. */
+    * And a FULL ranking is wasted work here anyway: the query reads four
+    * exact ranks per stratum, so it runs as
+    * [[DistributedScan.rankSelect]] over unit-value bands (floor(value),
+    * monotone in the leading sort key) — one partial-combining
+    * band-count pass, a count-scan over the band table to locate the
+    * ONE band straddling each target rank, and a second scan that sorts
+    * only those boundary bands' rows (~rows/bands of the corpus, window
+    * tasks bounded by band occupancy). No row outside a boundary band
+    * is ever ranked, shuffled on a rank key, or sorted. When even a
+    * band stops fitting a task, q40's sketch IS the scale path — the
+    * same exact/approx menu as q31/q40 and q26/q63. Oracle keeps the
+    * textbook window SQL: counting is associative, so the rows are
+    * bit-identical. */
   private val q67 = Q(
     "q67_stratified_quantiles",
     (s, d) => {
-      def rank(q: Int) = expr(s"(($q * n) + 99) div 100")
-      val base = T.events(s, d)
-        .select(col("event_type"), col("event_id"), col("value"))
-      val ranked = DistributedScan.bucketedRowNumber(
-        base, col("event_type"), floor(col("value")).cast("long"),
-        Seq(col("value"), col("event_id")), "rk")
-      val counts = base.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"))
-      ranked.join(broadcast(counts), Seq("event_type"))
-        .filter(col("rk") === rank(25) || col("rk") === rank(50) ||
-          col("rk") === rank(90) || col("rk") === rank(99))
-        .groupBy(col("event_type"))
-        .agg(
-          max(col("n")).as("n"),
-          min(when(col("rk") === rank(25), col("value"))).as("p25"),
-          min(when(col("rk") === rank(50), col("value"))).as("p50"),
-          min(when(col("rk") === rank(90), col("value"))).as("p90"),
-          min(when(col("rk") === rank(99), col("value"))).as("p99"))
+      def rank(q: Int) = s"(($q * n) + 99) div 100"
+      DistributedScan.rankSelect(
+          T.events(s, d)
+            .select(col("event_type"), col("event_id"), col("value")),
+          "event_type", floor(col("value")).cast("long"),
+          Seq(col("value"), col("event_id")), col("value"),
+          Seq("p25" -> rank(25), "p50" -> rank(50),
+            "p90" -> rank(90), "p99" -> rank(99)))
+        .select(col("event_type"), col("n"),
+          col("p25"), col("p50"), col("p90"), col("p99"))
         .orderBy(col("event_type"))
     },
     Some("""
@@ -4344,37 +4336,30 @@ object Relational {
     * Scale shape (100 TB): event_type is a ~5-value hot key, so the
     * old one-shuffle plan's per-stratum ranking sort ran in ONE task
     * holding a fifth of the corpus — the rank:N:H tier's measured 5.1×
-    * cliff. The p05/p95 ranks therefore run as
-    * [[DistributedScan.bucketedRowNumber]] over 16-cent value bands
-    * (cents div 16, monotone in the sort key; window tasks bounded by
-    * band occupancy), n comes from a k-row partial-combining count, and
-    * the two boundary rows per stratum are FILTERED out of the ranked
-    * stream and broadcast back onto the raw rows — the clip, the
-    * clipped-tail counts, and both means then ride one k-row
-    * map-side-combined rollup that never sees a rank. Costs one extra
-    * pruned scan + two broadcast joins vs the old plan; removes its
-    * single-task sort (p09's documented trade). Groups too large even
-    * per band fall back to q40's sketch boundaries; the clip stays
-    * exact. Oracle keeps the textbook window SQL — counting is
-    * associative, the rows are bit-identical. */
+    * cliff. The p05/p95 boundaries are two exact ranks per stratum, so
+    * they run as [[DistributedScan.rankSelect]] over 16-cent value
+    * bands (cents div 16, monotone in the sort key): band counts by
+    * partial aggregate, a count-scan locating the one band straddling
+    * each boundary rank, and a sort of only those bands' rows — no row
+    * outside a boundary band is ever ranked. The k-row bounds table
+    * broadcasts back onto the raw rows; the clip, the clipped-tail
+    * counts, and both means ride one k-row map-side-combined rollup
+    * that never sees a rank. Groups too large even per band fall back
+    * to q40's sketch boundaries; the clip stays exact. Oracle keeps the
+    * textbook window SQL — counting is associative, the rows are
+    * bit-identical. */
   private val q116 = Q(
     "q116_winsorize",
     (s, d) => {
-      def rank(q: Int) = expr(s"(($q * n) + 99) div 100")
+      def rank(q: Int) = s"(($q * n) + 99) div 100"
       val base = T.events(s, d)
         .select(col("event_type"), col("event_id"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      val ranked = DistributedScan.bucketedRowNumber(
-        base, col("event_type"), expr("cents div 16"),
-        Seq(col("cents"), col("event_id")), "rk")
-      val counts = base.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"))
-      val bounds = ranked.join(broadcast(counts), Seq("event_type"))
-        .filter(col("rk") === rank(5) || col("rk") === rank(95))
-        .groupBy(col("event_type"))
-        .agg(
-          min(when(col("rk") === rank(5), col("cents"))).as("lo"),
-          min(when(col("rk") === rank(95), col("cents"))).as("hi"))
+      val bounds = DistributedScan.rankSelect(
+          base, "event_type", expr("cents div 16"),
+          Seq(col("cents"), col("event_id")), col("cents"),
+          Seq("lo" -> rank(5), "hi" -> rank(95)))
+        .select(col("event_type"), col("lo"), col("hi"))
       base.join(broadcast(bounds), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(
@@ -4598,44 +4583,37 @@ object Relational {
     * Scale shape (100 TB): event_type is a ~5-value hot key, so the old
     * one-exchange plan's two per-stratum ranking sorts each ran in ONE
     * task holding a fifth of the corpus — the rank:N:H tier's measured
-    * 5.1× cliff, twice. Both median selections therefore run as
-    * [[DistributedScan.bucketedRowNumber]] count-scans (p09's two-pass
-    * posture): pass 1 ranks cents over 16-cent value bands and the two
-    * median-pair rows per stratum are FILTERED out and broadcast back
-    * as med2; pass 2 ranks dev2 = |2·cents − med2| over 32-unit bands
-    * the same way for mad2. The final rollup reads the raw rows plus
-    * two broadcast k-row boundary tables — no rank ever reaches it.
-    * Costs extra pruned scans + broadcast joins vs the old plan;
-    * removes both single-task sorts. Oracle keeps the textbook window
-    * SQL — counting is associative, the rows are bit-identical. */
+    * 5.1× cliff, twice. Each median is a PAIR of exact ranks per
+    * stratum, so both selections run as [[DistributedScan.rankSelect]]
+    * (p09's two-pass posture with selection instead of full ranking):
+    * pass 1 picks the cents median pair over 16-cent value bands →
+    * med2 broadcast back; pass 2 picks the dev2 = |2·cents − med2|
+    * median pair over 32-unit bands → mad2. Only the bands straddling
+    * a median rank are ever sorted (~rows/bands of the corpus each
+    * pass); the final rollup reads the raw rows plus two broadcast
+    * k-row boundary tables — no rank ever reaches it. Oracle keeps the
+    * textbook window SQL — counting is associative, the rows are
+    * bit-identical. */
   private val q120 = Q(
     "q120_mad_outliers",
     (s, d) => {
-      val loRk = expr("(n + 1) div 2")
-      val hiRk = expr("n div 2 + 1")
+      val loRk = "(n + 1) div 2"
+      val hiRk = "n div 2 + 1"
       val base = T.events(s, d)
         .select(col("event_type"), col("event_id"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      val counts = base.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"))
-      val rankedA = DistributedScan.bucketedRowNumber(
-        base, col("event_type"), expr("cents div 16"),
-        Seq(col("cents"), col("event_id")), "rk")
-      val medTab = rankedA.join(broadcast(counts), Seq("event_type"))
-        .filter(col("rk") === loRk || col("rk") === hiRk)
-        .groupBy(col("event_type"))
-        .agg((min(when(col("rk") === loRk, col("cents")))
-          + min(when(col("rk") === hiRk, col("cents")))).as("med2"))
+      val medTab = DistributedScan.rankSelect(
+          base, "event_type", expr("cents div 16"),
+          Seq(col("cents"), col("event_id")), col("cents"),
+          Seq("lov" -> loRk, "hiv" -> hiRk))
+        .select(col("event_type"), (col("lov") + col("hiv")).as("med2"))
       val dev = base.join(broadcast(medTab), Seq("event_type"))
         .withColumn("dev2", abs(lit(2) * col("cents") - col("med2")))
-      val rankedB = DistributedScan.bucketedRowNumber(
-        dev, col("event_type"), expr("dev2 div 32"),
-        Seq(col("dev2"), col("event_id")), "rk2")
-      val madTab = rankedB.join(broadcast(counts), Seq("event_type"))
-        .filter(col("rk2") === loRk || col("rk2") === hiRk)
-        .groupBy(col("event_type"))
-        .agg((min(when(col("rk2") === loRk, col("dev2")))
-          + min(when(col("rk2") === hiRk, col("dev2")))).as("mad2"))
+      val madTab = DistributedScan.rankSelect(
+          dev, "event_type", expr("dev2 div 32"),
+          Seq(col("dev2"), col("event_id")), col("dev2"),
+          Seq("lov" -> loRk, "hiv" -> hiRk))
+        .select(col("event_type"), (col("lov") + col("hiv")).as("mad2"))
       dev.join(broadcast(madTab), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(

@@ -74,6 +74,56 @@ class DistributedScanSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("rankSelect equals rank-filtering the single-window row_number " +
+    "on a skewed multi-stream table — boundary buckets only, every " +
+    "quantile class, duplicate values across band boundaries") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val rnd = new scala.util.Random(11)
+    // Stream "hot" gets ~90% of rows; v is heavily duplicated (mod 97)
+    // so equal values cluster inside one band and tie-break on id; cold
+    // streams include sizes small enough that several target ranks land
+    // in one band (and n=1/n=2 edge classes via the tiny streams).
+    val df = ((0 until 20000).map { i =>
+      (if (i % 10 == 0) s"cold${i % 7}" else "hot",
+        i.toLong, (rnd.nextInt(97) * 16 + rnd.nextInt(16)).toLong)
+    } ++ Seq(("one", 100000L, 5L), ("two", 100001L, 3L),
+      ("two", 100002L, 9L)))
+      .toDF("stream", "id", "v")
+    val ranks = Seq(
+      "p25" -> "((25 * n) + 99) div 100",
+      "p50" -> "((50 * n) + 99) div 100",
+      "lo"  -> "(n + 1) div 2",
+      "hi"  -> "n div 2 + 1",
+      "p99" -> "((99 * n) + 99) div 100")
+
+    val got = DistributedScan.rankSelect(
+        df, "stream", expr("v div 16"), Seq(col("v"), col("id")), col("v"),
+        ranks)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), ranks.map { case (name, _) =>
+          r.getLong(r.fieldIndex(name)) }))
+      .toMap
+
+    val w = Window.partitionBy(col("stream")).orderBy(col("v"), col("id"))
+    val grp = Window.partitionBy(col("stream"))
+    val ranked = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(grp))
+    val exp = ranked
+      .groupBy(col("stream"))
+      .agg(max(col("n")).as("n"),
+        ranks.map { case (name, rkExpr) =>
+          min(when(col("rk") === expr(rkExpr), col("v"))).as(name) }: _*)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), ranks.map { case (name, _) =>
+          r.getLong(r.fieldIndex(name)) }))
+      .toMap
+
+    assert(got.size === exp.size)
+    assert(got === exp)
+  }
+
   test("ntileFromRank equals the ntile window for every group size " +
     "around the bucket count (n < k, n = k, every remainder class)") {
     val sqlc = spark
@@ -109,6 +159,12 @@ class DistributedScanSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DistributedScan.bucketedRowNumber(
         clash2, col("stream"), col("stream"), Seq(col("rk")), "rk")
+    }
+    val clash3 = Seq(("a", 1L)).toDF("stream", "n")
+    intercept[IllegalArgumentException] {
+      DistributedScan.rankSelect(
+        clash3, "stream", col("n"), Seq(col("n")), col("n"),
+        Seq("p50" -> "(n + 1) div 2"))
     }
   }
 }

@@ -234,12 +234,15 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   // The five former stratum-sort queries (q67/q99/q116/q120/q122) now
-  // rank via DistributedScan.bucketedRowNumber — event_type/priority are
-  // ~5-value hot keys, so a stratum-partitioned rank window would hand
-  // one task a fifth of the corpus (the rank:N:H tier's measured 5.1×
-  // cliff). Pin: every row_number window partitions on (stream, bucket),
-  // and the only stream-wide windows are the count-scans over the bucket
-  // table; no O(n²) join shapes appear.
+  // rank via DistributedScan.bucketedRowNumber (q99/q122: every row
+  // needs its rank) or DistributedScan.rankSelect (q67/q116/q120: only
+  // target-rank values are read, so only boundary buckets are ever
+  // sorted) — event_type/priority are ~5-value hot keys, so a
+  // stratum-partitioned rank window would hand one task a fifth of the
+  // corpus (the rank:N:H tier's measured 5.1× cliff). Pin: every
+  // row_number window partitions on (stream, bucket), and the only
+  // stream-wide windows are the count-scans over the bucket table; no
+  // O(n²) join shapes appear.
   private def assertBucketedRankOnly(name: String): Unit = {
     val exec = SparkEntry.queries(name)(spark, sf)
       .queryExecution.executedPlan.toString
@@ -249,10 +252,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows.nonEmpty, exec)
     windows.foreach { w =>
       if (w.contains("row_number"))
-        assert(w.contains("_drn_blk"),
+        assert(w.contains("_drn_blk") || w.contains("_rsel_blk"),
           s"$name: a row_number window lost its bucket partition:\n$w")
       else
-        assert(w.contains("_drn_bcnt"),
+        assert(w.contains("_drn_bcnt") || w.contains("_rsel_bcnt"),
           s"$name: unexpected stream-wide window:\n$w")
     }
     assert(!exec.contains("CartesianProduct") &&
@@ -1065,10 +1068,10 @@ class PlanAuditSpec extends SparkSpec {
       "p08_token_budget"         -> "grid (k-source remainder frame)",
       "s16_ranking_metrics"      -> "grid (<= 10-row cut frames, own pin)",
       "p10_snapshot_drift"       -> "grid (9-row bin grid, own pin)",
-      "q67_stratified_quantiles" -> "scan-blocks (bucketedRowNumber, unit-value bands)",
+      "q67_stratified_quantiles" -> "scan-blocks (rankSelect, unit-value bands)",
       "q99_histogram_equidepth"  -> "scan-blocks (bucketedRowNumber, 128-unit price bands)",
-      "q116_winsorize"           -> "scan-blocks (bucketedRowNumber, 16-cent bands)",
-      "q120_mad_outliers"        -> "scan-blocks (bucketedRowNumber ×2, cents + dev2 bands)",
+      "q116_winsorize"           -> "scan-blocks (rankSelect, 16-cent bands)",
+      "q120_mad_outliers"        -> "scan-blocks (rankSelect ×2, cents + dev2 bands)",
       "q122_skew_gini"           -> "scan-blocks (bucketedRowNumber, (c, user-block) struct bucket)",
       "q08_window_topk_group"    -> "textbook (q64's rewrite baseline)",
     )
