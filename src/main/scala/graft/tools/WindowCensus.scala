@@ -30,8 +30,33 @@ object WindowCensus {
         if (hasWindow) Some(name -> specs) else None
       }
 
+  /** (query name, broadcast-node digests) for every non-streaming
+    * registered query whose physical plan broadcasts anything at `sf` —
+    * the window census's sibling for the OTHER single-point cliff: a
+    * broadcast of a data-sized table is a driver/executor OOM at 100 TB
+    * no matter how the downstream plan shards. Each digest is
+    * `BroadcastHashJoin:<BuildLeft|BuildRight>` or
+    * `BroadcastNestedLoopJoin:<side>`, one per broadcast join node;
+    * PlanAuditSpec's broadcast census consumes this enumeration
+    * directly and pins every entry to a documented bound class. */
+  def broadcasts(spark: SparkSession, sf: String): Seq[(String, List[String])] =
+    graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.contains("stream"))
+      .flatMap { name =>
+        val p = graft.SparkEntry.queries(name)(spark, sf)
+          .queryExecution.sparkPlan.toString
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        val nodes =
+          "(BroadcastHashJoin|BroadcastNestedLoopJoin) [^\\n]*?(BuildLeft|BuildRight)"
+            .r.findAllMatchIn(p)
+            .map(m => s"${m.group(1)}:${m.group(2)}").toList
+        if (nodes.nonEmpty) Some(name -> nodes) else None
+      }
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val mode = args.lift(1).getOrElse("windows")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -39,7 +64,9 @@ object WindowCensus {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    enumerate(spark, sf).foreach { case (name, specs) =>
+    val rows =
+      if (mode == "broadcasts") broadcasts(spark, sf) else enumerate(spark, sf)
+    rows.foreach { case (name, specs) =>
       println(s"CENSUS $name :: ${specs.mkString(" || ")}")
     }
     spark.stop()

@@ -1089,4 +1089,129 @@ class PlanAuditSpec extends SparkSpec {
       s"census entries for queries that no longer plan a Window " +
         s"(delete or update): $stale")
   }
+
+  test("broadcast census: every batch query that broadcasts a join side " +
+    "is counted here — a NEW broadcast join anywhere in the surface " +
+    "fails until its bound is re-audited and the count updated") {
+    // The window census's sibling for the OTHER single-point cliff: a
+    // broadcast of a data-sized table is a driver/executor OOM at
+    // 100 TB no matter how the downstream plan shards. Three bound
+    // classes cover every entry:
+    //   hint    — an explicit broadcast() in the operator of a table
+    //             bounded BY CONSTRUCTION (catalog dims, k-row
+    //             boundary/bounds tables from rankSelect/partial aggs,
+    //             <= k-row cuts/centroids/codebooks, 1-row totals); the
+    //             per-operator bound rationale lives in that operator's
+    //             "Scale shape" scaladoc.
+    //   auto    — no hint: the planner auto-broadcasts a side that is
+    //             small at the suite's SF but data-sized at scale (d01's
+    //             dup-group join-back, set-op sides); at 100 TB the
+    //             estimate exceeds the threshold and AQE plans a
+    //             shuffled join — safe by engine, not by hint, which is
+    //             the posture we WANT for data-proportional sides.
+    //   cross   — BroadcastNestedLoopJoin of a bounded side (1-row
+    //             totals, <= 20-row query/centroid/codebook grids); the
+    //             per-query rationale is the O(n²) sweep's allow-list
+    //             above, which this census cross-checks by count.
+    // The pinned value is (BroadcastHashJoin count, BNLJ count) in the
+    // query's sparkPlan at the suite SF. Reused subtrees repeat in the
+    // plan tree and are counted as printed (q120's two rankSelect
+    // passes re-expand `dev`, hence 17). Counts, not build sides, so a
+    // stats-driven BuildLeft/BuildRight flip can't flake the suite.
+    val documented: Map[String, (Int, Int)] = Map(
+      "d01_dedup_exact"            -> (1, 0),
+      "d02_dedup_minhash_lsh"      -> (3, 0),
+      "d04_dedup_simhash_pairs"    -> (1, 0),
+      "d05_dedup_ngram_jaccard"    -> (1, 0),
+      "d06_dedup_cosine"           -> (3, 0),
+      "d08_dedup_containment"      -> (3, 0),
+      "d09_decontamination"        -> (1, 0),
+      "d10_dedup_survivors"        -> (1, 0),
+      "d11_dedup_editdistance"     -> (3, 0),
+      "d12_lsh_canopy_audit"       -> (3, 2),
+      "d14_paragraph_dedup"        -> (1, 0),
+      "d15_boilerplate_chunks"     -> (2, 0),
+      "d17_semantic_exemplar_dedup" -> (1, 0),
+      "d18_exact_substrings"       -> (2, 0),
+      "d19_incremental_dedup"      -> (3, 0),
+      "m06_multimodal_packing"     -> (1, 0),
+      "m08_frame_dedup"            -> (1, 0),
+      "p05_mixture_sample"         -> (1, 2),
+      "p06_split_leakage"          -> (1, 1),
+      "p07_source_caps"            -> (1, 0),
+      "p08_token_budget"           -> (0, 1),
+      "p09_epoch_shuffle_audit"    -> (3, 0),
+      "q03_join_broadcast"         -> (2, 0),
+      "q04_join_factfact"          -> (1, 0),
+      "q05_join_semi"              -> (1, 0),
+      "q06_join_anti"              -> (1, 0),
+      "q07_join_range"             -> (1, 0),
+      "q102_mom_change"            -> (1, 0),
+      "q109_basket_lift"           -> (2, 1),
+      "q112_pit_versioned_join"    -> (1, 0),
+      "q116_winsorize"             -> (3, 0),
+      "q117_pagerank"              -> (6, 0),
+      "q120_mad_outliers"          -> (17, 0),
+      "q121_linear_attribution"    -> (1, 0),
+      "q122_skew_gini"             -> (1, 0),
+      "q13_set_intersect"          -> (1, 0),
+      "q14_set_except"             -> (1, 0),
+      "q43_subquery_decorrelate"   -> (3, 0),
+      "q44_window_rank_family"     -> (3, 0),
+      "q49_dpp_join"               -> (1, 0),
+      "q58_cdc_merge"              -> (1, 0),
+      "q63_sketch_reagg"           -> (1, 0),
+      "q67_stratified_quantiles"   -> (2, 0),
+      "q70_gap_fill_spine"         -> (1, 0),
+      "q72_interval_join_binned"   -> (1, 0),
+      "q83_cms_freq"               -> (1, 0),
+      "q87_dq_audit"               -> (2, 0),
+      "q88_funnel"                 -> (6, 0),
+      "q90_anomaly_zscore"         -> (1, 0),
+      "q91_tpch_composed"          -> (2, 0),
+      "q98_nullsafe_join"          -> (1, 0),
+      "q99_histogram_equidepth"    -> (2, 0),
+      "s01_ann_brute_topk"         -> (0, 1),
+      "s02_ann_ivf"                -> (2, 1),
+      "s03_ann_join"               -> (0, 1),
+      "s04_ann_lsh"                -> (0, 1),
+      "s06_kmeans_assign"          -> (0, 1),
+      "s07_kmeans_mstep"           -> (1, 5),
+      "s08_ann_recall"             -> (4, 4),
+      "s09_ann_ivf_kmeans"         -> (1, 5),
+      "s10_ann_rerank"             -> (0, 1),
+      "s11_ann_pq_adc"             -> (4, 1),
+      "s12_ann_nprobe_curve"       -> (12, 8),
+      "s14_jl_projection"          -> (1, 0),
+      "s16_ranking_metrics"        -> (4, 4),
+      "t06_tfidf"                  -> (1, 1),
+      "t11_seq_packing"            -> (1, 0),
+      "t13_bm25"                   -> (1, 1),
+      "t14_unigram_surprisal"      -> (1, 1),
+      "t19_source_overlap"         -> (3, 0),
+      "t20_source_terms"           -> (2, 1),
+      "t21_source_saturation"      -> (4, 0),
+    )
+    // Enumeration shared with `graft.tools.WindowCensus broadcasts` —
+    // one source of truth between the dev tool and this pin.
+    val observed = graft.tools.WindowCensus.broadcasts(spark, sf)
+      .map { case (name, digests) =>
+        name -> (digests.count(_.startsWith("BroadcastHashJoin")),
+          digests.count(_.startsWith("BroadcastNestedLoopJoin")))
+      }.toMap
+    val undocumented = observed.keySet -- documented.keySet
+    val stale        = documented.keySet -- observed.keySet
+    assert(undocumented.isEmpty,
+      s"queries broadcast a join side without a census entry: " +
+        s"${undocumented.toSeq.sorted.map(n => s"$n=${observed(n)}")}")
+    assert(stale.isEmpty,
+      s"census entries for queries that no longer broadcast " +
+        s"(delete or update): $stale")
+    val drifted = documented.collect {
+      case (n, exp) if observed(n) != exp => s"$n: $exp -> ${observed(n)}"
+    }
+    assert(drifted.isEmpty,
+      s"broadcast counts drifted — re-audit the new joins' bounds and " +
+        s"update: ${drifted.toSeq.sorted}")
+  }
 }
