@@ -54,6 +54,29 @@ object WindowCensus {
         if (nodes.nonEmpty) Some(name -> nodes) else None
       }
 
+  /** (query name, offending exchange lines): hash-partitioned exchanges
+    * whose OUTPUT row carries the corpus text payload — at 100 TB a
+    * shuffle shipping raw `text` bytes dwarfs the keyed work it feeds
+    * (the dedup pack's "text never shuffles" pins, swept globally).
+    * Range exchanges are excluded: a final orderBy on a text-bearing
+    * RESULT is the query's own output shipping, not intermediate
+    * movement. Detection is on the executed plan's Exchange lines,
+    * whose printed output schema includes every shipped attribute. */
+  def textExchanges(spark: SparkSession, sf: String): Seq[(String, List[String])] =
+    graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.contains("stream"))
+      .flatMap { name =>
+        val p = graft.SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        val bad = p.linesIterator
+          .filter(l => l.contains("Exchange hashpartitioning"))
+          .filter(l => l.contains("text#"))
+          .map(_.trim.take(200)).toList
+        if (bad.nonEmpty) Some(name -> bad) else None
+      }
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val mode = args.lift(1).getOrElse("windows")
@@ -64,8 +87,11 @@ object WindowCensus {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val rows =
-      if (mode == "broadcasts") broadcasts(spark, sf) else enumerate(spark, sf)
+    val rows = mode match {
+      case "broadcasts" => broadcasts(spark, sf)
+      case "text"       => textExchanges(spark, sf)
+      case _            => enumerate(spark, sf)
+    }
     rows.foreach { case (name, specs) =>
       println(s"CENSUS $name :: ${specs.mkString(" || ")}")
     }

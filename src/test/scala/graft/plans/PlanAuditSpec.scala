@@ -1214,4 +1214,21 @@ class PlanAuditSpec extends SparkSpec {
       s"broadcast counts drifted — re-audit the new joins' bounds and " +
         s"update: ${drifted.toSeq.sorted}")
   }
+
+  test("no batch operator's hash exchange ships the raw corpus text — " +
+    "the dedup pack's per-query 'text never shuffles' pins, swept " +
+    "globally over all 205 registered queries") {
+    // At 100 TB a shuffle carrying `text` bytes dwarfs the keyed work
+    // it feeds: every text-deriving operator must hash/sign/chunk on
+    // the map side and exchange fixed-width keys only. Range exchanges
+    // (a final orderBy on a text-bearing RESULT) are excluded by the
+    // enumeration — that is the query's own output shipping. Empty
+    // allow-list: there is NO legitimate hash-shuffle of raw text in
+    // the surface today; if one appears, either fix it or document it
+    // here the way the O(n²) sweep documents its bounded crosses.
+    val offenders = graft.tools.WindowCensus.textExchanges(spark, sf)
+    assert(offenders.isEmpty,
+      s"hash exchanges shipping raw text: ${offenders.map { case (n, ls) =>
+        s"$n -> ${ls.head}" }}")
+  }
 }
