@@ -63,6 +63,12 @@ object WindowCensus {
     * movement. Detection is on the executed plan's Exchange lines,
     * whose printed output schema includes every shipped attribute. */
   def textExchanges(spark: SparkSession, sf: String): Seq[(String, List[String])] =
+    payloadExchanges(spark, sf, "text#")
+
+  /** Generalization of [[textExchanges]] to any payload attribute token
+    * (e.g. "embedding#", "payload#") for ad-hoc at-scale audits. */
+  def payloadExchanges(
+      spark: SparkSession, sf: String, token: String): Seq[(String, List[String])] =
     graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.contains("stream"))
       .flatMap { name =>
@@ -72,7 +78,7 @@ object WindowCensus {
           .foreach(_.unpersist(blocking = false))
         val bad = p.linesIterator
           .filter(l => l.contains("Exchange hashpartitioning"))
-          .filter(l => l.contains("text#"))
+          .filter(l => l.contains(token))
           .map(_.trim.take(200)).toList
         if (bad.nonEmpty) Some(name -> bad) else None
       }
@@ -88,9 +94,10 @@ object WindowCensus {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val rows = mode match {
-      case "broadcasts" => broadcasts(spark, sf)
-      case "text"       => textExchanges(spark, sf)
-      case _            => enumerate(spark, sf)
+      case "broadcasts"                 => broadcasts(spark, sf)
+      case "text"                       => textExchanges(spark, sf)
+      case m if m.startsWith("col:")    => payloadExchanges(spark, sf, m.drop(4))
+      case _                            => enumerate(spark, sf)
     }
     rows.foreach { case (name, specs) =>
       println(s"CENSUS $name :: ${specs.mkString(" || ")}")

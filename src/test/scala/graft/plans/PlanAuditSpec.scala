@@ -1215,20 +1215,27 @@ class PlanAuditSpec extends SparkSpec {
         s"update: ${drifted.toSeq.sorted}")
   }
 
-  test("no batch operator's hash exchange ships the raw corpus text — " +
-    "the dedup pack's per-query 'text never shuffles' pins, swept " +
-    "globally over all 205 registered queries") {
-    // At 100 TB a shuffle carrying `text` bytes dwarfs the keyed work
-    // it feeds: every text-deriving operator must hash/sign/chunk on
-    // the map side and exchange fixed-width keys only. Range exchanges
-    // (a final orderBy on a text-bearing RESULT) are excluded by the
+  test("no batch operator's hash exchange ships a heavy payload column " +
+    "— raw text, embedding vectors, or media binary — swept globally " +
+    "over all 205 registered queries") {
+    // At 100 TB a shuffle carrying payload bytes dwarfs the keyed work
+    // it feeds: every payload-deriving operator must hash/sign/chunk/
+    // aggregate on the map side and exchange fixed-width keys or
+    // partial buffers only (the dedup pack's per-query 'text never
+    // shuffles' pins, the s-pack's partial centroid sums, the m-pack's
+    // O(1) binary signatures — generalized). Range exchanges (a final
+    // orderBy on a payload-bearing RESULT) are excluded by the
     // enumeration — that is the query's own output shipping. Empty
-    // allow-list: there is NO legitimate hash-shuffle of raw text in
-    // the surface today; if one appears, either fix it or document it
-    // here the way the O(n²) sweep documents its bounded crosses.
-    val offenders = graft.tools.WindowCensus.textExchanges(spark, sf)
-    assert(offenders.isEmpty,
-      s"hash exchanges shipping raw text: ${offenders.map { case (n, ls) =>
-        s"$n -> ${ls.head}" }}")
+    // allow-list per token: there is NO legitimate hash-shuffle of any
+    // of the three in the surface today; if one appears, either fix it
+    // or document it here the way the O(n²) sweep documents its
+    // bounded crosses.
+    for (token <- Seq("text#", "embedding#", "payload#")) {
+      val offenders =
+        graft.tools.WindowCensus.payloadExchanges(spark, sf, token)
+      assert(offenders.isEmpty,
+        s"hash exchanges shipping $token: ${offenders.map { case (n, ls) =>
+          s"$n -> ${ls.head}" }}")
+    }
   }
 }
