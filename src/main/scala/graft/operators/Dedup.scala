@@ -28,8 +28,10 @@ object Dedup {
   private val BandSize  = 2 // → 4 bands of 2 hashes
 
   /** d14's fixed "paragraph" width in words — the stand-in for newline
-    * paragraph boundaries the fixture corpus doesn't have. */
-  private val ChunkWords = 16
+    * paragraph boundaries the fixture corpus doesn't have. Shared with
+    * t22's within-document duplicate-line filter so the two line
+    * definitions can never drift. */
+  private[operators] val ChunkWords = 16
 
   /** Bump whenever the chunk pair-table formula changes (ChunkWords,
     * the hash, the same-doc collapse): the version is part of the

@@ -1201,7 +1201,159 @@ object TextAnalysis {
       ORDER BY source, bucket"""),
   )
 
+  /** Within-document duplicate-LINE fraction — the repeated-segment
+    * member of the published pre-training repetition filters (Rae et
+    * al. 2021's Gopher rules drop a document when too many of its lines
+    * or line characters are duplicates), distinct from t07 (n-gram
+    * distinct ratio: local wording loops) and from d14/d15 (CROSS-doc
+    * span dedup/boilerplate): this one flags a single document that
+    * repeats its own whole segments — scraper pagination echoes,
+    * retry-concatenated bodies, degenerate generation loops. "Lines"
+    * are d14's fixed [[Dedup.ChunkWords]]-word chunks (the corpus has
+    * no newlines — one shared width, so the line definition cannot
+    * drift between the dedup pack and this filter). Emits both the
+    * line-count and the character-mass variants as exact integer ppm:
+    * Gopher gates on each separately (short repeated lines vs one huge
+    * repeated block score very differently under the two).
+    *
+    * Scale shape (100 TB): map-only chunking (no shingle explosion),
+    * then two partial-combining aggregates — (doc_id, chunk-md5) then
+    * doc_id. No window, no join; shuffle rows carry (doc_id, 128-bit
+    * hash, length) triples, never chunk text (d14's wire rule). A
+    * repeated chunk collapses map-side, so even a document that is ONE
+    * line times a million reaches the reducer as one row. */
+  private val t22 = Q(
+    "t22_dup_line_fraction",
+    (s, d) => {
+      val cw = Dedup.ChunkWords
+      val w     = split(col("text"), " ")
+      val nCh   = ceil(size(w) / lit(cw.toDouble)).cast("int")
+      val lines = transform(
+        sequence(lit(0), nCh - 1),
+        i => array_join(slice(w, i * cw + 1, lit(cw)), " "))
+      T.documents(s, d)
+        .select(col("doc_id"), explode(lines).as("line"))
+        .select(col("doc_id"), md5(col("line")).as("h"),
+          length(col("line")).cast("long").as("len"))
+        .groupBy(col("doc_id"), col("h"))
+        .agg(count(lit(1)).as("n_occ"), max(col("len")).as("len"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("n_occ")).as("n_lines"),
+          (sum(col("n_occ")) - count(lit(1))).as("n_dup_lines"),
+          sum((col("n_occ") - 1) * col("len")).as("dup_chars"),
+          sum(col("n_occ") * col("len")).as("line_chars"))
+        .select(
+          col("doc_id"), col("n_lines"), col("n_dup_lines"),
+          expr("n_dup_lines * 1000000 div n_lines").as("dup_line_ppm"),
+          expr("dup_chars * 1000000 div line_chars").as("dup_char_ppm"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+      lines AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(0, CAST(ceil(len(w) / ${Dedup.ChunkWords}.0) AS INT)),
+                 i -> array_to_string(
+                   w[i*${Dedup.ChunkWords}+1 : i*${Dedup.ChunkWords}+${Dedup.ChunkWords}],
+                   ' '))) AS line
+        FROM ws),
+      occ AS (
+        SELECT doc_id, line, count(*) AS n_occ, max(len(line)) AS l
+        FROM lines GROUP BY doc_id, line)
+      SELECT doc_id,
+             CAST(sum(n_occ) AS BIGINT) AS n_lines,
+             CAST(sum(n_occ) - count(*) AS BIGINT) AS n_dup_lines,
+             CAST((sum(n_occ) - count(*)) * 1000000 // sum(n_occ)
+               AS BIGINT) AS dup_line_ppm,
+             CAST(sum((n_occ - 1) * l) * 1000000 // sum(n_occ * l)
+               AS BIGINT) AS dup_char_ppm
+      FROM occ GROUP BY doc_id ORDER BY doc_id"""),
+  )
+
+  /** Top-n-gram character mass — the OTHER half of the published
+    * repetition-filter family (Gopher gates on "fraction of characters
+    * contained in the most frequent 2/3/4-gram" alongside t22's
+    * duplicate-line fractions): for each document, the word bigram
+    * whose occurrences cover the most characters, emitted as exact
+    * integer ppm of the document's characters. Catches the failure t22
+    * structurally cannot — a document stuck repeating one PHRASE at
+    * varying offsets never produces two identical 16-word lines, but
+    * its top bigram's mass explodes. "Top" means largest character
+    * mass (count × length — the quantity the gate reads), ties on mass
+    * breaking to the higher count; any remaining tie is an exact-value
+    * tie, so the emitted numbers are deterministic without naming the
+    * bigram (the gate reads the fraction, not the string). Overlapping occurrences
+    * each count their full span (the standard cheap accounting), so
+    * ppm can exceed 1e6 on degenerate single-token loops — a feature:
+    * those are exactly the documents the gate drops first.
+    *
+    * Scale shape (100 TB): adjacent-pair generation is map-only (no
+    * shingle explosion beyond 1 row per word), then one partial-
+    * combining aggregate onto (doc_id, bigram-md5) and a struct-max
+    * argmax per doc_id (d10's partial-combining selection pattern — no
+    * window, no join). Shuffle rows carry (doc_id, hash, length)
+    * triples, never bigram text. */
+  private val t23 = Q(
+    "t23_top_ngram_mass",
+    (s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(
+          col("doc_id"), col("n_chars"),
+          explode(expr(
+            "transform(sequence(1, size(w) - 1), " +
+              "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+            .as("bg"))
+        .select(col("doc_id"), col("n_chars"), md5(col("bg")).as("h"),
+          length(col("bg")).cast("long").as("len"))
+        .groupBy(col("doc_id"), col("h"))
+        .agg(count(lit(1)).as("n"), max(col("len")).as("len"),
+          max(col("n_chars")).as("n_chars"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("n")).as("n_bigrams"),
+          max(struct((col("n") * col("len")).as("mass"), col("n")))
+            .as("top"),
+          max(col("n_chars")).as("n_chars"))
+        .select(
+          col("doc_id"), col("n_bigrams"),
+          col("top.n").as("top_cnt"),
+          col("top.mass").as("top_mass"),
+          expr("top.mass * 1000000 div n_chars").as("top_char_ppm"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH ws AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS w
+        FROM documents),
+      bg AS (
+        SELECT doc_id, n_chars, w[i] || ' ' || w[i+1] AS bg
+        FROM (SELECT doc_id, n_chars, w, unnest(range(1, len(w))) AS i
+              FROM ws WHERE len(w) >= 2)),
+      cnt AS (
+        SELECT doc_id, max(n_chars) AS n_chars, bg, count(*) AS n,
+               max(len(bg)) AS l
+        FROM bg GROUP BY doc_id, bg),
+      ranked AS (
+        SELECT doc_id, n_chars, n, n * l AS mass,
+               sum(n) OVER (PARTITION BY doc_id) AS nb,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n * l DESC, n DESC) AS rk
+        FROM cnt)
+      SELECT doc_id,
+             CAST(nb AS BIGINT) AS n_bigrams,
+             CAST(n AS BIGINT) AS top_cnt,
+             CAST(mass AS BIGINT) AS top_mass,
+             CAST(mass * 1000000 // n_chars AS BIGINT) AS top_char_ppm
+      FROM ranked WHERE rk = 1
+      ORDER BY doc_id"""),
+  )
+
   val all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
 }
