@@ -1353,7 +1353,92 @@ object TextAnalysis {
       ORDER BY doc_id"""),
   )
 
+  /** DSIR-style importance weight — data selection via importance
+    * resampling (Xie et al. 2023): score every document by the mean
+    * per-token log-likelihood RATIO between a target-domain unigram LM
+    * and a raw-corpus LM, the weight a curation run then resamples by
+    * to tilt a huge raw corpus toward a small high-quality target. The
+    * target here is the lexicographically first source (a
+    * deterministic stand-in for "the curated slice"); both LMs use
+    * t14's add-one smoothing over the SHARED corpus vocabulary, so
+    * every term is scorable under both and the ratio never divides by
+    * zero. Positive nats/token = looks like the target; negative =
+    * looks like everything else. Rounded at 4 dp per the t06 rule
+    * (exact integer counts in, one float fold out).
+    *
+    * Scale shape (100 TB): one (source-tagged) explode → term-level
+    * count pair with map-side combine (one row per vocab term carrying
+    * BOTH counts — not two LM tables to reconcile), BROADCAST back
+    * against the exploded corpus exactly like t14's LM (at real scale:
+    * top-K vocabulary + an OOV bucket keeps the broadcast bounded);
+    * the two 1-row scalars (target source, totals) ride allow-listed
+    * broadcast singleton crosses (the p05/p08 pattern). Scoring is
+    * map-side; the only other shuffle is the doc_id rollup. */
+  private val t24 = Q(
+    "t24_dsir_weight",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val words = docs.select(
+        col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      val tgt = docs.agg(min(col("source")).as("tgt"))
+      val lm = words.crossJoin(broadcast(tgt))
+        .groupBy(col("term"))
+        .agg(
+          sum(when(col("source") === col("tgt"), 1L).otherwise(0L))
+            .as("cnt_t"),
+          sum(when(col("source") =!= col("tgt"), 1L).otherwise(0L))
+            .as("cnt_r"))
+      val tot = lm.agg(
+        sum(col("cnt_t")).as("total_t"),
+        sum(col("cnt_r")).as("total_r"),
+        count(lit(1)).as("vocab"))
+      words
+        .join(broadcast(lm), "term")
+        .crossJoin(broadcast(tot))
+        .withColumn(
+          "llr",
+          log((col("cnt_t") + lit(1.0)) / (col("total_t") + col("vocab")))
+            - log((col("cnt_r") + lit(1.0))
+              / (col("total_r") + col("vocab"))))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          // + 0.0 collapses IEEE negative zero (a target-source doc can
+          // round to exactly -0.0 on one engine and +0.0 on the other).
+          (round(sum(col("llr")) / count(lit(1)), 4) + lit(0.0))
+            .as("dsir_nats"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tgt AS (SELECT min(source) AS tgt FROM documents),
+      words AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      lm AS (
+        SELECT term,
+               sum(CASE WHEN source = (SELECT tgt FROM tgt)
+                   THEN 1 ELSE 0 END) AS cnt_t,
+               sum(CASE WHEN source <> (SELECT tgt FROM tgt)
+                   THEN 1 ELSE 0 END) AS cnt_r
+        FROM words GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(cnt_t) AS BIGINT) AS total_t,
+               CAST(sum(cnt_r) AS BIGINT) AS total_r,
+               count(*) AS vocab
+        FROM lm)
+      SELECT w.doc_id, count(*) AS n_tokens,
+             round(sum(ln((l.cnt_t + CAST(1.0 AS DOUBLE))
+                          / (tot.total_t + tot.vocab))
+                     - ln((l.cnt_r + CAST(1.0 AS DOUBLE))
+                          / (tot.total_r + tot.vocab))) / count(*), 4)
+               + CAST(0.0 AS DOUBLE) AS dsir_nats
+      FROM words w JOIN lm l USING (term), tot
+      GROUP BY w.doc_id
+      ORDER BY w.doc_id"""),
+  )
+
   val all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }

@@ -973,7 +973,11 @@ class PlanAuditSpec extends SparkSpec {
       // t20 crosses the grid with its 1-row global-total aggregate (the
       // p05/p08 pattern); its own plan test pins the equi term-total
       // join and the TopKPerGroup top-3.
-      "t20_source_terms")
+      "t20_source_terms",
+      // t24 crosses two broadcast singletons — the 1-row target-source
+      // scalar and the 1-row LM totals (t14's pattern with a second
+      // count column); the vocab join itself is a broadcast equi-join.
+      "t24_dsir_weight")
     val streaming = Set(
       "q28_stream_window", "q29_stream_dedup", "q30_stream_session",
       "q36_stream_join", "q37_stream_sliding", "q38_stream_static_join",
@@ -1188,6 +1192,10 @@ class PlanAuditSpec extends SparkSpec {
       "t11_seq_packing"            -> (1, 0),
       "t13_bm25"                   -> (1, 1),
       "t14_unigram_surprisal"      -> (1, 1),
+      // t24's 1-row target-source cross is a subtree of BOTH the lm
+      // broadcast and the totals broadcast, so it prints twice (the
+      // q120 reused-subtree convention) + the totals cross itself.
+      "t24_dsir_weight"            -> (1, 3),
       "t19_source_overlap"         -> (3, 0),
       "t20_source_terms"           -> (2, 1),
       "t21_source_saturation"      -> (4, 0),
