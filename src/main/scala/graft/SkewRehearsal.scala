@@ -129,7 +129,7 @@ object SkewRehearsal {
       // hashes) runs alongside: paired-duplicate cancellation cannot
       // zero both.
       val cols = df.columns.map(col)
-      val r = df.select(xxhash64(cols: _*).as("rh"))
+      val r = df.select(xxhash64(scala.collection.immutable.ArraySeq.unsafeWrapArray(cols): _*).as("rh"))
         .agg(count(lit(1)), expr("bit_xor(rh)"),
           expr("sum(CAST(rh AS DECIMAL(38,0)))")).head()
       (r.getLong(0),

@@ -1019,7 +1019,7 @@ object Streaming {
       // (user, type) (see q73's post-sink rollup), so multi-flush keys
       // still reconcile exactly; "one flush per key" is the common case,
       // not a correctness precondition.
-      val next = math.max(last + 3600L * 1000L, timers.getCurrentWatermarkInMs + 1)
+      val next = math.max(last + 3600L * 1000L, timers.getCurrentWatermarkInMs() + 1)
       if (timerMs.exists()) getHandle.deleteTimer(timerMs.get())
       getHandle.registerTimer(next)
       timerMs.update(next)
@@ -1144,7 +1144,7 @@ object Streaming {
       lastMs.update(last)
       // Same lateness bound as UserTypeStatsProcessor: >1h gaps can
       // multi-flush a key; q80's sink sum-merges so that stays exact.
-      val next = math.max(last + 3600L * 1000L, timers.getCurrentWatermarkInMs + 1)
+      val next = math.max(last + 3600L * 1000L, timers.getCurrentWatermarkInMs() + 1)
       if (timerMs.exists()) getHandle.deleteTimer(timerMs.get())
       getHandle.registerTimer(next)
       timerMs.update(next)
