@@ -1056,6 +1056,68 @@ object Pipeline {
       FROM h GROUP BY shard ORDER BY shard"""),
   )
 
+  /** Temperature-based source mixture — the published multilingual /
+    * multi-corpus sampling rule (Conneau & Lample 2019 §3.1, XLM-R,
+    * mBERT, PaLM data mixing): sample source s with probability
+    * p_s ∝ q_s^α where q_s is its natural token share, α = 0.3 — the
+    * exponent that up-weights small curated corpora without letting
+    * them dominate. Emits per source the natural share, the tempered
+    * sampling probability, and the boost factor p_s/q_s (how many
+    * effective epochs of s one full-corpus token pass consumes —
+    * boost > 1 means the source repeats).
+    *
+    * Scale shape (100 TB): ONE partial-combining aggregate over the
+    * corpus (token counting is map-side arithmetic on the scan; raw
+    * text never shuffles — only (source, count, sum) partials);
+    * everything downstream is k-row arithmetic: the 1-row total and
+    * 1-row normalizer ride allow-listed broadcast singleton crosses
+    * (the p05/p08 pattern). The k-row `per` frame is recomputed for
+    * the normalizer rather than checkpointed — it is k rows. */
+  private val p12 = Q(
+    "p12_temperature_mix",
+    (s, d) => {
+      val per = T.documents(s, d)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).cast("long").as("t_all"))
+      val sh = per.crossJoin(broadcast(tot))
+        .withColumn("share_raw",
+          col("n_tokens").cast("double") / col("t_all"))
+        .withColumn("w03", pow(col("share_raw"), lit(0.3)))
+      val z = sh.agg(sum(col("w03")).as("z"))
+      sh.crossJoin(broadcast(z))
+        .select(
+          col("source"), col("n_docs"), col("n_tokens"),
+          (round(col("share_raw"), 6) + lit(0.0)).as("share"),
+          (round(col("w03") / col("z"), 6) + lit(0.0)).as("p_a03"),
+          (round(col("w03") / col("z") / col("share_raw"), 4) + lit(0.0))
+            .as("boost_a03"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                 AS n_tokens
+        FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_all FROM per),
+      sh AS (
+        SELECT source, n_docs, n_tokens,
+               n_tokens / CAST(t_all AS DOUBLE) AS share_raw,
+               pow(n_tokens / CAST(t_all AS DOUBLE), 0.3) AS w03
+        FROM per, tot),
+      z AS (SELECT sum(w03) AS z FROM sh)
+      SELECT source, n_docs, n_tokens,
+             round(share_raw, 6) + CAST(0.0 AS DOUBLE) AS share,
+             round(w03 / z, 6) + CAST(0.0 AS DOUBLE) AS p_a03,
+             round(w03 / z / share_raw, 4) + CAST(0.0 AS DOUBLE)
+               AS boost_a03
+      FROM sh, z
+      ORDER BY source"""),
+  )
+
   val all: Seq[Q] =
-    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11)
+    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12)
 }

@@ -1438,7 +1438,180 @@ object TextAnalysis {
       ORDER BY w.doc_id"""),
   )
 
+  // ---- shared bigram-LM scoring (t25 + t26) -------------------------
+  // CCNet-style LM quality scoring (Wenzek et al. 2020): perplexity of
+  // every document under a language model trained on a reference slice.
+  // CCNet's KenLM 5-gram is stood in for by an add-one-smoothed BIGRAM
+  // LM trained on the lexicographically first source (t24's
+  // deterministic "curated slice" convention):
+  //   P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V)
+  // with c(·) counted over the target slice's bigram stream (contexts
+  // counted FROM the bigram rows, so Σ_w P(w | ctx) = 1 exactly) and V
+  // the whole-corpus unigram vocabulary, so unseen contexts and words
+  // score 1/V instead of dividing by zero.
+  //
+  // Scale shape (100 TB): one bigram explode per pass (map-side; only
+  // md5 keys leave the scan — never raw n-gram strings), the LM and
+  // context tables built by partial-combining aggregates over the
+  // TARGET slice only and broadcast back (at real scale: top-K entries
+  // + an OOV bucket bound the broadcast, the t14/t24 caveat), the
+  // 1-row target-source and vocabulary scalars ride allow-listed
+  // broadcast singleton crosses, and the per-doc rollup's shuffle
+  // collapses to ~1 row per doc by map-side combine (a doc's bigrams
+  // are co-partitioned with the doc). The bigram projection is
+  // recomputed per consumer rather than checkpointed — it is a cheap
+  // stateless map of the scan (the t24 posture).
+  private def bigramScored(
+      s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = T.documents(s, d)
+    val tgt = docs.agg(min(col("source")).as("tgt"))
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .agg(countDistinct(col("term")).cast("long").as("v"))
+    def bigrams = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS c, " +
+            "concat(element_at(w, i), ' ', element_at(w, i + 1)) AS b))"))
+          .as("p"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("p.c")).as("ch"), md5(col("p.b")).as("bh"))
+    val target = bigrams.crossJoin(broadcast(tgt))
+      .filter(col("source") === col("tgt"))
+    val lmB = target.groupBy(col("bh")).agg(count(lit(1)).as("cnt_b"))
+    val lmC = target.groupBy(col("ch")).agg(count(lit(1)).as("cnt_c"))
+    bigrams
+      .join(broadcast(lmB), Seq("bh"), "left")
+      .join(broadcast(lmC), Seq("ch"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("llh",
+        log((coalesce(col("cnt_b"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("cnt_c"), lit(0L)) + col("v"))))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (-sum(col("llh")) / count(lit(1))).as("ce_raw"))
+  }
+  // DuckDB mirror of the scoring pipeline, shared by both oracles so
+  // the two engines' LM definitions cannot drift (raw strings instead
+  // of md5 keys — identical counts modulo a 128-bit collision).
+  private val bigramLmCteSql = """tgt AS (
+        SELECT min(source) AS tgt FROM documents),
+      vocab AS (
+        SELECT count(DISTINCT term) AS v
+        FROM (SELECT unnest(string_split(text, ' ')) AS term
+              FROM documents)),
+      bg AS (
+        SELECT doc_id, lang, source, w[i] AS c, w[i] || ' ' || w[i+1] AS b
+        FROM (SELECT doc_id, lang, source, w, unnest(range(1, len(w))) AS i
+              FROM (SELECT doc_id, lang, source,
+                           string_split(text, ' ') AS w
+                    FROM documents)
+              WHERE len(w) >= 2)),
+      lm_b AS (
+        SELECT b, count(*) AS cnt_b FROM bg
+        WHERE source = (SELECT tgt FROM tgt) GROUP BY 1),
+      lm_c AS (
+        SELECT c, count(*) AS cnt_c FROM bg
+        WHERE source = (SELECT tgt FROM tgt) GROUP BY 1),
+      ce AS (
+        SELECT g.doc_id, g.lang,
+               count(*) AS n_bigrams,
+               -sum(ln((coalesce(lm_b.cnt_b, 0) + CAST(1.0 AS DOUBLE))
+                       / (coalesce(lm_c.cnt_c, 0) + vocab.v)))
+                 / count(*) AS ce_raw
+        FROM bg g
+        LEFT JOIN lm_b USING (b)
+        LEFT JOIN lm_c ON g.c = lm_c.c, vocab
+        GROUP BY g.doc_id, g.lang)"""
+
+  /** LM perplexity scoring — the CCNet quality filter (Wenzek et al.
+    * 2020): per-document cross-entropy (nats/bigram) and perplexity
+    * under the reference-slice bigram LM (see [[bigramScored]]). Low
+    * perplexity = looks like the curated slice; the downstream filter
+    * keeps the head of this score's distribution (t26 draws the
+    * buckets). Rounded at 4 dp per the t06/t24 rule. */
+  private val t25 = Q(
+    "t25_lm_perplexity",
+    (s, d) =>
+      bigramScored(s, d)
+        .select(
+          col("doc_id"), col("n_bigrams"),
+          (round(col("ce_raw"), 4) + lit(0.0)).as("cross_entropy"),
+          (round(exp(col("ce_raw")), 4) + lit(0.0)).as("perplexity"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH $bigramLmCteSql
+      SELECT doc_id,
+             CAST(n_bigrams AS BIGINT) AS n_bigrams,
+             round(ce_raw, 4) + CAST(0.0 AS DOUBLE) AS cross_entropy,
+             round(exp(ce_raw), 4) + CAST(0.0 AS DOUBLE) AS perplexity
+      FROM ce
+      ORDER BY doc_id"""),
+  )
+
+  /** CCNet head/middle/tail buckets — the published corpus split
+    * (Wenzek et al. 2020 §4.3): per-LANGUAGE perplexity terciles over
+    * t25's score, the partition CCNet publishes its crawl in and the
+    * knob downstream recipes cite ("head+middle of CCNet"). Ranking
+    * runs on the ROUNDED score (4 dp) with doc_id tie-break so the
+    * order is engine-stable, not on raw double sums.
+    *
+    * Scale shape: lang is a ~5-value hot key — the textbook
+    * `ntile(3) OVER (PARTITION BY lang ORDER BY ce)` is one task
+    * sorting a fifth of the corpus (the q67 cliff, measured ≥18× at
+    * tier 3e). So the rank comes from
+    * [[DistributedScan.bucketedRowNumber]] over centinat value bands
+    * (`floor(ce·100)` — monotone in the order key, a deterministic
+    * function of it so ties never straddle bands), the per-lang count
+    * joins back from a k-row broadcast, and the tercile is
+    * [[DistributedScan.ntileFromRank]]'s closed form — bit-identical
+    * rows to the textbook oracle with no lang-sized sort task. */
+  private val t26 = Q(
+    "t26_ccnet_buckets",
+    (s, d) => {
+      val ce = bigramScored(s, d)
+        .select(col("doc_id"), col("lang"),
+          (round(col("ce_raw"), 4) + lit(0.0)).as("ce"))
+      val ranked = DistributedScan.bucketedRowNumber(
+        ce, col("lang"), floor(col("ce") * 100).cast("long"),
+        Seq(col("ce"), col("doc_id")), "rk")
+      val langN = ranked.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_lang"))
+      ranked
+        .join(broadcast(langN), Seq("lang"))
+        .withColumn("t",
+          DistributedScan.ntileFromRank(3, "rk", "n_lang"))
+        .select(
+          col("doc_id"), col("lang"), col("ce"),
+          when(col("t") === 1, "head")
+            .when(col("t") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $bigramLmCteSql,
+      scored AS (
+        SELECT doc_id, lang,
+               round(ce_raw, 4) + CAST(0.0 AS DOUBLE) AS ce
+        FROM ce),
+      rk AS (
+        SELECT doc_id, lang, ce,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY ce, doc_id) AS t
+        FROM scored)
+      SELECT doc_id, lang, ce,
+             CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+      FROM rk
+      ORDER BY doc_id"""),
+  )
+
   val all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
 }

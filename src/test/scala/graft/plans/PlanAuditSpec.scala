@@ -977,7 +977,14 @@ class PlanAuditSpec extends SparkSpec {
       // t24 crosses two broadcast singletons — the 1-row target-source
       // scalar and the 1-row LM totals (t14's pattern with a second
       // count column); the vocab join itself is a broadcast equi-join.
-      "t24_dsir_weight")
+      "t24_dsir_weight",
+      // t25/t26 cross the same broadcast singletons (1-row target
+      // source, 1-row vocabulary count); the bigram-LM and context
+      // tables themselves join as broadcast equi-joins.
+      "t25_lm_perplexity", "t26_ccnet_buckets",
+      // p12 crosses its 1-row corpus-token total and 1-row tempered
+      // normalizer onto the k-row source frame (the p05/p08 pattern).
+      "p12_temperature_mix")
     val streaming = Set(
       "q28_stream_window", "q29_stream_dedup", "q30_stream_session",
       "q36_stream_join", "q37_stream_sliding", "q38_stream_static_join",
@@ -1077,6 +1084,7 @@ class PlanAuditSpec extends SparkSpec {
       "q116_winsorize"           -> "scan-blocks (rankSelect, 16-cent bands)",
       "q120_mad_outliers"        -> "scan-blocks (rankSelect ×2, cents + dev2 bands)",
       "q122_skew_gini"           -> "scan-blocks (bucketedRowNumber, (c, user-block) struct bucket)",
+      "t26_ccnet_buckets"        -> "scan-blocks (bucketedRowNumber, centinat cross-entropy bands)",
       "q08_window_topk_group"    -> "textbook (q64's rewrite baseline)",
     )
     // Enumeration shared with the graft.tools.WindowCensus dev main —
@@ -1199,6 +1207,18 @@ class PlanAuditSpec extends SparkSpec {
       "t19_source_overlap"         -> (3, 0),
       "t20_source_terms"           -> (2, 1),
       "t21_source_saturation"      -> (4, 0),
+      // t25: the lm + context broadcast equi-joins, each re-expanding
+      // the target filter's 1-row source cross per the reused-subtree
+      // convention; t26 wraps the same scoring subtree in
+      // bucketedRowNumber's offsets join + the k-row lang-count
+      // join-back, so the scoring broadcasts print again (q120's 17
+      // convention, same cause).
+      "t25_lm_perplexity"          -> (4, 1),
+      "t26_ccnet_buckets"          -> (19, 4),
+      // p12 broadcasts nothing by hash — its three prints are the two
+      // singleton crosses (1-row total, 1-row normalizer; the total's
+      // cross is a subtree of the normalizer's and prints twice).
+      "p12_temperature_mix"        -> (0, 3),
     )
     // Enumeration shared with `graft.tools.WindowCensus broadcasts` —
     // one source of truth between the dev tool and this pin.
