@@ -56,6 +56,7 @@ object Bench {
     // without this the one-time bucketed writes land in q42's timing.
     recordWarmup("prewarm:bucketed") {
       graft.operators.Relational.prewarmBucketedTables(spark, sfDir)
+      graft.operators.Multimodal.prewarmAlignmentTables(spark, sfDir)
     }
     // And q48's date-partitioned events lake (one-time partitioned write).
     recordWarmup("prewarm:partitioned") {
