@@ -1461,7 +1461,133 @@ object Similarity {
     },
   )
 
+  /** PQ codebook TRAINING — the per-subspace Lloyd step (Jégou et al.
+    * 2011 §II-C) s11's scan presupposes: assign every corpus subvector
+    * to its nearest codeword in s11's EXACT codebook (same seed
+    * convention, same 9 dp distance rounding, same min-struct argmin —
+    * the assignment and the scan cannot drift), then emit the k-means
+    * m-step per (subspace, code) cell: assignment count, distortion
+    * under the current codeword, distortion under the UPDATED centroid,
+    * and the new centroid's sum/L2 fingerprints. dist_after ≤
+    * dist_before per cell is the Lloyd descent guarantee (spec-pinned);
+    * s07 is the full-vector sibling, this is the per-subspace tier that
+    * actually trains a product quantizer.
+    *
+    * The after-update distortion uses the algebraic identity
+    * Σ‖x−μ‖² = Σ‖x‖² − (Σ_j S_j²)/n over the per-dim sums S_j, so the
+    * update costs NO second data pass — everything reduces in one
+    * partial-combining aggregate chain.
+    *
+    * 100 TB shape: one broadcast-codebook join (1024 rows) with
+    * map-side combine to n×M distance rows, the argmin a min-struct
+    * partial aggregate (no window), and the training stats a second
+    * combine collapsing to M×k×16 = 1024 dim rows before the final
+    * 64-row cell frame. Nothing data-sized broadcasts or sorts; at
+    * real scale the train pass runs over q55's hash sample — the
+    * standard PQ recipe (train on a sample, encode everything). */
+  private val s17 = Q(
+    "s17_pq_train",
+    (s, d) => {
+      val e = T.embeddings(s, d)
+      def subExplode(df: DataFrame): DataFrame = df
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(
+          col("vec_id"),
+          (expr("pos div 16") + 1).cast("int").as("m"),
+          (pmod(col("pos"), lit(16)) + 1).cast("int").as("j"),
+          col("v").cast("double").as("v"))
+      val cb = subExplode(e.filter(col("vec_id").between(1, 16)))
+        .select(col("vec_id").cast("int").as("code"), col("m"), col("j"),
+          col("v").as("cval"))
+      val corpus = subExplode(e.filter(col("vec_id") =!= 0))
+      val dist = corpus
+        .join(broadcast(cb), Seq("m", "j"))
+        .withColumn("diff", col("v") - col("cval"))
+        .groupBy(col("vec_id"), col("m"), col("code"))
+        .agg(round(sum(col("diff") * col("diff")), 9).as("d2"))
+      val codes = dist
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("code"))).as("best"))
+        .select(col("vec_id"), col("m"),
+          col("best.code").as("code"), col("best.d2").as("d2b"))
+      val dims = corpus
+        .join(codes.select(col("vec_id"), col("m"), col("code")),
+          Seq("vec_id", "m"))
+        .groupBy(col("m"), col("code"), col("j"))
+        .agg(sum(col("v")).as("sj"),
+          sum(col("v") * col("v")).as("sqj"),
+          count(lit(1)).as("nj"))
+      val cells = dims
+        .groupBy(col("m"), col("code"))
+        .agg(
+          max(col("nj")).as("n"),
+          sum(col("sqj")).as("sq"),
+          sum(col("sj") * col("sj")).as("s2"),
+          sum(col("sj")).as("ssum"))
+      val before = codes
+        .groupBy(col("m"), col("code"))
+        .agg(sum(col("d2b")).as("sd2"))
+      cells
+        .join(before, Seq("m", "code"))
+        .select(
+          col("m"), col("code"), col("n"),
+          (round(col("sd2") / col("n"), 6) + lit(0.0)).as("dist_before"),
+          (round((col("sq") - col("s2") / col("n")) / col("n"), 6)
+            + lit(0.0)).as("dist_after"),
+          (round(col("ssum") / col("n"), 6) + lit(0.0)).as("centroid_sum"),
+          (round(sqrt(col("s2")) / col("n"), 6) + lit(0.0))
+            .as("centroid_l2"))
+        .orderBy(col("m"), col("code"))
+    },
+    Some("""
+      WITH cb AS (
+        SELECT CAST(c.vec_id AS INT) AS code, m.m, j.j,
+               CAST(c.embedding[(m.m - 1) * 16 + j.j] AS DOUBLE) AS cval
+        FROM embeddings c, range(1, 5) m(m), range(1, 17) j(j)
+        WHERE c.vec_id BETWEEN 1 AND 16),
+      dist AS (
+        SELECT e.vec_id, cb.m, cb.code,
+               round(sum(
+                 (CAST(e.embedding[(cb.m - 1) * 16 + cb.j] AS DOUBLE) - cb.cval)
+                 * (CAST(e.embedding[(cb.m - 1) * 16 + cb.j] AS DOUBLE) - cb.cval)),
+                 9) AS d2
+        FROM embeddings e, cb
+        WHERE e.vec_id <> 0
+        GROUP BY 1, 2, 3),
+      codes AS (
+        SELECT vec_id, m, code, d2
+        FROM (SELECT vec_id, m, code, d2,
+                     row_number() OVER (PARTITION BY vec_id, m
+                                        ORDER BY d2, code) AS rk
+              FROM dist)
+        WHERE rk = 1),
+      sub AS (
+        SELECT e.vec_id, m.m, j.j,
+               CAST(e.embedding[(m.m - 1) * 16 + j.j] AS DOUBLE) AS v
+        FROM embeddings e, range(1, 5) m(m), range(1, 17) j(j)
+        WHERE e.vec_id <> 0),
+      dims AS (
+        SELECT c.m, c.code, s.j, sum(s.v) AS sj, sum(s.v * s.v) AS sqj,
+               count(*) AS nj
+        FROM sub s JOIN codes c ON s.vec_id = c.vec_id AND s.m = c.m
+        GROUP BY 1, 2, 3),
+      agg AS (
+        SELECT m, code, max(nj) AS n, sum(sqj) AS sq,
+               sum(sj * sj) AS s2, sum(sj) AS ssum
+        FROM dims GROUP BY 1, 2),
+      bf AS (SELECT m, code, sum(d2) AS sd2 FROM codes GROUP BY 1, 2)
+      SELECT a.m, a.code, CAST(a.n AS BIGINT) AS n,
+             round(b.sd2 / a.n, 6) + CAST(0.0 AS DOUBLE) AS dist_before,
+             round((a.sq - a.s2 / a.n) / a.n, 6) + CAST(0.0 AS DOUBLE)
+               AS dist_after,
+             round(a.ssum / a.n, 6) + CAST(0.0 AS DOUBLE) AS centroid_sum,
+             round(sqrt(a.s2) / a.n, 6) + CAST(0.0 AS DOUBLE)
+               AS centroid_l2
+      FROM agg a JOIN bf b USING (m, code)
+      ORDER BY a.m, a.code"""),
+  )
+
   val all: Seq[Q] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16)
+      s14, s15, s16, s17)
 }

@@ -1219,6 +1219,11 @@ class PlanAuditSpec extends SparkSpec {
       // singleton crosses (1-row total, 1-row normalizer; the total's
       // cross is a subtree of the normalizer's and prints twice).
       "p12_temperature_mix"        -> (0, 3),
+      // s17 broadcasts the 1024-row codebook (bounded by construction:
+      // M×k×16) into the distance join; the codebook subtree re-expands
+      // under the codes and dims joins per the reused-subtree
+      // convention, hence 3 prints.
+      "s17_pq_train"               -> (3, 0),
     )
     // Enumeration shared with `graft.tools.WindowCensus broadcasts` —
     // one source of truth between the dev tool and this pin.
