@@ -1611,7 +1611,117 @@ object TextAnalysis {
       ORDER BY doc_id"""),
   )
 
+  /** Heaps'-law vocabulary-growth fit — V(N) ≈ K·N^β per source
+    * (Heaps 1978), the corpus-scaling statistic next to t16's Zipf
+    * slope (frequency space) and t21's saturation curve (novelty-ppm
+    * space): β near 1 = the source keeps minting new vocabulary (raw
+    * crawl), β well below 1 = vocabulary saturating (templated/
+    * boilerplate source) — the "how much NEW text is this source
+    * really adding" number a crawl scheduler reads. The fit is
+    * ordinary least squares of ln V against ln N over every doc
+    * position in doc_id ingestion order.
+    *
+    * Scale shape (100 TB): per-doc token counts and per-doc
+    * first-occurrence (novelty) counts are partial-combining
+    * aggregates over md5 term keys (t21's pattern — raw terms never
+    * shuffle); the two cumulative series run as
+    * [[DistributedScan.exclusivePrefixSum]] (bounded two-level scan,
+    * window tasks ≤ 4096 rows by construction — no source-sized sort
+    * task); the OLS itself is a plain five-moment aggregate (n, Σx,
+    * Σy, Σxy, Σx²) — the regression never materializes a curve. */
+  private val t27 = Q(
+    "t27_heaps_law",
+    (s, d) => {
+      val words = T.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .select(col("source"), col("doc_id"), md5(col("term")).as("h"))
+      val tok = words.groupBy(col("source"), col("doc_id"))
+        .agg(count(lit(1)).as("nt"))
+      val nov = words.groupBy(col("source"), col("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("source"), col("doc_id"))
+        .agg(count(lit(1)).as("nv"))
+      val base = tok.join(nov, Seq("source", "doc_id"), "left")
+        .select(col("source"), col("doc_id"), col("nt"),
+          coalesce(col("nv"), lit(0L)).as("nv"))
+      val c1 = DistributedScan.exclusivePrefixSum(
+        base, col("source"), col("doc_id"), col("nt"), "ct_ex")
+      val c2 = DistributedScan.exclusivePrefixSum(
+        c1, col("source"), col("doc_id"), col("nv"), "cv_ex")
+      c2
+        .withColumn("ct", col("ct_ex") + col("nt"))
+        .withColumn("cv", col("cv_ex") + col("nv"))
+        .filter(col("ct") > 0 && col("cv") > 0)
+        .withColumn("x", log(col("ct").cast("double")))
+        .withColumn("y", log(col("cv").cast("double")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          sum(col("nv")).as("vocab"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("den",
+          col("n_docs") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("beta",
+          when(col("den") === 0, lit(0.0))
+            .otherwise((col("n_docs") * col("sxy")
+              - col("sx") * col("sy")) / col("den")))
+        .select(
+          col("source"), col("n_docs"), col("n_tokens"), col("vocab"),
+          (round(col("beta"), 4) + lit(0.0)).as("heaps_beta"),
+          (round((col("sy") - col("beta") * col("sx")) / col("n_docs"), 4)
+            + lit(0.0)).as("heaps_logk"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tok AS (
+        SELECT source, doc_id, count(*) AS nt FROM w GROUP BY 1, 2),
+      fo AS (
+        SELECT source, term, min(doc_id) AS doc_id FROM w GROUP BY 1, 2),
+      nov AS (
+        SELECT source, doc_id, count(*) AS nv FROM fo GROUP BY 1, 2),
+      base AS (
+        SELECT t.source, t.doc_id, t.nt, coalesce(n.nv, 0) AS nv
+        FROM tok t LEFT JOIN nov n
+          ON t.source = n.source AND t.doc_id = n.doc_id),
+      cum AS (
+        SELECT source, nt, nv,
+               sum(nt) OVER (PARTITION BY source ORDER BY doc_id) AS ct,
+               sum(nv) OVER (PARTITION BY source ORDER BY doc_id) AS cv
+        FROM base),
+      xy AS (
+        SELECT source, nt, nv,
+               ln(CAST(ct AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y
+        FROM cum WHERE ct > 0 AND cv > 0),
+      ols AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               CAST(sum(nv) AS BIGINT) AS vocab,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM xy GROUP BY 1),
+      fit AS (
+        SELECT source, n_docs, n_tokens, vocab, sx, sy,
+               CASE WHEN n_docs * sxx - sx * sx = 0 THEN 0.0
+                    ELSE (n_docs * sxy - sx * sy)
+                         / (n_docs * sxx - sx * sx) END AS beta
+        FROM ols)
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, vocab,
+             round(beta, 4) + CAST(0.0 AS DOUBLE) AS heaps_beta,
+             round((sy - beta * sx) / n_docs, 4) + CAST(0.0 AS DOUBLE)
+               AS heaps_logk
+      FROM fit
+      ORDER BY source"""),
+  )
+
   val all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
+      t27)
 }

@@ -1043,6 +1043,7 @@ class PlanAuditSpec extends SparkSpec {
     val documented: Map[String, String] = Map(
       "t11_seq_packing"          -> "scan-blocks (exclusivePrefixSum)",
       "m06_multimodal_packing"   -> "scan-blocks (exclusivePrefixSum)",
+      "t27_heaps_law"            -> "scan-blocks (exclusivePrefixSum ×2)",
       "p09_epoch_shuffle_audit"  -> "scan-blocks (bucketedRowNumber, hex-prefix buckets)",
       "t21_source_saturation"    -> "scan-blocks (bucketedRowNumber, doc_id div 4096)",
       "q44_window_rank_family"   -> "scan-blocks (bucketedRowNumber, value bands)",
@@ -1224,6 +1225,11 @@ class PlanAuditSpec extends SparkSpec {
       // under the codes and dims joins per the reused-subtree
       // convention, hence 3 prints.
       "s17_pq_train"               -> (3, 0),
+      // t27: planner auto-broadcasts — the per-doc novelty join-back
+      // and the two exclusivePrefixSum block-offset joins (block tables
+      // are rows/4096-sized; AQE re-decides at scale, the d01 posture);
+      // subtree re-expansion across the two chained scans gives 5.
+      "t27_heaps_law"              -> (5, 0),
     )
     // Enumeration shared with `graft.tools.WindowCensus broadcasts` —
     // one source of truth between the dev tool and this pin.
