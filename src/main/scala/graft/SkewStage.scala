@@ -79,6 +79,18 @@ object SkewStage {
       spark.stop()
       return
     }
+    // `lm:N:V` times the LM-scoring join (t14/t24/t25's shape): N
+    // tokens scored against a V-entry vocabulary table. broadcast =
+    // the production plan (LM broadcast, scoring map-side); shuffle =
+    // the MERGE-hinted alternative, which shuffles and sorts the whole
+    // token stream on the term key — the cost the broadcast plan
+    // avoids, and the reason the top-K + OOV cap that keeps the LM
+    // broadcastable is worth taking at scale.
+    if (corpus.startsWith("lm:")) {
+      lmStage(spark, corpus)
+      spark.stop()
+      return
+    }
 
     val ChunkWords = 16
     // `synthetic:N:H` skips the corpus and generates the stream
@@ -238,6 +250,69 @@ object SkewStage {
     * decimal sum of the same hashes, so paired-duplicate cancellation
     * cannot fake an equal= verdict. Needs SPARK_DRIVER_MEM=32g at
     * N=2e8. */
+  /** The LM-scoring join stage, isolated: N (doc, term-hash) token rows
+    * (200 tokens/doc, terms uniform over the vocabulary) scored against
+    * a V-entry (term-hash, count) LM table. broadcast = the production
+    * t14/t24/t25 plan — the LM broadcasts, scoring is map-side, the
+    * token stream never exchanges on the term key; shuffle = the
+    * MERGE-hinted sort-merge alternative — the whole token stream
+    * shuffles AND sorts on the term key, the plan a data-sized LM
+    * would force, which is why the production scaladocs cap the
+    * broadcast at top-K + OOV rather than ever letting the LM grow
+    * data-sized. The scored rollup is an exact integer sum per doc
+    * (the join's correctness is what's fingerprinted; float log math
+    * is irrelevant to the join cost), so the order-invariant
+    * fingerprint compares exactly. */
+  private def lmStage(spark: SparkSession, spec: String): Unit = {
+    val parts = spec.split(":")
+    val n     = parts(1).toLong
+    val v     = parts(2).toLong
+    val path  = s"target/_skew_lm_${n}_$v.parquet"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      spark.range(n)
+        .select(
+          expr("id div 200").as("doc"),
+          md5(pmod(xxhash64(col("id")), lit(v)).cast("string")).as("h"))
+        .write.mode("overwrite").parquet(path)
+    val tokens = spark.read.parquet(path)
+    val total  = tokens.count()
+    val lm = spark.range(v)
+      .select(md5(col("id").cast("string")).as("h"),
+        (pmod(col("id"), lit(1000L)) + 1L).as("cnt"))
+    println(s"[stage] lm rows=$total vocab=$v")
+
+    def viaBroadcast: DataFrame =
+      tokens.join(broadcast(lm), Seq("h"))
+        .groupBy(col("doc"))
+        .agg(sum(col("cnt")).as("s"), count(lit(1)).as("c"))
+    def viaShuffle: DataFrame =
+      tokens.join(lm.hint("MERGE"), Seq("h"))
+        .groupBy(col("doc"))
+        .agg(sum(col("cnt")).as("s"), count(lit(1)).as("c"))
+
+    def fp(df: DataFrame): (Long, Long, String) = {
+      val r = df.select(xxhash64(col("doc"), col("s"), col("c")).as("rh"))
+        .agg(count(lit(1)), expr("bit_xor(rh)"),
+          expr("sum(CAST(rh AS DECIMAL(38,0)))")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) "0" else r.getDecimal(2).toPlainString)
+    }
+    def timed(name: String)(body: => DataFrame): (Double, (Long, Long, String)) = {
+      val t0 = System.nanoTime()
+      val f  = fp(body)
+      val t  = (System.nanoTime() - t0) / 1e9
+      println(s"[stage] $name ${"%.2f".formatLocal(java.util.Locale.ROOT, t)} s")
+      (t, f)
+    }
+    viaBroadcast.write.format("noop").mode("overwrite").save()
+    val (tB, fpB) = timed("broadcast-lm")(viaBroadcast)
+    val (tS, fpS) = timed("shuffle-lm")(viaShuffle)
+    val same = fpB == fpS
+    val fmt = (x: Double) => "%.2f".formatLocal(java.util.Locale.ROOT, x)
+    println(s"""{"metric":"skew_stage_lm","spec":"$spec","rows":$total,"vocab":$v,"broadcast":${fmt(tB)},"shuffle":${fmt(tS)},"equal":$same}""")
+  }
+
   private def rankStage(spark: SparkSession, spec: String): Unit = {
     val parts = spec.split(":")
     val n     = parts(1).toLong
