@@ -4951,6 +4951,83 @@ object Relational {
       ORDER BY user_id, event_id"""),
   )
 
+  /** Time-series subsequence motif search — z-normalized subsequence
+    * matching over per-user value series (the streaming-similarity
+    * EDBT'19 shape; UCR-suite / Matrix-Profile's unit query): find the
+    * top-10 length-8 windows across ALL user series whose z-normalized
+    * shape is closest to a query motif (a monotone ramp — "steadily
+    * climbing spend"). Pointwise monitors (q90 z-score, q115 EWMA,
+    * q118 rolling median) see levels; this sees SHAPE, invariant to
+    * each window's own offset and scale.
+    *
+    * Both engines compute the window statistics from the SAME 8-element
+    * array in the same order (Spark `aggregate` folds left-to-right,
+    * DuckDB list_sum over the windowed list), so μ/σ² are bit-identical
+    * and the flat-window filter (σ² ≤ 1e-12, z undefined) can never
+    * disagree; the final order is on the ROUNDED distance with a
+    * unique (user_id, event_id) tie-break.
+    *
+    * Scale shape (100 TB): the window frame is the census `entity`
+    * class — user_id partitions with an 8-row bounded frame, never a
+    * corpus-sized sort; scoring is map-side arithmetic against a
+    * LITERAL query motif (no join at all), and the global top-10 plans
+    * as TakeOrderedAndProject (bounded heap), never a full sort. */
+  private val q128 = Q(
+    "q128_subseq_match",
+    (s, d) => {
+      val L = 8
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.currentRow, L - 1)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("w", collect_list(col("value")).over(w))
+        .filter(size(col("w")) === L)
+        .withColumn("mu",
+          expr(s"aggregate(w, CAST(0.0 AS DOUBLE), (a, x) -> a + x) / $L"))
+        .withColumn("sq",
+          expr("aggregate(w, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"))
+        .withColumn("v2", col("sq") / L - col("mu") * col("mu"))
+        .filter(col("v2") > 1e-12)
+        .withColumn("dist",
+          expr(s"""aggregate(transform(sequence(1, $L),
+              i -> power((element_at(w, i) - mu) / sqrt(v2)
+                         - (i - 4.5) / sqrt(5.25), 2)),
+            CAST(0.0 AS DOUBLE), (a, x) -> a + x)"""))
+        .select(
+          col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tsu"),
+          (round(col("dist"), 6) + lit(0.0)).as("dist"))
+        .orderBy(col("dist"), col("user_id"), col("event_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH win AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tsu,
+               list(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w
+        FROM events),
+      stats AS (
+        SELECT user_id, event_id, tsu, w,
+               list_sum(w) / 8 AS mu,
+               list_sum(list_transform(w, x -> x * x)) AS sq
+        FROM win WHERE len(w) = 8),
+      scored AS (
+        SELECT user_id, event_id, tsu,
+               sq / 8 - mu * mu AS v2,
+               list_sum(list_transform(range(1, 9),
+                 i -> pow((w[i] - mu) / sqrt(sq / 8 - mu * mu)
+                          - (i - 4.5) / sqrt(5.25), 2))) AS dist
+        FROM stats)
+      SELECT user_id, event_id, tsu,
+             round(dist, 6) + CAST(0.0 AS DOUBLE) AS dist
+      FROM scored
+      WHERE v2 > 1e-12
+      ORDER BY round(dist, 6) + CAST(0.0 AS DOUBLE), user_id, event_id
+      LIMIT 10"""),
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27,
@@ -4959,5 +5036,5 @@ object Relational {
     q68, q69, q70, q71, q72, q74, q75, q76, q77, q78, q79, q81, q83, q85,
     q86, q87, q88, q89, q90, q91, q93, q95, q96, q97, q98, q99, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q115, q116, q117, q118, q120, q121, q122, q123, q124)
+    q115, q116, q117, q118, q120, q121, q122, q123, q124, q128)
 }

@@ -1066,6 +1066,7 @@ class PlanAuditSpec extends SparkSpec {
       "q118_rolling_median"      -> "entity (user_id)",
       "q121_linear_attribution"  -> "entity (user_id[, p_id])",
       "q124_sliding_distinct"    -> "entity (user_id)",
+      "q128_subseq_match"        -> "entity (user_id; 8-row frame)",
       "d18_exact_substrings"     -> "entity (doc_id; frame <= one doc's spans)",
       "d19_incremental_dedup"    -> "entity (delta_id; frame = k=4 bands/doc)",
       "m10_scene_detect"         -> "entity (doc_id; frame <= one video's frames)",
