@@ -812,7 +812,8 @@ object Multimodal {
     val (tag, wh) = Relational.fixtureLoc(d)
     val capT = s"graft_caption_tf_$tag"
     val embT = s"graft_embeddings_b_$tag"
-    if (!s.catalog.tableExists(capT))
+    Relational.ensureBucketed(
+      s, wh, capT,
       T.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .select(
@@ -830,13 +831,9 @@ object Multimodal {
         .select(col("doc_id"),
           expr("""transform(sequence(0, 63),
                     i -> CAST(coalesce(element_at(m, i), 0L) AS FLOAT))""")
-            .as("tf"))
-        .write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
-        .option("path", s"$wh/$capT").saveAsTable(capT)
-    if (!s.catalog.tableExists(embT))
-      T.embeddings(s, d)
-        .write.mode("overwrite").bucketBy(8, "vec_id").sortBy("vec_id")
-        .option("path", s"$wh/$embT").saveAsTable(embT)
+            .as("tf")),
+      "doc_id")
+    Relational.ensureBucketed(s, wh, embT, T.embeddings(s, d), "vec_id")
     (capT, embT)
   }
 

@@ -1007,19 +1007,26 @@ object Relational {
     * measured run). Returns the two table names. */
   def prewarmBucketedTables(s: SparkSession, d: String): (String, String) = {
     val (tag, wh) = fixtureLoc(d)
-    def ensureBucketed(name: String, df: DataFrame, key: String): Unit =
-      if (!s.catalog.tableExists(name))
-        df.write.mode("overwrite")
-          .bucketBy(8, key)
-          .sortBy(key)
-          .option("path", s"$wh/$name")
-          .saveAsTable(name)
     val ordersB   = s"graft_orders_b_$tag"
     val lineitemB = s"graft_lineitem_b_$tag"
-    ensureBucketed(ordersB, T.orders(s, d), "o_orderkey")
-    ensureBucketed(lineitemB, T.lineitem(s, d), "l_orderkey")
+    ensureBucketed(s, wh, ordersB, T.orders(s, d), "o_orderkey")
+    ensureBucketed(s, wh, lineitemB, T.lineitem(s, d), "l_orderkey")
     (ordersB, lineitemB)
   }
+
+  /** The bucketed-fixture write convention (8 buckets, key-sorted,
+    * path-backed, idempotent per session via tableExists), shared by
+    * every co-bucketed fixture builder (q42's fact tables, m12's
+    * alignment tower tables) so the convention has ONE definition. */
+  private[operators] def ensureBucketed(
+      s: SparkSession, wh: String, name: String, df: DataFrame,
+      key: String): Unit =
+    if (!s.catalog.tableExists(name))
+      df.write.mode("overwrite")
+        .bucketBy(8, key)
+        .sortBy(key)
+        .option("path", s"$wh/$name")
+        .saveAsTable(name)
 
   /** Bucketed co-located fact-fact join: orders and lineitem written once
     * as bucketed tables on the join key (8 buckets, sorted), then joined

@@ -1467,7 +1467,10 @@ object TextAnalysis {
     val tgt = docs.agg(min(col("source")).as("tgt"))
     val vocab = docs
       .select(explode(split(col("text"), " ")).as("term"))
-      .agg(countDistinct(col("term")).cast("long").as("v"))
+      // Distinct over md5 keys, not raw strings, so the count's partial
+      // aggregate ships fixed-width hashes (identical count modulo a
+      // 128-bit collision — the same equivalence the oracle CTE notes).
+      .agg(countDistinct(md5(col("term"))).cast("long").as("v"))
     def bigrams = docs
       .select(col("doc_id"), col("lang"), col("source"),
         split(col("text"), " ").as("w"))
@@ -1580,7 +1583,10 @@ object TextAnalysis {
       val ranked = DistributedScan.bucketedRowNumber(
         ce, col("lang"), floor(col("ce") * 100).cast("long"),
         Seq(col("ce"), col("doc_id")), "rk")
-      val langN = ranked.groupBy(col("lang"))
+      // Counted from the pre-rank frame: the count is fully determined
+      // by `ce`, so the branch must not re-expand bucketedRowNumber's
+      // offsets join just to count rows.
+      val langN = ce.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_lang"))
       ranked
         .join(broadcast(langN), Seq("lang"))

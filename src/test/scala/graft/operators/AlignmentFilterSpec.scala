@@ -14,31 +14,8 @@ class AlignmentFilterSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-
-  /** The hashing-trick text encoder (the exact definition all three
-    * dialects implement): dim = first md5 byte % 64, sign = parity of
-    * the third hex digit. */
-  private def featureVec(text: String): Array[Double] = {
-    val v = new Array[Double](64)
-    text.split(" ", -1).foreach { w =>
-      val h = md5hex(w)
-      val dim = Integer.parseInt(h.substring(0, 2), 16) % 64
-      val sgn = if (Integer.parseInt(h.substring(2, 3), 16) % 2 == 0) 1 else -1
-      v(dim) += sgn
-    }
-    v
-  }
-
-  private def cosine(a: Array[Double], b: Array[Double]): Double = {
-    val dot = a.zip(b).map { case (x, y) => x * y }.sum
-    val na  = math.sqrt(a.map(x => x * x).sum)
-    val nb  = math.sqrt(b.map(x => x * x).sum)
-    if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
-  }
+  // Replay definitions shared with CurationOpsProps (CurationOracles).
+  import CurationOracles.{cosine, featureVec}
 
   test("m12 matches a driver-side recomputation of the feature-hashed " +
     "caption vector and cosine for every fixture doc") {

@@ -23,10 +23,9 @@ object CurationOpsProps extends Properties("CurationOps") {
 
   private lazy val spark = SparkSpec.session
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
+  // Replay definitions shared with each operator's fixture Spec
+  // (CurationOracles): one oracle definition per invariant.
+  import CurationOracles.{cosine, featureVec, heapsFit, pqCells}
 
   // ---- t27 ----------------------------------------------------------
 
@@ -54,26 +53,7 @@ object CurationOpsProps extends Properties("CurationOps") {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-      val expected = docs.groupBy(_._4).map { case (src, g) =>
-        val ordered = g.sortBy(_._1)
-        var seen = Set.empty[String]
-        var ct = 0L; var cv = 0L
-        val pts = ordered.map { case (_, text, _, _, _) =>
-          val ws = text.split(" ", -1).toSeq
-          val novel = ws.distinct.filterNot(seen)
-          seen ++= novel; ct += ws.size; cv += novel.size
-          (ws.size.toLong, novel.size.toLong,
-            math.log(ct.toDouble), math.log(cv.toDouble))
-        }
-        val n = pts.size.toDouble
-        val sx = pts.map(_._3).sum; val sy = pts.map(_._4).sum
-        val sxy = pts.map(p => p._3 * p._4).sum
-        val sxx = pts.map(p => p._3 * p._3).sum
-        val den = n * sxx - sx * sx
-        val beta = if (den == 0) 0.0 else (n * sxy - sx * sy) / den
-        src -> (pts.size.toLong, pts.map(_._1).sum, pts.map(_._2).sum,
-          beta, (sy - beta * sx) / n)
-      }
+      val expected = heapsFit(docs.map(d => (d._1, d._2, d._4)))
       val got = SparkEntry.queries("t27_heaps_law")(spark, dir)
         .collect().map(r => r.getString(0) -> ((r.getLong(1),
           r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
@@ -87,17 +67,6 @@ object CurationOpsProps extends Properties("CurationOps") {
     }
 
   // ---- m12 ----------------------------------------------------------
-
-  private def featureVec(text: String): Array[Double] = {
-    val v = new Array[Double](64)
-    text.split(" ", -1).foreach { w =>
-      val h = md5hex(w)
-      val dim = Integer.parseInt(h.substring(0, 2), 16) % 64
-      val sgn = if (Integer.parseInt(h.substring(2, 3), 16) % 2 == 0) 1 else -1
-      v(dim) += sgn
-    }
-    v
-  }
 
   property("m12 equals the brute-force feature-hash cosine on random " +
     "embeddings, with missing vectors dropped by the join") =
@@ -124,12 +93,8 @@ object CurationOpsProps extends Properties("CurationOps") {
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
       val expected = embs.map { case (id, e, _) =>
-        val fv = featureVec(docs.find(_._1 == id).get._2)
-        val ev = e.map(_.toDouble).toArray
-        val dot = fv.zip(ev).map { case (a, b) => a * b }.sum
-        val na = math.sqrt(fv.map(x => x * x).sum)
-        val nb = math.sqrt(ev.map(x => x * x).sum)
-        id -> (if (na == 0 || nb == 0) 0.0 else dot / (na * nb))
+        id -> cosine(featureVec(docs.find(_._1 == id).get._2),
+          e.map(_.toDouble).toArray)
       }.toMap
       val got = SparkEntry.queries("m12_clip_filter")(spark, dir)
         .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getInt(3))))
@@ -159,31 +124,8 @@ object CurationOpsProps extends Properties("CurationOps") {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
-      val byId = vecs.map(v => v._1 -> v._2.map(_.toDouble).toArray).toMap
-      def sub(v: Array[Double], m: Int) = v.slice((m - 1) * 16, m * 16)
-      def round9(x: Double) = BigDecimal(x)
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val assigned = for {
-        (id, v) <- byId.toSeq if id != 0L
-        m <- 1 to 4
-      } yield {
-        val x = sub(v, m)
-        val (d2, code) = (1 to 16).map { c =>
-          val w = sub(byId(c.toLong), m)
-          (round9(x.zip(w).map { case (a, b) => (a - b) * (a - b) }.sum), c)
-        }.min
-        (m, code, x, d2)
-      }
-      val expected = assigned.groupBy { case (m, c, _, _) => (m, c) }
-        .map { case (key, g) =>
-          val cn = g.size
-          val xs = g.map(_._3)
-          val sj = (0 until 16).map(j => xs.map(_(j)).sum)
-          val sq = xs.map(_.map(x => x * x).sum).sum
-          val s2 = sj.map(x => x * x).sum
-          key -> ((cn.toLong, g.map(_._4).sum / cn, (sq - s2 / cn) / cn,
-            sj.sum / cn, math.sqrt(s2) / cn))
-        }
+      val expected = pqCells(
+        vecs.map(v => v._1 -> v._2.map(_.toDouble).toArray).toMap)
       val got = SparkEntry.queries("s17_pq_train")(spark, dir)
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2),
           r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))

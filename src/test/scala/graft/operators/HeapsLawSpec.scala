@@ -11,39 +11,13 @@ class HeapsLawSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def recompute(docs: Seq[(Long, String, String)])
-      : Map[String, (Long, Long, Long, Double, Double)] =
-    docs.groupBy(_._3).map { case (src, g) =>
-      val ordered = g.sortBy(_._1)
-      var seen = Set.empty[String]
-      var ct = 0L
-      var cv = 0L
-      val pts = ordered.map { case (_, text, _) =>
-        val ws = text.split(" ", -1).toSeq
-        val novel = ws.distinct.filterNot(seen)
-        seen ++= novel
-        ct += ws.size
-        cv += novel.size
-        (ws.size.toLong, novel.size.toLong, math.log(ct.toDouble),
-          math.log(cv.toDouble))
-      }
-      val n   = pts.size.toDouble
-      val sx  = pts.map(_._3).sum
-      val sy  = pts.map(_._4).sum
-      val sxy = pts.map(p => p._3 * p._4).sum
-      val sxx = pts.map(p => p._3 * p._3).sum
-      val den = n * sxx - sx * sx
-      val beta = if (den == 0) 0.0 else (n * sxy - sx * sy) / den
-      src -> (pts.size.toLong, pts.map(_._1).sum, pts.map(_._2).sum,
-        beta, (sy - beta * sx) / n)
-    }
-
   test("t27 matches a driver-side replay of the cumulative series and " +
     "the OLS fit for every source") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text", "source").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
-    val expected = recompute(docs)
+    // Replay definition shared with CurationOpsProps (CurationOracles).
+    val expected = CurationOracles.heapsFit(docs)
     val got = SparkEntry.queries("t27_heaps_law")(spark, sf)
       .collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),

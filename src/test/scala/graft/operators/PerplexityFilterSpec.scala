@@ -12,39 +12,13 @@ class PerplexityFilterSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** Driver-side replay of the scoring pipeline: target-slice bigram +
-    * context counts, whole-corpus unigram vocabulary, add-one smoothing
-    * (the exact definition both engine dialects implement). */
-  private def recompute(
-      docs: Seq[(Long, String, String)]): Map[Long, (Long, Double)] = {
-    val tgt = docs.map(_._3).min
-    val vocab = docs.flatMap(_._2.split(" ", -1)).distinct.size.toLong
-    val tgtBigrams = docs.filter(_._3 == tgt).flatMap { case (_, t, _) =>
-      val w = t.split(" ", -1).toSeq
-      if (w.length < 2) Seq.empty
-      else w.sliding(2).map(p => (p(0), s"${p(0)} ${p(1)}")).toSeq
-    }
-    val cntB = tgtBigrams.groupBy(_._2).map { case (b, g) => b -> g.size }
-    val cntC = tgtBigrams.groupBy(_._1).map { case (c, g) => c -> g.size }
-    docs.flatMap { case (id, t, _) =>
-      val w = t.split(" ", -1).toSeq
-      if (w.length < 2) None
-      else {
-        val lls = w.sliding(2).map { p =>
-          math.log((cntB.getOrElse(s"${p(0)} ${p(1)}", 0) + 1.0) /
-            (cntC.getOrElse(p(0), 0) + vocab))
-        }.toSeq
-        Some(id -> (lls.size.toLong, -lls.sum / lls.size))
-      }
-    }.toMap
-  }
-
   test("t25 matches a driver-side recomputation of the target-slice " +
     "bigram LM for every fixture doc (cross-entropy and perplexity)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text", "source").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
-    val expected = recompute(docs)
+    // Replay definition shared with the Props suite (CurationOracles).
+    val expected = CurationOracles.bigramCe(docs)
 
     val got = SparkEntry.queries("t25_lm_perplexity")(spark, sf)
       .collect()

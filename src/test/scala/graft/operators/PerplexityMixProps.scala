@@ -63,32 +63,11 @@ object PerplexityMixProps extends Properties("PerplexityMix") {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getString(3))).toSeq
 
-  /** Brute-force bigram-LM cross-entropy per scorable doc (the t25/t26
-    * definition: target-slice counts, whole-corpus vocabulary,
-    * add-one smoothing). */
+  /** Brute-force bigram-LM cross-entropy — ONE definition shared with
+    * PerplexityFilterSpec via [[CurationOracles.bigramCe]]. */
   private def bruteCe(
-      docs: Seq[(Long, String, String, String)]): Map[Long, (Long, Double)] = {
-    val tgt = docs.map(_._4).min
-    val vocab = docs.flatMap(_._2.split(" ", -1)).distinct.size.toLong
-    val tgtBg = docs.filter(_._4 == tgt).flatMap { case (_, t, _, _) =>
-      val w = t.split(" ", -1).toSeq
-      if (w.length < 2) Seq.empty
-      else w.sliding(2).map(p => (p(0), s"${p(0)} ${p(1)}")).toSeq
-    }
-    val cntB = tgtBg.groupBy(_._2).map { case (b, g) => b -> g.size }
-    val cntC = tgtBg.groupBy(_._1).map { case (c, g) => c -> g.size }
-    docs.flatMap { case (id, t, _, _) =>
-      val w = t.split(" ", -1).toSeq
-      if (w.length < 2) None
-      else {
-        val lls = w.sliding(2).map { p =>
-          math.log((cntB.getOrElse(s"${p(0)} ${p(1)}", 0) + 1.0) /
-            (cntC.getOrElse(p(0), 0) + vocab))
-        }.toSeq
-        Some(id -> (lls.size.toLong, -lls.sum / lls.size))
-      }
-    }.toMap
-  }
+      docs: Seq[(Long, String, String, String)]): Map[Long, (Long, Double)] =
+    CurationOracles.bigramCe(docs.map(d => (d._1, d._2, d._4)))
 
   property("t25 equals the brute-force add-one bigram LM on random " +
     "corpora incl. sub-bigram docs and bigram-free target slices") =

@@ -1213,10 +1213,11 @@ class PlanAuditSpec extends SparkSpec {
       // the target filter's 1-row source cross per the reused-subtree
       // convention; t26 wraps the same scoring subtree in
       // bucketedRowNumber's offsets join + the k-row lang-count
-      // join-back, so the scoring broadcasts print again (q120's 17
-      // convention, same cause).
+      // join-back (counted from the PRE-rank frame, so the rank
+      // subtree does not re-expand under the count branch — the
+      // review fix that dropped this pin from (19,4)).
       "t25_lm_perplexity"          -> (4, 1),
-      "t26_ccnet_buckets"          -> (19, 4),
+      "t26_ccnet_buckets"          -> (10, 3),
       // p12 broadcasts nothing by hash — its three prints are the two
       // singleton crosses (1-row total, 1-row normalizer; the total's
       // cross is a subtree of the normalizer's and prints twice).
