@@ -284,7 +284,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"starts":$startsJson,"reruns":$rerunsJson,"failed_count":${bad.size},"failed":$failedJson,"warmups":$warmupsJson,"warmups_failed":$warmupsFailedJson,"sf":"$sfDir","cpus":$cpus}"""
     // The driver captures only the last ~2000 chars of stdout, so the
-    // full 205-query line can never survive there (r6/r12/r13 all
+    // full per-query line can never survive there (r6/r12/r13 all
     // recorded "parsed": null) — stdout gets a COMPACT line that fits
     // the window: headline total, the 25 slowest lines (the ones a
     // regression read needs), rerun verdicts, and a pointer to the

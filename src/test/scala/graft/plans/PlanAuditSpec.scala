@@ -1258,7 +1258,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no batch operator's hash exchange ships a heavy payload column " +
     "— raw text, embedding vectors, or media binary — swept globally " +
-    "over all 205 registered queries") {
+    "over every registered query") {
     // At 100 TB a shuffle carrying payload bytes dwarfs the keyed work
     // it feeds: every payload-deriving operator must hash/sign/chunk/
     // aggregate on the map side and exchange fixed-width keys or
