@@ -79,13 +79,16 @@ object SkewStage {
       spark.stop()
       return
     }
-    // `lm:N:V` times the LM-scoring join (t14/t24/t25's shape): N
+    // `lm:N:V[:K]` times the LM-scoring join (t14/t24/t25's shape): N
     // tokens scored against a V-entry vocabulary table. broadcast =
-    // the production plan (LM broadcast, scoring map-side); shuffle =
-    // the MERGE-hinted alternative, which shuffles and sorts the whole
-    // token stream on the term key — the cost the broadcast plan
-    // avoids, and the reason the top-K + OOV cap that keeps the LM
-    // broadcastable is worth taking at scale.
+    // the uncapped plan (full LM broadcast, scoring map-side);
+    // shuffle = the MERGE-hinted alternative, which shuffles and sorts
+    // the whole token stream on the term key; capped = the PRODUCTION
+    // plan since r17 — top-K by count via TakeOrderedAndProject +
+    // zero-count OOV coalesce — timed both ways (broadcast and MERGE)
+    // so the "large-vocab flip" (uncapped broadcast losing to shuffle
+    // when V grows data-sized, tier 3f's cold case) can be shown GONE
+    // under the cap: the capped broadcast stays K-sized at any V.
     if (corpus.startsWith("lm:")) {
       lmStage(spark, corpus)
       spark.stop()
@@ -252,21 +255,28 @@ object SkewStage {
     * N=2e8. */
   /** The LM-scoring join stage, isolated: N (doc, term-hash) token rows
     * (200 tokens/doc, terms uniform over the vocabulary) scored against
-    * a V-entry (term-hash, count) LM table. broadcast = the production
-    * t14/t24/t25 plan — the LM broadcasts, scoring is map-side, the
-    * token stream never exchanges on the term key; shuffle = the
-    * MERGE-hinted sort-merge alternative — the whole token stream
-    * shuffles AND sorts on the term key, the plan a data-sized LM
-    * would force, which is why the production scaladocs cap the
-    * broadcast at top-K + OOV rather than ever letting the LM grow
-    * data-sized. The scored rollup is an exact integer sum per doc
-    * (the join's correctness is what's fingerprinted; float log math
-    * is irrelevant to the join cost), so the order-invariant
-    * fingerprint compares exactly. */
+    * a V-entry (term-hash, count) LM table. broadcast = the UNCAPPED
+    * plan — the full LM broadcasts, scoring is map-side, the token
+    * stream never exchanges on the term key; shuffle = the MERGE-hinted
+    * sort-merge alternative — the whole token stream shuffles AND sorts
+    * on the term key, the plan a data-sized LM would force; capped =
+    * the production t14/t24/t25 plan since r17 — top-K entries by
+    * count via a bounded-heap TakeOrderedAndProject, zero-count OOV
+    * coalesce — timed under BOTH join strategies, so the uncapped
+    * broadcast-vs-shuffle flip at large V can be compared against the
+    * capped pair directly (equal fingerprints within each pair; the
+    * capped pair's answer differs from the uncapped pair's by design —
+    * OOV terms score 0). The scored rollup is an exact integer sum per
+    * doc (the join's correctness is what's fingerprinted; float log
+    * math is irrelevant to the join cost), so the order-invariant
+    * fingerprint compares exactly. Every timed plan gets its own
+    * unbilled warm-up run (codegen, shuffle-service init, page cache)
+    * so no variant pays first-touch costs inside its timed run. */
   private def lmStage(spark: SparkSession, spec: String): Unit = {
     val parts = spec.split(":")
     val n     = parts(1).toLong
     val v     = parts(2).toLong
+    val k     = parts.lift(3).map(_.toInt).getOrElse(1000000)
     val path  = s"target/_skew_lm_${n}_$v.parquet"
     if (!new java.io.File(path, "_SUCCESS").exists())
       spark.range(n)
@@ -279,16 +289,26 @@ object SkewStage {
     val lm = spark.range(v)
       .select(md5(col("id").cast("string")).as("h"),
         (pmod(col("id"), lit(1000L)) + 1L).as("cnt"))
-    println(s"[stage] lm rows=$total vocab=$v")
+    // The capped LM is MATERIALIZED once (parquet, like the token
+    // stream): at production scale the top-K selection runs once per
+    // LM build, not once per scoring pass, so its one-off cost must
+    // not be billed to either capped join variant.
+    val topPath = s"target/_skew_lm_top_${v}_$k.parquet"
+    if (!new java.io.File(topPath, "_SUCCESS").exists())
+      lm.orderBy(col("cnt").desc, col("h").asc).limit(k)
+        .write.mode("overwrite").parquet(topPath)
+    val top = spark.read.parquet(topPath)
+    println(s"[stage] lm rows=$total vocab=$v cap=$k")
 
-    def viaBroadcast: DataFrame =
-      tokens.join(broadcast(lm), Seq("h"))
+    def score(side: DataFrame): DataFrame =
+      tokens.join(side, Seq("h"), "left")
         .groupBy(col("doc"))
-        .agg(sum(col("cnt")).as("s"), count(lit(1)).as("c"))
-    def viaShuffle: DataFrame =
-      tokens.join(lm.hint("MERGE"), Seq("h"))
-        .groupBy(col("doc"))
-        .agg(sum(col("cnt")).as("s"), count(lit(1)).as("c"))
+        .agg(sum(coalesce(col("cnt"), lit(0L))).as("s"),
+          count(lit(1)).as("c"))
+    def viaBroadcast: DataFrame = score(broadcast(lm))
+    def viaShuffle: DataFrame   = score(lm.hint("MERGE"))
+    def viaCappedBroadcast: DataFrame = score(broadcast(top))
+    def viaCappedShuffle: DataFrame   = score(top.hint("MERGE"))
 
     def fp(df: DataFrame): (Long, Long, String) = {
       val r = df.select(xxhash64(col("doc"), col("s"), col("c")).as("rh"))
@@ -299,18 +319,23 @@ object SkewStage {
         if (r.isNullAt(2)) "0" else r.getDecimal(2).toPlainString)
     }
     def timed(name: String)(body: => DataFrame): (Double, (Long, Long, String)) = {
+      // Unbilled warm-up of THIS plan (ADVICE r16: warming only the
+      // broadcast variant inflated the reported ratio).
+      body.write.format("noop").mode("overwrite").save()
       val t0 = System.nanoTime()
       val f  = fp(body)
       val t  = (System.nanoTime() - t0) / 1e9
       println(s"[stage] $name ${"%.2f".formatLocal(java.util.Locale.ROOT, t)} s")
       (t, f)
     }
-    viaBroadcast.write.format("noop").mode("overwrite").save()
-    val (tB, fpB) = timed("broadcast-lm")(viaBroadcast)
-    val (tS, fpS) = timed("shuffle-lm")(viaShuffle)
-    val same = fpB == fpS
+    val (tB, fpB)   = timed("broadcast-lm")(viaBroadcast)
+    val (tS, fpS)   = timed("shuffle-lm")(viaShuffle)
+    val (tCB, fpCB) = timed("capped-broadcast-lm")(viaCappedBroadcast)
+    val (tCS, fpCS) = timed("capped-shuffle-lm")(viaCappedShuffle)
+    val same       = fpB == fpS
+    val sameCapped = fpCB == fpCS
     val fmt = (x: Double) => "%.2f".formatLocal(java.util.Locale.ROOT, x)
-    println(s"""{"metric":"skew_stage_lm","spec":"$spec","rows":$total,"vocab":$v,"broadcast":${fmt(tB)},"shuffle":${fmt(tS)},"equal":$same}""")
+    println(s"""{"metric":"skew_stage_lm","spec":"$spec","rows":$total,"vocab":$v,"cap":$k,"broadcast":${fmt(tB)},"shuffle":${fmt(tS)},"capped_broadcast":${fmt(tCB)},"capped_shuffle":${fmt(tCS)},"equal":$same,"equal_capped":$sameCapped}""")
   }
 
   private def rankStage(spark: SparkSession, spec: String): Unit = {

@@ -896,8 +896,13 @@ object Multimodal {
         SELECT doc_id, dim, CAST(sum(sgn) AS DOUBLE) AS tfw
         FROM h GROUP BY 1, 2),
       grid AS (
+        -- Derived from docs that PRODUCE words (w), not the raw table:
+        -- Spark's explode(split(text)) drops a NULL-text doc entirely,
+        -- and so does w's unnest — deriving the grid from the raw table
+        -- would re-admit such a doc on the oracle side only (ADVICE
+        -- r16: a latent engine divergence if fixtures ever carry nulls).
         SELECT d.doc_id, g.i
-        FROM (SELECT DISTINCT doc_id FROM documents) d, range(0, 64) g(i)),
+        FROM (SELECT DISTINCT doc_id FROM w) d, range(0, 64) g(i)),
       tfl AS (
         SELECT grid.doc_id AS doc_id,
                list(coalesce(tfw, 0.0) ORDER BY i) AS tf

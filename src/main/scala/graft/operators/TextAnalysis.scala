@@ -660,49 +660,108 @@ object TextAnalysis {
       LIMIT 20"""),
   )
 
+  /** LM vocabulary caps — the 100 TB contract for every scoring
+    * operator that broadcasts a corpus-trained LM (t14, t24, t25/t26):
+    * the LM an executor sees is the top-K entries by training-slice
+    * frequency (ties broken on the md5 of the entry so both engines
+    * rank identically) plus ONE pooled OOV bucket carrying the entire
+    * residual mass, so the broadcast is ≤ K+1 rows BY CONSTRUCTION at
+    * any corpus size — a web-scale bigram vocabulary is O(10⁹+)
+    * entries, and an uncapped broadcast flips to a worse-than-shuffle
+    * plan (BASELINE tier 3f's measured cold case). The OOV bucket is
+    * ZERO-COUNT: below-cap and unseen entries take only the add-one
+    * pseudo-count, exactly what unseen entries scored uncapped, so a
+    * quality filter still scores them LOW. (The alternative — pooling
+    * the residual mass into the bucket — rewards unseen text with the
+    * whole tail's probability; measured on the fixture it INVERTS
+    * t25's target-vs-raw perplexity signal, 15.5 vs 5.7.) The
+    * effective smoothing vocabulary is |top| + (1 if any mass fell
+    * below the cap else 0), so on a corpus whose vocabulary FITS the
+    * cap the scores equal the uncapped LM bit-for-bit (CappedLmSpec
+    * pins both directions). The
+    * caps here are sized to BIND on the synthetic fixture vocabulary
+    * (31 unigrams / ~900 target bigrams at every SF) so the OOV path
+    * itself sits under the DuckDB oracle gate; a production corpus
+    * would run the same mechanism at K ~ 10⁵-10⁶. */
+  val UnigramLmCap = 24
+  val BigramLmCap  = 512
+  val ContextLmCap = 24
+
   /** Unigram language-model surprisal — the cheapest member of the
     * perplexity-filter family every pre-training corpus runs (docs whose
     * mean negative log-likelihood under a corpus LM is extreme are
     * boilerplate, noise, or wrong-language): train the unigram LM on the
-    * corpus itself (term counts, add-one smoothing), then score each
+    * corpus itself (term counts, add-one smoothing, capped at
+    * [[UnigramLmCap]] terms + one OOV bucket), then score each
     * document's avg −ln p(term) in nats/token. Shares the t05 tokenizer.
     *
-    * 100 TB shape: the LM is the t05 term-count rollup, BROADCAST back
-    * against the exploded corpus (at real scale: top-K vocabulary + an
-    * OOV bucket keeps the broadcast bounded); scoring is map-side + one
-    * doc_id rollup. Rounded at 4 dp per the t06 rule. */
+    * 100 TB shape: the LM is the t05 term-count rollup reduced to the
+    * top-K entries by a bounded-heap TakeOrderedAndProject, BROADCAST
+    * back against the exploded corpus (≤ K rows on the wire no matter
+    * the corpus vocabulary); OOV tokens coalesce to the zero-count
+    * bucket; the 1-row (total, v_eff) scalar rides a broadcast
+    * singleton cross; scoring is map-side + one doc_id rollup.
+    * Rounded at 4 dp per the t06 rule. */
   private val t14 = Q(
     "t14_unigram_surprisal",
     (s, d) => {
       val words = T.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf  = words.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      val tot = tf.agg(sum(col("cnt")).as("total"), count(lit(1)).as("vocab"))
+      val top = tf
+        .orderBy(col("cnt").desc, md5(col("term")).asc)
+        .limit(UnigramLmCap)
+      // 1-row scalar: total token mass and the effective smoothing
+      // vocabulary (|top| + 1 iff any mass fell below the cap — the
+      // term that makes capped ≡ uncapped when the cap is slack).
+      val sc = tf.agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
+        .crossJoin(top.agg(
+          coalesce(sum(col("cnt")), lit(0L)).as("top_mass"),
+          count(lit(1)).as("k_actual")))
+        .select(
+          col("total"),
+          (col("k_actual") +
+            when(col("total") > col("top_mass"), lit(1L))
+              .otherwise(lit(0L))).as("v_eff"))
       words
-        .join(broadcast(tf), "term")
-        .crossJoin(broadcast(tot))
+        .join(broadcast(top), Seq("term"), "left")
+        .crossJoin(broadcast(sc))
         .withColumn(
           "nll",
-          -log((col("cnt") + lit(1.0)) / (col("total") + col("vocab"))))
+          -log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /
+            (col("total") + col("v_eff"))))
         .groupBy(col("doc_id"))
         .agg(
           count(lit(1)).as("n_tokens"),
           round(sum(col("nll")) / count(lit(1)), 4).as("avg_nll"))
         .orderBy(col("doc_id"))
     },
-    Some("""
+    Some(s"""
       WITH words AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term
         FROM documents),
       tf AS (SELECT term, count(*) AS cnt FROM words GROUP BY 1),
-      tot AS (
-        SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab
-        FROM tf)
+      top AS (
+        SELECT term, cnt FROM (
+          SELECT term, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, md5(term) ASC) AS rk
+          FROM tf)
+        WHERE rk <= $UnigramLmCap),
+      sc AS (
+        SELECT total,
+               k_actual + CASE WHEN total > top_mass THEN 1 ELSE 0 END
+                 AS v_eff
+        FROM (SELECT
+                (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM tf)
+                  AS total,
+                (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM top)
+                  AS top_mass,
+                (SELECT count(*) FROM top) AS k_actual))
       SELECT w.doc_id, count(*) AS n_tokens,
-             round(sum(-ln((t.cnt + CAST(1.0 AS DOUBLE))
-                           / (tot.total + tot.vocab))) / count(*), 4)
+             round(sum(-ln((coalesce(t.cnt, 0) + CAST(1.0 AS DOUBLE))
+                           / (sc.total + sc.v_eff))) / count(*), 4)
                AS avg_nll
-      FROM words w JOIN tf t USING (term), tot
+      FROM words w LEFT JOIN top t USING (term), sc
       GROUP BY w.doc_id
       ORDER BY w.doc_id"""),
   )
@@ -1368,12 +1427,22 @@ object TextAnalysis {
     *
     * Scale shape (100 TB): one (source-tagged) explode → term-level
     * count pair with map-side combine (one row per vocab term carrying
-    * BOTH counts — not two LM tables to reconcile), BROADCAST back
-    * against the exploded corpus exactly like t14's LM (at real scale:
-    * top-K vocabulary + an OOV bucket keeps the broadcast bounded);
-    * the two 1-row scalars (target source, totals) ride allow-listed
-    * broadcast singleton crosses (the p05/p08 pattern). Scoring is
-    * map-side; the only other shuffle is the doc_id rollup. */
+    * BOTH counts — not two LM tables to reconcile), reduced to the
+    * top-[[UnigramLmCap]] entries by TOTAL corpus frequency via a
+    * bounded-heap TakeOrderedAndProject and BROADCAST back against the
+    * exploded corpus (≤ K rows on the wire — t14's capped-LM contract
+    * with a second count column); the 1-row target-source scalar rides
+    * an allow-listed broadcast singleton cross (the p05/p08 pattern).
+    * Scoring is map-side; the only other shuffle is the doc_id rollup.
+    *
+    * OOV convention: unlike t14 (where a high-surprisal OOV floor IS
+    * the filter's correct behavior), a log-likelihood RATIO's OOV
+    * bucket must be NEUTRAL — llr = 0, no evidence for either slice.
+    * Scoring the zero-count bucket through both smoothed LMs instead
+    * yields the constant ln((total_r+v)/(total_t+v)) > 0 for every
+    * OOV token (the slices' sizes differ, the unseen probabilities
+    * don't), which tilts every rare-vocabulary doc toward the target
+    * — measured as an INVERTED fixture discrimination. */
   private val t24 = Q(
     "t24_dsir_weight",
     (s, d) => {
@@ -1389,18 +1458,32 @@ object TextAnalysis {
             .as("cnt_t"),
           sum(when(col("source") =!= col("tgt"), 1L).otherwise(0L))
             .as("cnt_r"))
-      val tot = lm.agg(
-        sum(col("cnt_t")).as("total_t"),
-        sum(col("cnt_r")).as("total_r"),
-        count(lit(1)).as("vocab"))
+      val top = lm
+        .orderBy((col("cnt_t") + col("cnt_r")).desc, md5(col("term")).asc)
+        .limit(UnigramLmCap)
+      val sc = lm.agg(
+          coalesce(sum(col("cnt_t")), lit(0L)).as("total_t"),
+          coalesce(sum(col("cnt_r")), lit(0L)).as("total_r"))
+        .crossJoin(top.agg(
+          coalesce(sum(col("cnt_t")), lit(0L)).as("top_t"),
+          coalesce(sum(col("cnt_r")), lit(0L)).as("top_r"),
+          count(lit(1)).as("k_actual")))
+        .select(
+          col("total_t"), col("total_r"),
+          (col("k_actual") +
+            when(col("total_t") + col("total_r") >
+                col("top_t") + col("top_r"), lit(1L))
+              .otherwise(lit(0L))).as("v_eff"))
       words
-        .join(broadcast(lm), "term")
-        .crossJoin(broadcast(tot))
+        .join(broadcast(top), Seq("term"), "left")
+        .crossJoin(broadcast(sc))
         .withColumn(
           "llr",
-          log((col("cnt_t") + lit(1.0)) / (col("total_t") + col("vocab")))
-            - log((col("cnt_r") + lit(1.0))
-              / (col("total_r") + col("vocab"))))
+          when(col("cnt_t").isNull, lit(0.0)).otherwise(
+            log((col("cnt_t") + lit(1.0))
+                / (col("total_t") + col("v_eff")))
+              - log((col("cnt_r") + lit(1.0))
+                / (col("total_r") + col("v_eff")))))
         .groupBy(col("doc_id"))
         .agg(
           count(lit(1)).as("n_tokens"),
@@ -1410,7 +1493,7 @@ object TextAnalysis {
             .as("dsir_nats"))
         .orderBy(col("doc_id"))
     },
-    Some("""
+    Some(s"""
       WITH tgt AS (SELECT min(source) AS tgt FROM documents),
       words AS (
         SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
@@ -1422,18 +1505,36 @@ object TextAnalysis {
                sum(CASE WHEN source <> (SELECT tgt FROM tgt)
                    THEN 1 ELSE 0 END) AS cnt_r
         FROM words GROUP BY 1),
-      tot AS (
-        SELECT CAST(sum(cnt_t) AS BIGINT) AS total_t,
-               CAST(sum(cnt_r) AS BIGINT) AS total_r,
-               count(*) AS vocab
-        FROM lm)
+      top AS (
+        SELECT term, cnt_t, cnt_r FROM (
+          SELECT term, cnt_t, cnt_r,
+                 row_number() OVER (ORDER BY cnt_t + cnt_r DESC,
+                                    md5(term) ASC) AS rk
+          FROM lm)
+        WHERE rk <= $UnigramLmCap),
+      sc AS (
+        SELECT total_t, total_r,
+               k_actual + CASE WHEN total_t + total_r > top_t + top_r
+                               THEN 1 ELSE 0 END AS v_eff
+        FROM (SELECT
+                (SELECT CAST(coalesce(sum(cnt_t), 0) AS BIGINT) FROM lm)
+                  AS total_t,
+                (SELECT CAST(coalesce(sum(cnt_r), 0) AS BIGINT) FROM lm)
+                  AS total_r,
+                (SELECT CAST(coalesce(sum(cnt_t), 0) AS BIGINT) FROM top)
+                  AS top_t,
+                (SELECT CAST(coalesce(sum(cnt_r), 0) AS BIGINT) FROM top)
+                  AS top_r,
+                (SELECT count(*) FROM top) AS k_actual))
       SELECT w.doc_id, count(*) AS n_tokens,
-             round(sum(ln((l.cnt_t + CAST(1.0 AS DOUBLE))
-                          / (tot.total_t + tot.vocab))
-                     - ln((l.cnt_r + CAST(1.0 AS DOUBLE))
-                          / (tot.total_r + tot.vocab))) / count(*), 4)
+             round(sum(CASE WHEN l.cnt_t IS NULL THEN CAST(0.0 AS DOUBLE)
+                       ELSE ln((l.cnt_t + CAST(1.0 AS DOUBLE))
+                               / (sc.total_t + sc.v_eff))
+                          - ln((l.cnt_r + CAST(1.0 AS DOUBLE))
+                               / (sc.total_r + sc.v_eff)) END)
+                   / count(*), 4)
                + CAST(0.0 AS DOUBLE) AS dsir_nats
-      FROM words w JOIN lm l USING (term), tot
+      FROM words w LEFT JOIN top l USING (term), sc
       GROUP BY w.doc_id
       ORDER BY w.doc_id"""),
   )
@@ -1453,14 +1554,20 @@ object TextAnalysis {
   // Scale shape (100 TB): one bigram explode per pass (map-side; only
   // md5 keys leave the scan — never raw n-gram strings), the LM and
   // context tables built by partial-combining aggregates over the
-  // TARGET slice only and broadcast back (at real scale: top-K entries
-  // + an OOV bucket bound the broadcast, the t14/t24 caveat), the
-  // 1-row target-source and vocabulary scalars ride allow-listed
-  // broadcast singleton crosses, and the per-doc rollup's shuffle
-  // collapses to ~1 row per doc by map-side combine (a doc's bigrams
-  // are co-partitioned with the doc). The bigram projection is
-  // recomputed per consumer rather than checkpointed — it is a cheap
-  // stateless map of the scan (the t24 posture).
+  // TARGET slice only, each reduced to its top-K entries by a
+  // bounded-heap TakeOrderedAndProject ([[BigramLmCap]] bigrams /
+  // [[ContextLmCap]] contexts — ties broken on the md5 key, the t14
+  // convention) and broadcast back at ≤ K rows no matter the slice's
+  // vocabulary; below-cap entries coalesce to 0, the exact probability
+  // never-seen entries always scored, so the cap only ever moves an
+  // entry toward the unseen floor — it cannot reward unseen text (the
+  // zero-count-OOV rationale at [[UnigramLmCap]]). The 1-row
+  // target-source and vocabulary scalars ride allow-listed broadcast
+  // singleton crosses, and the per-doc rollup's shuffle collapses to
+  // ~1 row per doc by map-side combine (a doc's bigrams are
+  // co-partitioned with the doc). The bigram projection is recomputed
+  // per consumer rather than checkpointed — it is a cheap stateless
+  // map of the scan (the t24 posture).
   private def bigramScored(
       s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = T.documents(s, d)
@@ -1487,9 +1594,13 @@ object TextAnalysis {
       .filter(col("source") === col("tgt"))
     val lmB = target.groupBy(col("bh")).agg(count(lit(1)).as("cnt_b"))
     val lmC = target.groupBy(col("ch")).agg(count(lit(1)).as("cnt_c"))
+    val topB = lmB.orderBy(col("cnt_b").desc, col("bh").asc)
+      .limit(BigramLmCap)
+    val topC = lmC.orderBy(col("cnt_c").desc, col("ch").asc)
+      .limit(ContextLmCap)
     bigrams
-      .join(broadcast(lmB), Seq("bh"), "left")
-      .join(broadcast(lmC), Seq("ch"), "left")
+      .join(broadcast(topB), Seq("bh"), "left")
+      .join(broadcast(topC), Seq("ch"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("llh",
         log((coalesce(col("cnt_b"), lit(0L)) + lit(1.0)) /
@@ -1501,8 +1612,10 @@ object TextAnalysis {
   }
   // DuckDB mirror of the scoring pipeline, shared by both oracles so
   // the two engines' LM definitions cannot drift (raw strings instead
-  // of md5 keys — identical counts modulo a 128-bit collision).
-  private val bigramLmCteSql = """tgt AS (
+  // of md5 keys for the GROUPING — identical counts modulo a 128-bit
+  // collision — but the top-K tie-break ranks on md5 of the entry, the
+  // exact key Spark ranks on).
+  private val bigramLmCteSql = s"""tgt AS (
         SELECT min(source) AS tgt FROM documents),
       vocab AS (
         SELECT count(DISTINCT term) AS v
@@ -1515,12 +1628,24 @@ object TextAnalysis {
                            string_split(text, ' ') AS w
                     FROM documents)
               WHERE len(w) >= 2)),
-      lm_b AS (
+      lm_b_all AS (
         SELECT b, count(*) AS cnt_b FROM bg
         WHERE source = (SELECT tgt FROM tgt) GROUP BY 1),
-      lm_c AS (
+      lm_c_all AS (
         SELECT c, count(*) AS cnt_c FROM bg
         WHERE source = (SELECT tgt FROM tgt) GROUP BY 1),
+      lm_b AS (
+        SELECT b, cnt_b FROM (
+          SELECT b, cnt_b,
+                 row_number() OVER (ORDER BY cnt_b DESC, md5(b) ASC) AS rk
+          FROM lm_b_all)
+        WHERE rk <= $BigramLmCap),
+      lm_c AS (
+        SELECT c, cnt_c FROM (
+          SELECT c, cnt_c,
+                 row_number() OVER (ORDER BY cnt_c DESC, md5(c) ASC) AS rk
+          FROM lm_c_all)
+        WHERE rk <= $ContextLmCap),
       ce AS (
         SELECT g.doc_id, g.lang,
                count(*) AS n_bigrams,

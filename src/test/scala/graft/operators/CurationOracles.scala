@@ -16,12 +16,27 @@ object CurationOracles {
 
   // ---- t25/t26: add-one bigram LM cross-entropy ---------------------
 
+  /** Top-K cap over a count table: entries ranked by (count desc,
+    * md5(entry) asc) — the exact rank both engines use. Below-cap
+    * entries score the zero-count OOV bucket (drop to the unseen
+    * floor; see TextAnalysis.UnigramLmCap for the rationale). Shared
+    * by every capped-LM replay below. */
+  private def capLm[K](
+      counts: Map[K, Long], cap: Int, key: K => String): Map[K, Long] =
+    counts.toSeq
+      .sortBy { case (k, n) => (-n, md5hex(key(k))) }
+      .take(cap).toMap
+
   /** Per-doc (n_bigrams, cross-entropy) under the target-slice add-one
-    * bigram LM (target = lexicographic min source; vocabulary =
-    * whole-corpus distinct unigrams). Input rows: (doc_id, text,
-    * source). Sub-bigram docs are absent from the result. */
+    * bigram LM with the production top-K + zero-count-OOV caps
+    * (target = lexicographic min source; vocabulary = whole-corpus
+    * distinct unigrams; caps default to the registered queries'
+    * constants). Input rows: (doc_id, text, source). Sub-bigram docs
+    * are absent from the result. */
   def bigramCe(
-      docs: Seq[(Long, String, String)]): Map[Long, (Long, Double)] = {
+      docs: Seq[(Long, String, String)],
+      capB: Int = TextAnalysis.BigramLmCap,
+      capC: Int = TextAnalysis.ContextLmCap): Map[Long, (Long, Double)] = {
     val tgt = docs.map(_._3).min
     val vocab = docs.flatMap(_._2.split(" ", -1)).distinct.size.toLong
     val tgtBigrams = docs.filter(_._3 == tgt).flatMap { case (_, t, _) =>
@@ -29,19 +44,84 @@ object CurationOracles {
       if (w.length < 2) Seq.empty
       else w.sliding(2).map(p => (p(0), s"${p(0)} ${p(1)}")).toSeq
     }
-    val cntB = tgtBigrams.groupBy(_._2).map { case (b, g) => b -> g.size }
-    val cntC = tgtBigrams.groupBy(_._1).map { case (c, g) => c -> g.size }
+    val cntB = tgtBigrams.groupBy(_._2)
+      .map { case (b, g) => b -> g.size.toLong }
+    val cntC = tgtBigrams.groupBy(_._1)
+      .map { case (c, g) => c -> g.size.toLong }
+    val topB = capLm(cntB, capB, identity[String])
+    val topC = capLm(cntC, capC, identity[String])
     docs.flatMap { case (id, t, _) =>
       val w = t.split(" ", -1).toSeq
       if (w.length < 2) None
       else {
         val lls = w.sliding(2).map { p =>
-          math.log((cntB.getOrElse(s"${p(0)} ${p(1)}", 0) + 1.0) /
-            (cntC.getOrElse(p(0), 0) + vocab))
+          math.log((topB.getOrElse(s"${p(0)} ${p(1)}", 0L) + 1.0) /
+            (topC.getOrElse(p(0), 0L) + vocab))
         }.toSeq
         Some(id -> (lls.size.toLong, -lls.sum / lls.size))
       }
     }.toMap
+  }
+
+  // ---- t24: capped DSIR importance weight ----------------------------
+
+  /** Per-doc (n_tokens, mean log-likelihood ratio) under the two
+    * add-one unigram LMs with the production top-K cap: entries
+    * ranked by TOTAL corpus frequency, effective vocabulary = |top| +
+    * (1 iff any mass fell below the cap), OOV tokens NEUTRAL (llr = 0
+    * — see the t24 scaladoc for why a ratio's OOV bucket must not
+    * score through both smoothed LMs). Input rows: (doc_id, text,
+    * source). */
+  def dsirWeights(
+      docs: Seq[(Long, String, String)],
+      cap: Int = TextAnalysis.UnigramLmCap): Map[Long, (Long, Double)] = {
+    val tgt = docs.map(_._3).min
+    val words = docs.flatMap { case (id, text, src) =>
+      text.split(" ", -1).toSeq.map(w => (id, src, w)) }
+    val lm = words.groupBy(_._3).map { case (w, g) =>
+      w -> (g.count(_._2 == tgt).toLong, g.count(_._2 != tgt).toLong) }
+    val top = lm.toSeq
+      .sortBy { case (w, (t, r)) => (-(t + r), md5hex(w)) }
+      .take(cap).toMap
+    val totalT = lm.valuesIterator.map(_._1).sum
+    val totalR = lm.valuesIterator.map(_._2).sum
+    val belowCap = (totalT + totalR) >
+      (top.valuesIterator.map(_._1).sum + top.valuesIterator.map(_._2).sum)
+    val vEff = top.size + (if (belowCap) 1L else 0L)
+    words.groupBy(_._1).map { case (id, g) =>
+      val llr = g.map { case (_, _, w) =>
+        top.get(w) match {
+          case None => 0.0
+          case Some((ct, cr)) =>
+            math.log((ct + 1.0) / (totalT + vEff)) -
+              math.log((cr + 1.0) / (totalR + vEff))
+        }
+      }.sum
+      id -> (g.size.toLong, llr / g.size)
+    }
+  }
+
+  // ---- t14: capped unigram surprisal ---------------------------------
+
+  /** Per-doc (n_tokens, mean −ln p) under the corpus add-one unigram
+    * LM with the production top-K + zero-count-OOV cap. Input rows:
+    * (doc_id, text). */
+  def unigramSurprisal(
+      docs: Seq[(Long, String)],
+      cap: Int = TextAnalysis.UnigramLmCap): Map[Long, (Long, Double)] = {
+    val words = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).toSeq.map(w => (id, w)) }
+    val cnt = words.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val top = capLm(cnt, cap, identity[String])
+    val total = cnt.valuesIterator.sum
+    val vEff  = top.size +
+      (if (total > top.valuesIterator.sum) 1L else 0L)
+    words.groupBy(_._1).map { case (id, g) =>
+      val nll = g.map { case (_, w) =>
+        -math.log((top.getOrElse(w, 0L) + 1.0) / (total + vEff))
+      }.sum
+      id -> (g.size.toLong, nll / g.size)
+    }
   }
 
   // ---- m12: feature-hashed caption vector + cosine ------------------

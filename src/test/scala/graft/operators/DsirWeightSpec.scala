@@ -3,42 +3,25 @@ package graft.operators
 import graft.{SparkEntry, SparkSpec}
 
 /** t24 (DSIR importance weight) checked against a full Scala-side
-  * recomputation of the two smoothed unigram LMs and the per-doc mean
-  * log-likelihood ratio, plus the discrimination properties the weight
-  * exists to provide: target-source documents must outscore the rest
-  * in aggregate on the fixture, and on a planted disjoint-vocabulary
+  * recomputation of the two smoothed unigram LMs — capped at the
+  * production top-K + OOV bucket, the replay shared with the Props
+  * suite via [[CurationOracles.dsirWeights]]; the fixture vocabulary
+  * (31 terms) EXCEEDS the cap (24), so the OOV path is live in this
+  * gate — plus the discrimination properties the weight exists to
+  * provide: target-source documents must outscore the rest in
+  * aggregate on the fixture, and on a planted disjoint-vocabulary
   * corpus every target doc must score positive and every raw doc
   * negative. */
 class DsirWeightSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def recompute(
-      docs: Seq[(Long, String, String)]): Map[Long, (Long, Double)] = {
-    val tgt = docs.map(_._3).min
-    val words = docs.flatMap { case (id, text, src) =>
-      text.split(" ", -1).toSeq.map(w => (id, src, w)) }
-    val lm = words.groupBy(_._3).map { case (w, g) =>
-      w -> (g.count(_._2 == tgt).toLong, g.count(_._2 != tgt).toLong) }
-    val totalT = lm.valuesIterator.map(_._1).sum
-    val totalR = lm.valuesIterator.map(_._2).sum
-    val vocab  = lm.size.toLong
-    words.groupBy(_._1).map { case (id, g) =>
-      val llr = g.map { case (_, _, w) =>
-        val (ct, cr) = lm(w)
-        math.log((ct + 1.0) / (totalT + vocab)) -
-          math.log((cr + 1.0) / (totalR + vocab))
-      }.sum
-      id -> (g.size.toLong, llr / g.size)
-    }
-  }
-
-  test("t24 matches a driver-side recomputation of both smoothed LMs " +
-    "and the per-doc mean log-likelihood ratio (every doc, 4 dp)") {
+  test("t24 matches a driver-side recomputation of both capped smoothed " +
+    "LMs and the per-doc mean log-likelihood ratio (every doc, 4 dp)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text", "source").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
-    val expected = recompute(docs)
+    val expected = CurationOracles.dsirWeights(docs)
 
     val got = SparkEntry.queries("t24_dsir_weight")(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))

@@ -112,27 +112,16 @@ object RepetitionFilterProps extends Properties("RepetitionFilters") {
     got == expected
   }
 
-  property("t24 equals the brute-force smoothed-LM log-likelihood " +
-    "ratio on random source splits (4 dp)") = Prop.forAll(
+  property("t24 equals the brute-force capped smoothed-LM log-likelihood " +
+    "ratio on random source splits (4 dp; loop docs' unique spacers can " +
+    "push the vocabulary past the cap, so both OOV branches replay)") =
+    Prop.forAll(
     org.scalacheck.Gen.choose(0L, Long.MaxValue)) { seed =>
     val dir  = corpusDir(seed)
     val docs = readDocs(dir)
-    val tgt  = docs.map(_._3).min
-    val words = docs.flatMap { case (id, text, src, _) =>
-      text.split(" ", -1).toSeq.map(w => (id, src, w)) }
-    val lm = words.groupBy(_._3).map { case (w, g) =>
-      w -> (g.count(_._2 == tgt).toLong, g.count(_._2 != tgt).toLong) }
-    val totalT = lm.valuesIterator.map(_._1).sum
-    val totalR = lm.valuesIterator.map(_._2).sum
-    val vocab  = lm.size.toLong
-    val expected = words.groupBy(_._1).map { case (id, g) =>
-      val llr = g.map { case (_, _, w) =>
-        val (ct, cr) = lm(w)
-        math.log((ct + 1.0) / (totalT + vocab)) -
-          math.log((cr + 1.0) / (totalR + vocab))
-      }.sum
-      id -> (g.size.toLong, llr / g.size)
-    }
+    // Replay definition shared with DsirWeightSpec (CurationOracles).
+    val expected =
+      CurationOracles.dsirWeights(docs.map(d => (d._1, d._2, d._3)))
     val got = SparkEntry.queries("t24_dsir_weight")(spark, dir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
     got.length == expected.size && got.forall { case (id, (n, w)) =>

@@ -1201,15 +1201,22 @@ class PlanAuditSpec extends SparkSpec {
       "t06_tfidf"                  -> (1, 1),
       "t11_seq_packing"            -> (1, 0),
       "t13_bm25"                   -> (1, 1),
-      "t14_unigram_surprisal"      -> (1, 1),
-      // t24's 1-row target-source cross is a subtree of BOTH the lm
-      // broadcast and the totals broadcast, so it prints twice (the
-      // q120 reused-subtree convention) + the totals cross itself.
-      "t24_dsir_weight"            -> (1, 3),
+      // t14: the ≤ UnigramLmCap-row capped-LM equi-join + two singleton
+      // crosses (the (total, v_eff) scalar and its internal total ×
+      // top-aggregate cross — both 1-row by construction).
+      "t14_unigram_surprisal"      -> (1, 2),
+      // t24's 1-row target-source cross is a subtree of BOTH the capped
+      // lm broadcast and the scalar broadcast, so it prints per
+      // re-expansion (the q120 reused-subtree convention) + the
+      // scalar's internal totals × top-aggregate cross and the outer
+      // scalar cross — every cross side 1-row by construction; the lm
+      // join side is ≤ UnigramLmCap rows.
+      "t24_dsir_weight"            -> (1, 5),
       "t19_source_overlap"         -> (3, 0),
       "t20_source_terms"           -> (2, 1),
       "t21_source_saturation"      -> (4, 0),
-      // t25: the lm + context broadcast equi-joins, each re-expanding
+      // t25: the capped lm + context broadcast equi-joins (≤ BigramLmCap
+      // / ContextLmCap rows by TakeOrderedAndProject), each re-expanding
       // the target filter's 1-row source cross per the reused-subtree
       // convention; t26 wraps the same scoring subtree in
       // bucketedRowNumber's offsets join + the k-row lang-count
