@@ -178,15 +178,33 @@ object Streaming {
     }
   }
 
+  /** The byte-framed twin of a log variant (AWS-event-stream framing,
+    * [[graft.sources.kinesislike.EventStreamFraming]]): same records,
+    * `.elog` files of length-prefixed binary frames the reader
+    * reassembles from 16 KB chunks. q28 replays THIS encoding, so the S9
+    * byte tier sits under the oracle gate; every other streaming query
+    * keeps the text encoding — both decode paths stay exercised. */
+  private def ensureFramedLog(
+      s: SparkSession,
+      d: String,
+      copies: Int,
+      sentinel: Boolean = false): String = {
+    val base = ensureLog(s, d, copies, sentinel)
+    val dir  = base + "_framed"
+    graft.sources.kinesislike.EventStreamFraming.deriveFramed(base, dir)
+    dir
+  }
+
   /** Build every log variant the streaming queries replay (base, doubled,
-    * sentinel) ahead of time — Bench calls this during warmup so the
-    * one-time fixture construction (a driver-side scan of the events
-    * table) isn't attributed to whichever streaming query runs first.
-    * Idempotent: each variant is guarded by its ready marker. */
+    * sentinel, framed-sentinel) ahead of time — Bench calls this during
+    * warmup so the one-time fixture construction (a driver-side scan of
+    * the events table) isn't attributed to whichever streaming query runs
+    * first. Idempotent: each variant is guarded by its ready marker. */
   def prewarmLogs(s: SparkSession, d: String): Unit = {
     ensureLog(s, d, copies = 1)
     ensureLog(s, d, copies = 2)
     ensureLog(s, d, copies = 1, sentinel = true)
+    ensureFramedLog(s, d, copies = 1, sentinel = true)
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
@@ -249,11 +267,17 @@ object Streaming {
     * window; the sentinel's own window never closes, so append never
     * emits it — the filter on the sink is defensive. The result is then
     * identical to the q23 batch formulation, whose oracle doubles as this
-    * query's check. */
+    * query's check.
+    *
+    * This query replays the BYTE-FRAMED log encoding (AWS-event-stream
+    * length-prefixed frames reassembled from 16 KB chunks — the S9 byte
+    * tier, [[graft.sources.kinesislike.EventStreamFraming]]), so the
+    * frame parser itself sits under the oracle gate; the other streaming
+    * queries keep the text encoding, keeping both decode paths green. */
   private val q28 = Q(
     "q28_stream_window",
     (s, d) => {
-      val log = ensureLog(s, d, copies = 1, sentinel = true)
+      val log = ensureFramedLog(s, d, copies = 1, sentinel = true)
       val stream = s.readStream
         .format("kinesislike")
         .option("path", log)
@@ -1960,7 +1984,117 @@ object Streaming {
       ORDER BY event_type"""),
   )
 
+  /** The producer's error/retry loop under the oracle gate — the
+    * end-to-end proof of P2/P3/P5 (every error class marks the stream
+    * unhealthy, a fixed-backoff retry restarts the query, events
+    * delivered before the error stay delivered — producer.ex:89-132,
+    * 159-168) the way q125-q127 gated the starting positions. The log
+    * is the base corpus with an in-stream `#ERROR\ttransport_closed`
+    * exception record planted mid-shard-0 (raise budget 2, so the
+    * query-level failure survives a task-attempt retry under any local
+    * master); an admission cap sizes run 1 to ~3 microbatches, so the
+    * pre-error prefix COMMITS before the error fires. The
+    * [[graft.streaming.ProducerRunner]] then classifies the failure,
+    * marks the stream unhealthy, requests its fixed 70 s backoff (the
+    * production constant, ProducerRunner.DefaultBackoffMillis; the
+    * registered proof injects a no-op sleeper so the gate doesn't bill
+    * wall-clock — ErrorRetrySpec asserts the request), and restarts the
+    * SAME checkpoint: the retry resumes from the committed cursor, the
+    * spent raise budget lets it pass the marker, and the drain
+    * completes. The oracle is the clean whole-corpus rollup: a retry
+    * that lost the committed prefix would drop rows, one that replayed
+    * delivered offsets would double-count — either breaks the hash.
+    * Integer cents (q127's convention) keep the sum order-invariant. */
+  private val q129 = Q(
+    "q129_stream_error_retry",
+    (s, d) => {
+      val base = ensureLog(s, d, copies = 1)
+      val mid  = T.events(s, d).agg(max(col("event_id"))).head().getLong(0) / 2
+      val log = new java.io.File(
+        new java.io.File(base).getParent,
+        new java.io.File(base).getName + "_err").getAbsolutePath
+      KinesisLikeLog.deriveWithError(
+        base, log, afterSeq = mid, spec = "transport_closed", times = 2)
+      val ckpt  = scratchDir("graft_ckpt_retry")
+      val store = scratchDir("graft_store_retry")
+      val sink  = new graft.streaming.IdempotentSink(store)
+      // Fresh injection budget per invocation: the fixture dir persists
+      // across rounds, so the budget is keyed by this run's unique id.
+      val runId = new java.io.File(ckpt).getName
+      val seqStep = math.max(1L, T.events(s, d).count() / 3L)
+      val registry = new graft.streaming.ProducerRegistry
+      def rows(): DataFrame = parsed(
+        s.readStream
+          .format("kinesislike")
+          .option("path", log)
+          .option("startingPosition", "trim_horizon")
+          .option("maxRecordsPerBatch", seqStep.toString)
+          .option("faultRunId", runId)
+          .load())
+        .select(col("event_type"), col("value"))
+      runWithProducer(
+        s, s"q129_$runId", () => rows(), ckpt, sink(_, _), log, registry)
+      require(registry.producersReady,
+        "q129: stream must end healthy after the retry")
+      sink.readAll(s)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        .orderBy(col("event_type"))
+    },
+    // Clean whole-corpus rollup: pre-error deliveries kept, nothing
+    // double-delivered across the retries.
+    Some("""
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
+  /** [[runForeachBatch]] with the producer's retry loop around the query
+    * start (P3/P5): classification, unhealthy marking, fixed-backoff
+    * request, and restart-from-checkpoint all run through the REAL
+    * [[graft.streaming.ProducerRunner]]. The no-op sleeper keeps the
+    * 70 s production constant out of the proof's wall-clock (the spec
+    * asserts the backoff was requested); `maxRetries = 4` bounds a
+    * misbehaving fixture instead of hanging the gate. */
+  private def runWithProducer(
+      s: SparkSession,
+      name: String,
+      mkDf: () => DataFrame,
+      ckpt: String,
+      sink: (DataFrame, Long) => Unit,
+      logDir: String,
+      registry: graft.streaming.ProducerRegistry,
+      onBackoff: Long => Unit = _ => (),
+  ): graft.streaming.ProducerRunner = confLock.synchronized {
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev     = s.conf.get(partsKey)
+    s.conf.set(partsKey, NumShards.toString)
+    try {
+      val runner = new graft.streaming.ProducerRunner(
+        name,
+        () => mkDf().writeStream
+          .foreachBatch(sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start(),
+        registry = registry,
+        maxRetries = 4,
+        sleep = onBackoff,
+        logDir = Some(logDir))
+      require(runner.run(),
+        s"producer $name did not recover: " +
+          runner.errorLog.map(_._1).mkString(","))
+      runner
+    } finally s.conf.set(partsKey, prev)
+  }
+
   val all: Seq[Q] = Seq(
     q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61, q66, q73, q80,
-    q82, q84, q92, q94, q100, q101, q114, q119, q125, q126, q127)
+    q82, q84, q92, q94, q100, q101, q114, q119, q125, q126, q127, q129)
 }

@@ -34,6 +34,44 @@ object KinesisLikeLog {
   val ClosedMarker = "#CLOSED"
   val ReadyMarker  = "_LOG_READY"
 
+  /** Extension of the byte-framed shard encoding (one AWS-event-stream
+    * frame per record, [[EventStreamFraming]]); `.log` stays the plain
+    * one-record-per-line text encoding. Both decode to the same line
+    * stream, so everything above this module is encoding-agnostic. */
+  val FramedExtension = ".elog"
+
+  /** A sequential line reader over one shard file, closing over whichever
+    * byte encoding the file carries. */
+  trait LineSource {
+    /** Next line, or null at end of shard. */
+    def readLine(): String
+    def close(): Unit
+  }
+
+  private final class TextLineSource(f: File) extends LineSource {
+    private val in = new BufferedReader(
+      new InputStreamReader(new FileInputStream(f), UTF_8))
+    override def readLine(): String = in.readLine()
+    override def close(): Unit = in.close()
+  }
+
+  /** Open a shard file with the decoder its extension names — the ONE
+    * dispatch point between the text and event-stream-framed encodings
+    * (used by the executor reader and every driver-side metadata fold). */
+  def openLines(f: File): LineSource =
+    if (f.getName.endsWith(FramedExtension))
+      new EventStreamFraming.FramedLineSource(f)
+    else new TextLineSource(f)
+
+  /** Run `op` over every line of a shard file (either encoding). */
+  def eachLine(f: File)(op: String => Unit): Unit = {
+    val in = openLines(f)
+    try {
+      var line = in.readLine()
+      while (line != null) { op(line); line = in.readLine() }
+    } finally in.close()
+  }
+
   /** In-stream exception record (S10 event/exception demux): a log line
     * `#ERROR\t<class>` makes the reader raise the corresponding typed
     * exception the first time it is reached — the stand-in for a
@@ -58,20 +96,21 @@ object KinesisLikeLog {
   def shardFiles(dir: String): Seq[File] = {
     val d = new File(dir)
     val fs = Option(d.listFiles()).getOrElse(Array.empty)
-    fs.filter(_.getName.matches("shard-\\d+\\.log")).sortBy(_.getName).toSeq
+    fs.filter(_.getName.matches("shard-\\d+\\.(log|elog)"))
+      .sortBy(_.getName).toSeq
   }
 
-  def shardId(f: File): String = f.getName.stripSuffix(".log")
+  def shardId(f: File): String =
+    f.getName.stripSuffix(FramedExtension).stripSuffix(".log")
 
   def shardFile(dir: String, shardId: String): File =
     new File(dir, s"$shardId.log")
 
   /** Driver-side metadata scan (the analog of Kafka's listOffsets): fold
-    * over a shard file without materializing it. */
+    * over a shard file (either encoding) without materializing it. */
   private def foldLines[A](f: File, zero: A)(op: (A, String) => A): A = {
     if (!f.exists()) return zero
-    val in = new BufferedReader(
-      new InputStreamReader(new FileInputStream(f), UTF_8))
+    val in = openLines(f)
     try {
       var acc  = zero
       var line = in.readLine()
@@ -329,8 +368,10 @@ object KinesisLikeLog {
     synchronized {
       Files.createDirectories(Paths.get(targetDir))
       shardFiles(baseDir).foreach { f =>
+        // Targets are always TEXT-encoded (splits/tails are fixture
+        // machinery); shardId + ".log" normalizes a framed base's name.
         val w = Files.newBufferedWriter(
-          Paths.get(targetDir, f.getName), UTF_8)
+          Paths.get(targetDir, shardId(f) + ".log"), UTF_8)
         try foldLines(f, ()) { (_, l) =>
           parseLine(l).foreach(r => if (r.seq <= cut) w.write(l + "\n"))
         } finally w.close()
@@ -343,7 +384,7 @@ object KinesisLikeLog {
     synchronized {
       shardFiles(baseDir).foreach { f =>
         val w = Files.newBufferedWriter(
-          Paths.get(targetDir, f.getName), UTF_8,
+          Paths.get(targetDir, shardId(f) + ".log"), UTF_8,
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
         try {
@@ -354,6 +395,43 @@ object KinesisLikeLog {
         } finally w.close()
       }
     }
+
+  /** Derive a variant carrying an IN-STREAM exception record: copies the
+    * base log, inserting `#ERROR\t<spec>` into shard 0 immediately before
+    * its first record with seq > afterSeq — "the event stream delivered
+    * an exception frame mid-subscription" (subscribe_to_shard.ex:329-341).
+    * The reader raises the typed class ONCE per (dir, faultRunId) budget,
+    * so a producer's retry from the committed cursor passes the marker
+    * and drains the tail (producer.ex:159-168's partial-events-kept
+    * semantics, exercised end-to-end by q129). Pure line transformation,
+    * idempotent via the ready marker. */
+  def deriveWithError(
+      baseDir: String,
+      targetDir: String,
+      afterSeq: Long,
+      spec: String,
+      times: Int = 1,
+  ): Unit = synchronized {
+    val ready = Paths.get(targetDir, ReadyMarker)
+    if (Files.exists(ready)) return
+    Files.createDirectories(Paths.get(targetDir))
+    shardFiles(baseDir).zipWithIndex.foreach { case (f, idx) =>
+      val w = Files.newBufferedWriter(
+        Paths.get(targetDir, shardId(f) + ".log"), UTF_8)
+      try {
+        var injected = false
+        foldLines(f, ()) { (_, l) =>
+          if (idx == 0 && !injected &&
+              parseLine(l).exists(_.seq > afterSeq)) {
+            w.write(s"$ErrorMarker\t$spec\t$times\n")
+            injected = true
+          }
+          w.write(l + "\n")
+        }
+      } finally w.close()
+    }
+    Files.createFile(ready)
+  }
 
   /** Derive a log variant (duplicated records and/or a sentinel) from an
     * already-built base log by pure line transformation — no Spark job,
@@ -381,7 +459,7 @@ object KinesisLikeLog {
     }
     shards.zipWithIndex.foreach { case (f, idx) =>
       val w = Files.newBufferedWriter(
-        Paths.get(targetDir, f.getName), UTF_8)
+        Paths.get(targetDir, shardId(f) + ".log"), UTF_8)
       try {
         foldLines(f, ()) { (_, l) =>
           if (parseLine(l).isDefined) {

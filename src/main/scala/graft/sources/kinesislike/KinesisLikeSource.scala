@@ -1,6 +1,6 @@
 package graft.sources.kinesislike
 
-import java.io.{BufferedReader, File, FileInputStream, InputStreamReader}
+import java.io.File
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util
 
@@ -325,7 +325,7 @@ class KinesisLikeMicroBatchStream(cfg: KinesisLikeConfig)
     val fs = KinesisLikeLog.shardFiles(cfg.logDir)
     if (fs.isEmpty)
       throw new IllegalArgumentException(
-        s"kinesislike: no shard-*.log files in ${cfg.logDir}")
+        s"kinesislike: no shard-*.log / shard-*.elog files in ${cfg.logDir}")
     fs
   }
 
@@ -463,8 +463,11 @@ class KinesisLikeReader(p: KinesisLikePartition)
       p.failAtOpenTimes))
     throw KinesisLikeErrors.make(p.failAtOpen)
 
-  private val in = new BufferedReader(
-    new InputStreamReader(new FileInputStream(p.path), UTF_8))
+  // Extension-dispatched: a `.elog` shard streams through the event-
+  // stream frame reassembler (16 KB chunks, partial frames buffered —
+  // the S9 byte tier), a `.log` shard through a plain line reader; both
+  // feed the same parser below.
+  private val in = KinesisLikeLog.openLines(new File(p.path))
   private var row: InternalRow = _
   private var delivered        = 0L
   private val shardUtf         = UTF8String.fromString(p.shardId)
@@ -510,9 +513,14 @@ class KinesisLikeReader(p: KinesisLikePartition)
     * within-the-event-stream demux path (subscribe_to_shard.ex:329-341)
     * exercised through a real read, not a hand-built instance. */
   private def maybeRaiseInstream(line: String): Unit = {
-    val spec = line.split('\t').lift(1).getOrElse("transport_closed")
+    val parts = line.split('\t')
+    val spec  = parts.lift(1).getOrElse("transport_closed")
+    // Optional third field: raise budget (default 1). q129 plants 2 so
+    // the QUERY-level failure survives one task-attempt retry under any
+    // local master's task budget.
+    val times = parts.lift(2).map(_.toInt).getOrElse(1)
     if (Faults.shouldRaise(
-        Faults.marker(p.markerDir, s"_INSTREAM_RAISED_${p.shardId}", p.faultScope), 1))
+        Faults.marker(p.markerDir, s"_INSTREAM_RAISED_${p.shardId}", p.faultScope), times))
       throw KinesisLikeErrors.make(spec)
   }
 
