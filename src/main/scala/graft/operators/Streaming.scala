@@ -927,12 +927,16 @@ object Streaming {
     * resubscribe from the resume cursor / external-checkpoint restart;
     * KinesisLikeSourceSpec proves the same contract at the unit tier).
     * Run 1 drains the sentinel-free log under an admission limit sized
-    * to take ~3 microbatches (P6's rate control on the real read path —
+    * to take ~2 microbatches (P6's rate control on the real read path —
     * the limit bounds per-shard SEQUENCE advance, and sequence numbers
-    * are global event ids, so a whole-log seq range split by 3 gives ~3
-    * batches — the fewest that still prove MULTI-batch cursor commits;
-    * r8 billed ~6 batches and the extra lifecycles were pure bench
-    * cost, not extra proof), each batch committing per-shard cursors
+    * are global event ids, so a whole-log seq range split by 2 gives ~2
+    * batches — the FEWEST that still prove MULTI-batch cursor commits;
+    * r8 billed ~6 batches and r16 ~3, and every batch beyond the second
+    * was pure bench cost, not extra proof: both lifecycles already run
+    * Trigger.AvailableNow, so the line's billed time is per-batch and
+    * per-start fixed work, which driver-load waves amplify — VERDICT
+    * r16 measured 8× on this line while the surface inflated 1.3×),
+    * each batch committing per-shard cursors
     * + the running
     * watermark to the checkpoint and its closed windows to the
     * [[graft.streaming.IdempotentSink]] store. Run 2 then starts FRESH
@@ -958,7 +962,7 @@ object Streaming {
       val ckpt  = scratchDir("graft_ckpt_restart")
       val store = scratchDir("graft_store_restart")
       val sink  = new graft.streaming.IdempotentSink(store)
-      val seqStep = math.max(1L, T.events(s, d).count() / 3L)
+      val seqStep = math.max(1L, T.events(s, d).count() / 2L)
       def agg(log: String, limit: Option[Long]): DataFrame = {
         val reader = s.readStream
           .format("kinesislike")
@@ -974,6 +978,12 @@ object Streaming {
       }
       runForeachBatch(s, agg(base, Some(seqStep)), ckpt, sink(_, _))
       runForeachBatch(s, agg(full, None), ckpt, sink(_, _))
+      // The proof's shape, enforced IN the gated query: run 1's cursor
+      // committed across ≥2 microbatches and run 2 added its own — a
+      // single-batch drain would not prove multi-batch resume.
+      require(sink.committedBatchIds.size >= 3,
+        s"restart proof must span multiple microbatches across two " +
+          s"lifecycles, got batches ${sink.committedBatchIds}")
       s.read.parquet(store)
         .filter(col("event_type") =!= "sentinel")
         .select(
