@@ -207,22 +207,33 @@ object Streaming {
     ensureFramedLog(s, d, copies = 1, sentinel = true)
   }
 
+  /** State-store partition count for every streaming proof, sized to
+    * the STATE, not the shard count or the SQL shuffle default:
+    * `spark.sql.shuffle.partitions` fixes the state-store partition
+    * count at first start and is frozen into the checkpoint, and each
+    * state partition costs per-batch store I/O whether or not it holds
+    * state (measured on the stream-stream join at sf0.1: 3.9 s at 8
+    * partitions, 10.8 s at 32, 23 s at 64 — pure store overhead,
+    * identical results; r17 re-measured the 16→8 step across the pack:
+    * q36 4.41→2.74 s, q56 5.28→3.87 s, q37 2.29→1.85 s, TimeQuery
+    * adjacent pairs). The source's READ parallelism is per-shard
+    * regardless (16 shard files = 16 read tasks), so shrinking the
+    * state exchange never serializes the scan — the two parallelisms
+    * are independent, which is exactly why this knob follows state
+    * VOLUME (keys × stateful operators; KBs on these proofs) while a
+    * deployment with millions of keys raises it. Results are
+    * partition-count-invariant (PartitionInvariance census). */
+  private val StateParts = 8
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
     * sink; returns the sink table.
     *
-    * State partitioning is sized to the STREAM (= shard count), not left
-    * at the SQL shuffle default: `spark.sql.shuffle.partitions` fixes the
-    * state-store partition count at first start and is frozen into the
-    * checkpoint, and each state partition costs per-batch store I/O
-    * whether or not it holds state (measured on the stream-stream join
-    * at sf0.1: 3.9 s at 8 partitions, 10.8 s at 32, 23 s at 64 — pure
-    * store overhead, identical results). A 1000-shard deployment raises
-    * it with the shard count; the batch queries keep the session
-    * default, restored after the stream drains.
+    * State partitioning per [[StateParts]]; the batch queries keep the
+    * session default, restored after the stream drains.
     *
     * The conf flip is SESSION-GLOBAL for the duration of the stream (SQL
     * confs have no narrower scope), so any batch query planned on the
-    * same session during that window would silently get `NumShards`
+    * same session during that window would silently get `StateParts`
     * shuffle partitions. `confLock` makes the single-planner-at-a-time
     * assumption enforced rather than implicit: concurrent callers
     * serialize here, and a caller that wants concurrency must isolate
@@ -237,7 +248,7 @@ object Streaming {
     val ckpt = checkpoint.getOrElse(scratchDir("graft_ckpt"))
     val partsKey = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(partsKey)
-    s.conf.set(partsKey, NumShards.toString)
+    s.conf.set(partsKey, StateParts.toString)
     try {
       val q = df.writeStream
         .format("memory")
@@ -910,7 +921,7 @@ object Streaming {
       sink: (DataFrame, Long) => Unit): Unit = confLock.synchronized {
     val partsKey = "spark.sql.shuffle.partitions"
     val prev     = s.conf.get(partsKey)
-    s.conf.set(partsKey, NumShards.toString)
+    s.conf.set(partsKey, StateParts.toString)
     try {
       val q = df.writeStream
         .foreachBatch(sink)
@@ -2084,7 +2095,7 @@ object Streaming {
   ): graft.streaming.ProducerRunner = confLock.synchronized {
     val partsKey = "spark.sql.shuffle.partitions"
     val prev     = s.conf.get(partsKey)
-    s.conf.set(partsKey, NumShards.toString)
+    s.conf.set(partsKey, StateParts.toString)
     try {
       val runner = new graft.streaming.ProducerRunner(
         name,
