@@ -2040,7 +2040,10 @@ object Streaming {
       val store = scratchDir("graft_store_retry")
       val sink  = new graft.streaming.IdempotentSink(store)
       // Fresh injection budget per invocation: the fixture dir persists
-      // across rounds, so the budget is keyed by this run's unique id.
+      // across rounds, so the budget is keyed by this run's unique id —
+      // and the PREVIOUS runs' spent markers are swept first, so the
+      // ready-marker-guarded dir never accrues them without bound.
+      graft.sources.kinesislike.Faults.clearMarkers(log)
       val runId = new java.io.File(ckpt).getName
       val seqStep = math.max(1L, T.events(s, d).count() / 3L)
       val registry = new graft.streaming.ProducerRegistry
@@ -2053,8 +2056,15 @@ object Streaming {
           .option("faultRunId", runId)
           .load())
         .select(col("event_type"), col("value"))
-      runWithProducer(
+      val runner = runWithProducer(
         s, s"q129_$runId", () => rows(), ckpt, sink(_, _), log, registry)
+      // The proof's PREMISE, enforced in the gated query: the planted
+      // transport error actually fired and was classified — a variant
+      // that injected nothing would otherwise pass as a clean drain.
+      require(runner.errorLog.nonEmpty &&
+          runner.errorLog.forall(_._1 == "transport_closed"),
+        s"q129: the planted transport error must fire and classify, " +
+          s"got ${runner.errorLog.map(_._1)}")
       require(registry.producersReady,
         "q129: stream must end healthy after the retry")
       sink.readAll(s)

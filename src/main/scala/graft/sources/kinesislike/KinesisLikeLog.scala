@@ -415,11 +415,11 @@ object KinesisLikeLog {
     val ready = Paths.get(targetDir, ReadyMarker)
     if (Files.exists(ready)) return
     Files.createDirectories(Paths.get(targetDir))
+    var injected = false
     shardFiles(baseDir).zipWithIndex.foreach { case (f, idx) =>
       val w = Files.newBufferedWriter(
         Paths.get(targetDir, shardId(f) + ".log"), UTF_8)
       try {
-        var injected = false
         foldLines(f, ()) { (_, l) =>
           if (idx == 0 && !injected &&
               parseLine(l).exists(_.seq > afterSeq)) {
@@ -430,6 +430,11 @@ object KinesisLikeLog {
         }
       } finally w.close()
     }
+    // A variant that silently planted NOTHING would let the error/retry
+    // proof pass as a plain clean drain — refuse to build it.
+    require(injected,
+      s"deriveWithError: no shard-0 record with seq > $afterSeq in " +
+        s"$baseDir — the exception record was never planted")
     Files.createFile(ready)
   }
 

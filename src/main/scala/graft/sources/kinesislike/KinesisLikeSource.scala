@@ -205,7 +205,7 @@ object KinesisLikeConfig {
   * line is appended per raise; the fault fires while lines < times.
   * Executor-side, but serialized per marker by the JVM-wide lock (local
   * and test scale — injection is a test-only facility). */
-private[sources] object Faults {
+private[graft] object Faults {
   /** Marker-file prefix shared by every injection budget. */
   private val MarkerPrefixes = Seq("_FAILED_", "_INSTREAM_")
 

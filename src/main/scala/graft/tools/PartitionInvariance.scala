@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * rows differ across settings — a raw double fold whose summation
   * order leaks into the output, a limit without a total order, a
   * partition-index dependency — prints as a DIVERGENCE and fails the
-  * run. Streaming queries pin their STATE partitioning to the shard
-  * count internally (runToMemory's conf flip), so this sweep exercises
-  * their surrounding batch plans like everything else's.
+  * run, as does any query that fails to EXECUTE at any setting (a
+  * failure is never counted as invariance). Streaming queries pin
+  * their STATE partitioning internally (the StateParts conf flip in
+  * runToMemory/runForeachBatch — sized to state volume, independent of
+  * this knob), so this sweep exercises their surrounding batch plans
+  * like everything else's.
   *
   * Usage: sbt "runMain graft.tools.PartitionInvariance
   *   [/root/testdata/sf0.001] [1,64]"
@@ -36,6 +39,7 @@ object PartitionInvariance {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     def sweep(parts: String): Map[String, (Long, Long)] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
       graft.SparkEntry.queries.map { case (name, fn) =>
@@ -48,8 +52,13 @@ object PartitionInvariance {
               .agg(count(lit(1)), expr("bit_xor(h)")).head()
             (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
           } catch {
+            // A failure is a FAILED CHECK, never a fingerprint: two
+            // settings that both throw must not compare as "invariant"
+            // (a stale fixture tree would otherwise print divergent:0
+            // while checking nothing).
             case e: Throwable =>
               System.err.println(s"[parts=$parts] $name FAILED: ${e.getMessage}")
+              failures += s"$name@parts=$parts"
               (-1L, -1L)
           }
         // The Verify reclaim pair: drop checkpointed subtrees and
@@ -76,9 +85,10 @@ object PartitionInvariance {
     }
     println(s"""{"metric":"partition_invariance","sf":"$sf","settings":"${
       settings.mkString(",")}","queries":${base.size},"divergent":${
-      divergent.size},"divergent_names":[${
-      divergent.sorted.map(n => s""""$n"""").mkString(",")}]}""")
+      divergent.size},"failed":${failures.size},"divergent_names":[${
+      divergent.sorted.map(n => s""""$n"""").mkString(",")}],"failed_names":[${
+      failures.sorted.map(n => s""""$n"""").mkString(",")}]}""")
     spark.stop()
-    if (divergent.nonEmpty) sys.exit(1)
+    if (divergent.nonEmpty || failures.nonEmpty || base.isEmpty) sys.exit(1)
   }
 }

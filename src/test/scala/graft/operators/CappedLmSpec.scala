@@ -189,6 +189,23 @@ class CappedLmSpec extends SparkSpec {
     val expected = -math.log(1.0 / 608.0)
     assert(math.abs(got(700L) - expected) < 5e-4,
       s"zero-count bigram OOV: got ${got(700L)} expected $expected")
+    // The binding-cap routing itself, pinned on the TARGET doc — the
+    // one doc whose score the cap can change (probe docs miss both LMs
+    // capped or not): the registered query must match the shared CAPPED
+    // replay and must NOT match the uncapped recomputation, proving the
+    // below-cap target bigrams really dropped to the never-seen floor.
+    val docs = Seq(
+      (target._1, target._2, target._4),
+      (700L, "x1 x2 x3 x4", "b"), (701L, "y1 y2 y3 y4", "b"))
+    val capped   = CurationOracles.bigramCe(docs)
+    val uncapped = uncappedBigramCe(docs)
+    assert(math.abs(got(600L) - capped(600L)._2) < 5e-4,
+      s"target doc must match the capped replay: got ${got(600L)} " +
+        s"expected ${capped(600L)._2}")
+    assert(math.abs(got(600L) - uncapped(600L)) > 1e-3,
+      s"the cap must BIND on the target doc (capped ${got(600L)} vs " +
+        s"uncapped ${uncapped(600L)}) — a reverted cap would make " +
+        "these equal")
   }
 
   test("t25 target-vs-raw perplexity discrimination SURVIVES the " +
