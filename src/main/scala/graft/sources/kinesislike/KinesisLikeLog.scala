@@ -63,6 +63,53 @@ object KinesisLikeLog {
       new EventStreamFraming.FramedLineSource(f)
     else new TextLineSource(f)
 
+  /** The writer dual of [[LineSource]]: one line in, whichever byte
+    * encoding the target file's extension names out. Lets every fixture
+    * derivation (variants, splits, tails, fault plants) be
+    * ENCODING-PRESERVING — a framed base derives framed targets, so the
+    * whole streaming pack can ride the byte tier. */
+  trait LineSink {
+    def writeLine(l: String): Unit
+    def close(): Unit
+  }
+
+  private final class TextLineSink(f: File, append: Boolean)
+      extends LineSink {
+    private val w = Files.newBufferedWriter(
+      f.toPath, UTF_8,
+      java.nio.file.StandardOpenOption.CREATE,
+      if (append) java.nio.file.StandardOpenOption.APPEND
+      else java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    override def writeLine(l: String): Unit = { w.write(l); w.write('\n') }
+    override def close(): Unit = w.close()
+  }
+
+  private final class FramedLineSink(f: File, append: Boolean)
+      extends LineSink {
+    // A shard's wire stream opens with the initial-response message
+    // (fake_kinesis.ex:22; skipped on decode per subscribe_to_shard
+    // .ex:341) — written exactly once, when the file starts empty.
+    private val fresh = !f.exists() || f.length() == 0
+    private val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(f, append))
+    if (fresh) out.write(EventStreamFraming.initialResponseMessage)
+    override def writeLine(l: String): Unit =
+      out.write(EventStreamFraming.encodeLine(l))
+    override def close(): Unit = out.close()
+  }
+
+  /** Open a shard file for writing with the encoder its extension
+    * names — the write-side twin of [[openLines]]. */
+  def openLineSink(f: File, append: Boolean = false): LineSink =
+    if (f.getName.endsWith(FramedExtension))
+      new FramedLineSink(f, append)
+    else new TextLineSink(f, append)
+
+  /** The extension a derived target keeps when preserving `f`'s
+    * encoding. */
+  def extensionOf(f: File): String =
+    if (f.getName.endsWith(FramedExtension)) FramedExtension else ".log"
+
   /** Run `op` over every line of a shard file (either encoding). */
   def eachLine(f: File)(op: String => Unit): Unit = {
     val in = openLines(f)
@@ -368,12 +415,13 @@ object KinesisLikeLog {
     synchronized {
       Files.createDirectories(Paths.get(targetDir))
       shardFiles(baseDir).foreach { f =>
-        // Targets are always TEXT-encoded (splits/tails are fixture
-        // machinery); shardId + ".log" normalizes a framed base's name.
-        val w = Files.newBufferedWriter(
-          Paths.get(targetDir, shardId(f) + ".log"), UTF_8)
+        // Encoding-preserving: a framed base splits into framed shards
+        // (frames are self-delimiting, so the later appendTail is a
+        // plain byte append), a text base into text shards.
+        val w = openLineSink(
+          new File(targetDir, shardId(f) + extensionOf(f)))
         try foldLines(f, ()) { (_, l) =>
-          parseLine(l).foreach(r => if (r.seq <= cut) w.write(l + "\n"))
+          parseLine(l).foreach(r => if (r.seq <= cut) w.writeLine(l))
         } finally w.close()
       }
     }
@@ -383,15 +431,13 @@ object KinesisLikeLog {
   def appendTail(baseDir: String, targetDir: String, cut: Long): Unit =
     synchronized {
       shardFiles(baseDir).foreach { f =>
-        val w = Files.newBufferedWriter(
-          Paths.get(targetDir, shardId(f) + ".log"), UTF_8,
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
+        val w = openLineSink(
+          new File(targetDir, shardId(f) + extensionOf(f)), append = true)
         try {
           foldLines(f, ()) { (_, l) =>
-            parseLine(l).foreach(r => if (r.seq > cut) w.write(l + "\n"))
+            parseLine(l).foreach(r => if (r.seq > cut) w.writeLine(l))
           }
-          w.write(ClosedMarker + "\n")
+          w.writeLine(ClosedMarker)
         } finally w.close()
       }
     }
@@ -417,16 +463,19 @@ object KinesisLikeLog {
     Files.createDirectories(Paths.get(targetDir))
     var injected = false
     shardFiles(baseDir).zipWithIndex.foreach { case (f, idx) =>
-      val w = Files.newBufferedWriter(
-        Paths.get(targetDir, shardId(f) + ".log"), UTF_8)
+      // Encoding-preserving: on a framed base the planted marker line
+      // becomes a REAL exception message (`:exception-type` header) —
+      // the S10 demux exercised at the byte tier.
+      val w = openLineSink(
+        new File(targetDir, shardId(f) + extensionOf(f)))
       try {
         foldLines(f, ()) { (_, l) =>
           if (idx == 0 && !injected &&
               parseLine(l).exists(_.seq > afterSeq)) {
-            w.write(s"$ErrorMarker\t$spec\t$times\n")
+            w.writeLine(s"$ErrorMarker\t$spec\t$times")
             injected = true
           }
-          w.write(l + "\n")
+          w.writeLine(l)
         }
       } finally w.close()
     }

@@ -8,12 +8,16 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.sources.kinesislike.{EventStreamFraming, KinesisLikeLog}
 
-/** The byte-level event-stream framing tier (subscribe_to_shard.ex:273-327
-  * made literal): prelude parsing, partial-frame reassembly across
-  * arbitrary chunk splits, the 1 MB-record / 16 KB-chunk round-trip of
-  * subscribe_to_shard_test.exs:220-245 through the REAL source read path,
-  * and the framed/text twin equivalence the `.elog` encoding promises. */
+/** The byte-level event-stream tier (subscribe_to_shard.ex:273-341 made
+  * literal): prelude parsing, partial-frame reassembly across arbitrary
+  * chunk splits, CRC verification, the HEADER vocabulary and its demux
+  * (message-type/event-type/exception-type, initial-response skip), the
+  * 1 MB-record / 16 KB-chunk round-trip of
+  * subscribe_to_shard_test.exs:220-245 through the REAL source read
+  * path, and the framed/text twin equivalence the `.elog` encoding
+  * promises. */
 class EventStreamFramingSpec extends SparkSpec {
+  import EventStreamFraming._
 
   private var ctr = 0
   private def tmpDir(prefix: String): Path = {
@@ -27,41 +31,98 @@ class EventStreamFramingSpec extends SparkSpec {
     s"$seq\t${1000000L + seq}\tk$seq\t$b64"
   }
 
-  private def writeFramedShard(
-      dir: Path, lines: Seq[String]): Path = {
+  /** A framed shard exactly as the sink writes it: initial-response
+    * first, then one message per line (markers demuxed into headers). */
+  private def writeFramedShard(dir: Path, lines: Seq[String]): Path = {
     val f = dir.resolve("shard-00000.elog")
-    val out = new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(f.toFile))
-    try lines.foreach(l =>
-      out.write(EventStreamFraming.encodeFrame(l.getBytes(UTF_8))))
-    finally out.close()
+    val sink = KinesisLikeLog.openLineSink(f.toFile)
+    try lines.foreach(sink.writeLine)
+    finally sink.close()
     f
   }
 
-  test("FrameDecoder reassembles frames fed ONE BYTE at a time — every " +
-    "possible split point, including mid-prelude — and emits each " +
-    "payload exactly once, byte-identically") {
-    val payloads = Seq(
-      Array.emptyByteArray,                       // zero-payload frame
-      "short".getBytes(UTF_8),
-      Array.tabulate(70000)(i => (i % 251).toByte)) // spans many chunks
-    val wire = payloads.flatMap(p =>
-      EventStreamFraming.encodeFrame(p).toSeq).toArray
-    val dec = new EventStreamFraming.FrameDecoder
-    val got = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    wire.foreach { b =>
-      got ++= dec.feed(Array(b), 0, 1)
-    }
+  test("a message round-trips headers AND payload through encode/decode, " +
+    "and the FrameDecoder reassembles it fed ONE BYTE at a time — every " +
+    "split point, including mid-prelude and mid-header") {
+    val messages = Seq(
+      encodeEvent(InitialResponseType, "{}".getBytes(UTF_8)),
+      encodeEvent(SubscribeEventType, Array.emptyByteArray),
+      encodeEvent(SubscribeEventType,
+        Array.tabulate(70000)(i => (i % 251).toByte)),
+      encodeException("transport_closed",
+        """{"message":"injected","times":2}""".getBytes(UTF_8)))
+    val wire = messages.flatMap(_.toSeq).toArray
+    val dec  = new FrameDecoder
+    val got  = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    wire.foreach(b => got ++= dec.feed(Array(b), 0, 1))
     assert(!dec.isMidFrame, "decoder must be frame-aligned at wire end")
-    assert(got.length === payloads.length)
-    got.zip(payloads).zipWithIndex.foreach { case ((g, e), i) =>
-      assert(java.util.Arrays.equals(g, e), s"payload $i") }
+    assert(got.length === messages.length)
+    got.zip(messages).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(java.util.Arrays.equals(g, e), s"message $i")
+    }
+    // Header vocabulary survives the byte round-trip.
+    val (h0, p0) = decodeMessage(got.head)
+    assert(h0(MessageTypeHeader) === EventMessageType)
+    assert(h0(EventTypeHeader) === InitialResponseType)
+    assert(h0(ContentTypeHeader) === ContentTypeValue)
+    assert(new String(p0, UTF_8) === "{}")
+    val (h3, _) = decodeMessage(got(3))
+    assert(h3(MessageTypeHeader) === ExceptionMessageType)
+    assert(h3(ExceptionTypeHeader) === "transport_closed")
+  }
+
+  test("the header demux mirrors handle_message/handle_event: " +
+    "initial-response is SKIPPED, a record event yields its line, the " +
+    "null-continuation control event yields the closed marker, an " +
+    "exception message yields the typed #ERROR line") {
+    def roundTrip(msg: Array[Byte]): Option[String] = {
+      val (h, p) = decodeMessage(msg)
+      decodeToLine(h, p)
+    }
+    assert(roundTrip(initialResponseMessage) === None) // s2s.ex:341
+    val line = record(7, "payload")
+    assert(roundTrip(encodeLine(line)) === Some(line))
+    assert(roundTrip(encodeLine(KinesisLikeLog.ClosedMarker)) ===
+      Some(KinesisLikeLog.ClosedMarker)) // s2s.ex:356-363
+    assert(roundTrip(encodeLine(s"${KinesisLikeLog.ErrorMarker}\thttp_error:503\t2")) ===
+      Some(s"${KinesisLikeLog.ErrorMarker}\thttp_error:503\t2")) // s2s.ex:336-338
+    // A wrong content type is refused (the @content_type assertion,
+    // subscribe_to_shard.ex:320-322).
+    intercept[IllegalArgumentException] {
+      decodeToLine(
+        Map(ContentTypeHeader -> "text/plain",
+          MessageTypeHeader -> EventMessageType,
+          EventTypeHeader -> SubscribeEventType),
+        "x".getBytes(UTF_8))
+    }
+  }
+
+  test("CRC verification fails fast: flipping any single byte of a " +
+    "message is caught at decode (prelude or message CRC), and a " +
+    "corrupt prelude claiming an absurd length is refused AT THE " +
+    "PRELUDE, not buffered to EOF") {
+    val msg = encodeEvent(SubscribeEventType, record(1, "x").getBytes(UTF_8))
+    // Corrupt a header byte and a payload byte: both must be caught.
+    Seq(13, msg.length - 6).foreach { i =>
+      val bad = msg.clone()
+      bad(i) = (bad(i) ^ 0x40).toByte
+      intercept[IllegalArgumentException](decodeMessage(bad))
+    }
+    // A prelude claiming 2 GB: the reassembler refuses immediately.
+    val huge = Array[Byte](0x7f, -1, -1, -1)
+    intercept[IllegalArgumentException] {
+      new FrameDecoder().feed(huge, 0, 4)
+    }
+    // And one claiming less than the 16-byte minimum likewise.
+    intercept[IllegalArgumentException] {
+      new FrameDecoder().feed(Array[Byte](0, 0, 0, 8), 0, 4)
+    }
   }
 
   test("FrameDecoder flags a truncated trailing frame (isMidFrame) and " +
     "the framed line source refuses a truncated shard file") {
-    val full = EventStreamFraming.encodeFrame("abcdef".getBytes(UTF_8))
-    val dec  = new EventStreamFraming.FrameDecoder
+    val full = encodeEvent(SubscribeEventType, "abcdef".getBytes(UTF_8))
+    val dec  = new FrameDecoder
     dec.feed(full, 0, full.length - 2)
     assert(dec.isMidFrame)
 
@@ -88,9 +149,9 @@ class EventStreamFramingSpec extends SparkSpec {
         record(3, "small-after"), KinesisLikeLog.ClosedMarker))
 
     val fileBytes = dir.resolve("shard-00000.elog").toFile.length()
-    assert(fileBytes / EventStreamFraming.ChunkBytes >= 64,
+    assert(fileBytes / ChunkBytes >= 64,
       s"fixture must span >= 64 transport chunks, got " +
-        s"${fileBytes / EventStreamFraming.ChunkBytes}")
+        s"${fileBytes / ChunkBytes}")
 
     val rows = spark.read.format("kinesislike")
       .option("path", dir.toString).load()
@@ -108,9 +169,9 @@ class EventStreamFramingSpec extends SparkSpec {
     assert(new String(rows(3L), UTF_8) === "small-after")
   }
 
-  test("deriveFramed builds a byte-framed twin that the source reads " +
+  test("deriveFramed builds a header-framed twin that the source reads " +
     "row-for-row identically to the text original — markers, metadata " +
-    "(maxSeq/closed) and offsets included") {
+    "(maxSeq/closed) and offsets included, initial-response skipped") {
     val dir = tmpDir("graft_framing_twin")
     val lines = (1L to 40L).map(i => record(i, s"payload-$i")) :+
       KinesisLikeLog.ClosedMarker
