@@ -28,9 +28,14 @@ import org.apache.spark.sql.functions._
   *
   * Cost shape: one extra shuffle and a join versus the one-shuffle
   * single-window plan — the price of turning an unbounded per-stream
-  * sort buffer into two bounded passes. At 100 TB, level 2 can recurse
-  * if rows/blockSize is still large; one level suffices for any corpus
-  * whose per-stream row count fits 10⁹·blockSize.
+  * sort buffer into two bounded passes. The block table itself grows as
+  * rows/blockSize, so the scan RECURSES: whenever a level's block table
+  * could still exceed blockSize rows (judged from plan statistics at
+  * plan time — no extra job), its offsets are computed by another
+  * two-level scan one level up. Every window task at every level is
+  * therefore ≤ blockSize rows BY CONSTRUCTION at any corpus size —
+  * 10¹² input rows is depth 3 (4096³ ≈ 6.9×10¹³), not a 2.4×10⁸-row
+  * single-task window.
   */
 object DistributedScan {
 
@@ -45,9 +50,37 @@ object DistributedScan {
         s"columns ${clash.mkString(", ")} — alias them before calling")
   }
 
+  /** Plan-time row-count bound for deciding recursion depth — the
+    * optimizer's statistics, never a job: exact rowCount when the plan
+    * carries one (CBO / local relations), else a conservative
+    * bytes-per-row floor over sizeInBytes. A small divisor
+    * OVER-estimates rows ⇒ recurses a level too many (two tiny extra
+    * shuffles) rather than a level too few, which would re-open the
+    * unbounded window; unknown stats saturate sizeInBytes at huge
+    * defaults and likewise land on "assume big". The estimate is taken
+    * ONCE on the input and divided by blockSize per level — aggregate
+    * nodes don't propagate the 4096× shrink through sizeInBytes, so
+    * re-reading stats per level would always claim "big". */
+  private def estimatedRows(df: DataFrame): Double = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount
+      .map(_.toDouble)
+      .getOrElse(stats.sizeInBytes.toDouble / 8.0)
+  }
+
+  /** Hard recursion cap: blockSize^6 at the default 4096 is ~4.7×10²¹
+    * rows — beyond any corpus, so the cap exists only to bound a
+    * pathological stats estimate, never real data. */
+  private val MaxScanLevels = 6
+
   /** Adds `as` = exclusive running sum of `x` over `seq` within
     * `stream`, computed with bounded window partitions. `seq` must be
-    * unique per stream row (doc_id here); `x` must be integral. */
+    * unique per stream row (doc_id here); `x` must be integral.
+    *
+    * Recursive: the block table's own offsets are computed by another
+    * two-level scan whenever plan statistics say it could exceed
+    * blockSize rows, so no window task at any level exceeds blockSize
+    * rows at ANY corpus size (see the object scaladoc). */
   def exclusivePrefixSum(
       df: DataFrame,
       stream: Column,
@@ -55,34 +88,65 @@ object DistributedScan {
       x: Column,
       as: String,
       blockSize: Long = 4096L): DataFrame = {
-    requireFreeNames(df, as, "_eps_")
+    requireFreeNames(df, as, "_eps")
+    scanLevel(df, stream, seq, x, as, blockSize,
+      level = 0, estRows = estimatedRows(df))
+  }
+
+  /** One level of the recursive scan. Working columns carry the level
+    * (`_eps0_…`, `_eps1_…`) so a recursive call never collides with its
+    * caller's; [[requireFreeNames]] reserves the whole `_eps` prefix.
+    * `estRows` is this level's input-row estimate; each level's block
+    * table is estRows/blockSize rows. */
+  private def scanLevel(
+      df: DataFrame,
+      stream: Column,
+      seq: Column,
+      x: Column,
+      as: String,
+      blockSize: Long,
+      level: Int,
+      estRows: Double): DataFrame = {
+    val p = s"_eps${level}_"
     val in = df
-      .withColumn("_eps_stream", stream)
-      .withColumn("_eps_seq", seq)
-      .withColumn("_eps_x", x)
+      .withColumn(s"${p}stream", stream)
+      .withColumn(s"${p}seq", seq)
+      .withColumn(s"${p}x", x)
       // `div`, not `/`: Spark's `/` routes longs through DOUBLE, whose
       // quotient can misround for large sequence values.
-      .withColumn("_eps_blk", expr(s"_eps_seq div ${blockSize}L"))
+      .withColumn(s"${p}blk", expr(s"${p}seq div ${blockSize}L"))
     // (1) block sums: plain partial-combining aggregate.
-    val blocks = in.groupBy(col("_eps_stream"), col("_eps_blk"))
-      .agg(sum(col("_eps_x")).as("_eps_bsum"))
-    // (2) exclusive scan over the block table — the only per-stream
-    // window left, and it sees ONE ROW PER BLOCK.
-    val blockW = Window.partitionBy(col("_eps_stream"))
-      .orderBy(col("_eps_blk"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    val offsets = blocks
-      .withColumn("_eps_boff", coalesce(sum(col("_eps_bsum")).over(blockW), lit(0L)))
-      .select(col("_eps_stream"), col("_eps_blk"), col("_eps_boff"))
+    val blocks = in.groupBy(col(s"${p}stream"), col(s"${p}blk"))
+      .agg(sum(col(s"${p}x")).as(s"${p}bsum"))
+    // (2) exclusive scan over the block table. If the block table could
+    // itself exceed blockSize rows per stream, recurse — the offsets of
+    // blocks are just another exclusive prefix sum (blk is unique per
+    // stream within it); otherwise one per-stream window of ≤ blockSize
+    // rows finishes the scan.
+    val blockRows = estRows / blockSize.toDouble
+    val offsets =
+      if (level + 1 < MaxScanLevels && blockRows > blockSize) {
+        scanLevel(blocks, col(s"${p}stream"), col(s"${p}blk"),
+          col(s"${p}bsum"), s"${p}boff", blockSize, level + 1, blockRows)
+          .select(col(s"${p}stream"), col(s"${p}blk"), col(s"${p}boff"))
+      } else {
+        val blockW = Window.partitionBy(col(s"${p}stream"))
+          .orderBy(col(s"${p}blk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+        blocks
+          .withColumn(s"${p}boff",
+            coalesce(sum(col(s"${p}bsum")).over(blockW), lit(0L)))
+          .select(col(s"${p}stream"), col(s"${p}blk"), col(s"${p}boff"))
+      }
     // (3) within-block exclusive cumsum: window partition bounded by
     // blockSize rows, plus the block offset from the equi-join.
-    val innerW = Window.partitionBy(col("_eps_stream"), col("_eps_blk"))
-      .orderBy(col("_eps_seq"))
+    val innerW = Window.partitionBy(col(s"${p}stream"), col(s"${p}blk"))
+      .orderBy(col(s"${p}seq"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    in.join(offsets, Seq("_eps_stream", "_eps_blk"))
+    in.join(offsets, Seq(s"${p}stream", s"${p}blk"))
       .withColumn(as,
-        col("_eps_boff") + coalesce(sum(col("_eps_x")).over(innerW), lit(0L)))
-      .drop("_eps_stream", "_eps_seq", "_eps_x", "_eps_blk", "_eps_boff")
+        col(s"${p}boff") + coalesce(sum(col(s"${p}x")).over(innerW), lit(0L)))
+      .drop(s"${p}stream", s"${p}seq", s"${p}x", s"${p}blk", s"${p}boff")
   }
 
   /** Adds `as` = `row_number() OVER (PARTITION BY stream ORDER BY

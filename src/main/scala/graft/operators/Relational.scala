@@ -230,7 +230,17 @@ object Relational {
       ORDER BY e1.user_id"""),
   )
 
-  /** Per-group top-k via row_number window (ties broken by key → stable). */
+  /** Per-group top-k via row_number window (ties broken by key → stable).
+    *
+    * DELIBERATELY the textbook formulation, kept as q64's
+    * rewrite-comparison baseline (SURVEY round-15 note) — and therefore
+    * the ONE registered query that would hot-key at scale: the window
+    * hands each c_nationkey ONE task holding that nation's every
+    * customer row, so a nation with 10⁹ customers is a 10⁹-row
+    * single-task sort regardless of cluster size. Production callers use
+    * q64's bounded-heap rewrite (WindowTopKToHeap) or
+    * DistributedScan.bucketedRowNumber; q33 is the same semantics on the
+    * custom plan. Do NOT copy this shape for a new operator. */
   private val q08 = Q(
     "q08_window_topk_group",
     (s, d) => {

@@ -98,11 +98,15 @@ final class ProducerRunner(
       if (ok) return true
       attempts += 1
       if (attempts > maxRetries) return false
+      // retry_conn sets conn_state :retry in BOTH arms — the monitor
+      // hand-off leaves the producer in :retry awaiting the monitor's
+      // decision, exactly like the self-scheduled reconnect
+      // (producer.ex:159-168).
+      state = Retry
       monitor match {
         case Some(decide) => // monitor delegation, producer.ex:165-168
           if (!decide(lastErrors.head._2)) return false
         case None => // fixed-backoff self-retry, producer.ex:159-164
-          state = Retry
           sleep(backoffMillis)
       }
     }

@@ -44,6 +44,43 @@ class DistributedScanSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("the scan RECURSES when the block table itself outgrows a window " +
+    "task: a tiny blockSize forces multiple levels (plan-pinned by " +
+    "Window-node count) and the result still equals the textbook " +
+    "single-window prefix sum, cap included") {
+    val sqlc = spark
+    import sqlc.implicits._
+    val df = (0 until 2000).map { i =>
+      (if (i % 5 == 0) s"cold${i % 3}" else "hot", i.toLong, (i % 23).toLong)
+    }.toDF("stream", "seq", "x")
+
+    val scanned = DistributedScan.exclusivePrefixSum(
+      df, col("stream"), col("seq"), col("x"), "prior", blockSize = 4L)
+    // Depth pin: a non-recursive scan plans exactly 2 Window nodes
+    // (block scan + within-block); recursion adds one per extra level.
+    // Counted on the optimized LOGICAL plan — AQE wraps the physical
+    // tree until execution.
+    val windowNodes = scanned.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size
+    assert(windowNodes >= 3,
+      s"blockSize=4 over 2000 sequence values must recurse " +
+        s"(block table 500 rows >> 4), got $windowNodes Window nodes")
+
+    val got = scanned
+      .select(col("stream"), col("seq"), col("prior"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val w = Window.partitionBy(col("stream")).orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val exp = df
+      .withColumn("prior", coalesce(sum(col("x")).over(w), lit(0L)))
+      .select(col("stream"), col("seq"), col("prior"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got === exp)
+  }
+
   test("bucketed count-scan rank equals the single-window row_number on " +
     "a skewed multi-stream table — hex-prefix buckets, tie-broken order") {
     val sqlc = spark

@@ -96,4 +96,74 @@ class ErrorRetrySpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(got === (1L to 30L))
   }
+
+  test("monitor delegation on the REAL read path (q131's mechanism): a " +
+    "declining monitor stops the producer with NO backoff sleep — " +
+    "producer.ex:165-168 hands the error to monitor_pid INSTEAD of " +
+    "scheduling :reconnect — and the monitor-driven restart resumes " +
+    "the same checkpoint to exactly-once") {
+    val dir = tmpDir("graft_monitor_log")
+    def rec(seq: Long): String = {
+      val b64 = java.util.Base64.getEncoder
+        .encodeToString(s"p$seq".getBytes(UTF_8))
+      s"$seq\t${1000000L + seq}\tk\t$b64"
+    }
+    // Raise budget 2 = this master's task budget (local[4,2]), so the
+    // failure escalates to the producer exactly once.
+    val lines = (1L to 20L).map(rec) ++
+      Seq(s"${KinesisLikeLog.ErrorMarker}\ttransport_closed\t2") ++
+      (21L to 30L).map(rec) :+ KinesisLikeLog.ClosedMarker
+    Files.write(dir.resolve("shard-00000.log"),
+      (lines.mkString("\n") + "\n").getBytes(UTF_8))
+
+    val ckpt     = tmpDir("graft_monitor_ckpt")
+    val store    = tmpDir("graft_monitor_store")
+    val sink     = new IdempotentSink(store.toString)
+    val registry = new ProducerRegistry
+    val seen     = scala.collection.mutable.ArrayBuffer.empty[String]
+    var slept    = 0L
+
+    def runner(decide: Throwable => Boolean) = new ProducerRunner(
+      "monitor-spec-stream", // ONE identity across both lifecycles
+      () => spark.readStream
+        .format("kinesislike")
+        .option("path", dir.toString)
+        .option("startingPosition", "trim_horizon")
+        .option("maxRecordsPerBatch", "8")
+        .load()
+        .writeStream
+        .foreachBatch(sink(_, _))
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start(),
+      registry = registry,
+      maxRetries = 4,
+      monitor = Some(decide),
+      sleep = ms => slept += ms,
+      logDir = Some(dir.toString))
+
+    // Lifecycle 1: monitor declines — producer stops, stream unhealthy.
+    val r1 = runner { t =>
+      seen += graft.sources.kinesislike.KinesisLikeErrors.classify(t)
+      false
+    }
+    assert(!r1.run(), "a declined monitor must stop the producer")
+    assert(seen == Seq("transport_closed"),
+      s"monitor must receive the classified error, got $seen")
+    assert(!registry.producersReady,
+      "stream must stay unhealthy while the monitor holds it")
+    assert(r1.connState === ProducerRunner.Retry)
+
+    // Lifecycle 2: the monitor's reconnect — same checkpoint, budget
+    // spent, accepting monitor (vacuously: nothing fires).
+    val r2 = runner(_ => true)
+    assert(r2.run(), s"monitor-driven restart must drain: ${r2.errorLog}")
+    assert(slept === 0L,
+      "monitor delegation must REPLACE the fixed backoff entirely")
+    assert(registry.producersReady)
+    val got = sink.readAll(spark)
+      .select(col("sequenceNumber").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (1L to 30L))
+  }
 }
