@@ -470,9 +470,10 @@ class PlanAuditSpec extends SparkSpec {
     val winLines = exec.linesIterator.filter(_.contains("Window")).toSeq
     assert(winLines.nonEmpty, exec)
     // Every window over raw rows includes the block id in its partition
-    // spec; the block-offset window (no _eps_blk in its partition) is
-    // fine — it consumes the aggregated block table.
-    assert(winLines.exists(_.contains("_eps_blk")),
+    // spec; the block-offset window (no block id in its partition) is
+    // fine — it consumes the aggregated block table. The working-column
+    // prefix carries the recursion level since r18 (_eps0_, _eps1_, ...).
+    assert(winLines.exists(l => "_eps\\d+_blk".r.findFirstIn(l).isDefined),
       s"no bounded within-block window found:\n$exec")
     assert(exec.contains("partial_sum"),
       s"block sums lost their map-side combine:\n$exec")
@@ -485,7 +486,7 @@ class PlanAuditSpec extends SparkSpec {
     val exec = SparkEntry.queries("m06_multimodal_packing")(spark, sf)
       .queryExecution.executedPlan.toString
     val winLines = exec.linesIterator.filter(_.contains("Window")).toSeq
-    assert(winLines.exists(_.contains("_eps_blk")),
+    assert(winLines.exists(l => "_eps\\d+_blk".r.findFirstIn(l).isDefined),
       s"no bounded within-block window found:\n$exec")
     assert(exec.contains("partial_sum"),
       s"block sums lost their map-side combine:\n$exec")
