@@ -431,6 +431,44 @@ object Streaming {
       ORDER BY user_id"""),
   )
 
+  /** Rate-limited reader for the stream-join family (q36/q61/q82/q84).
+    * Without admission control, Trigger.AvailableNow drains the whole
+    * log in ONE microbatch, so the join holds BOTH ENTIRE SIDES in the
+    * state store before the first watermark advance — state grows with
+    * the CORPUS, the exact cliff the watermark exists to prevent
+    * (measured at the sf10 centade: q82 ran 15.9× for 10× data with
+    * corpus-sized state and 1.8× run-to-run GC variance). Capping
+    * per-shard sequence advance slices the drain into ~6 batches;
+    * per-shard arrival is monotone, so each batch is a contiguous
+    * event-time slab and the watermark evicts earlier slabs' join state
+    * while later slabs are still unread — peak state becomes
+    * corpus/batches + the watermark window, the live-stream shape.
+    * Results are slicing-invariant (the microbatch-invariance family;
+    * the oracle gate re-proves it per query). */
+  private def joinSide(s: SparkSession, log: String, step: Long): DataFrame =
+    s.readStream
+      .format("kinesislike")
+      .option("path", log)
+      .option("startingPosition", "trim_horizon")
+      .option("maxRecordsPerBatch", step.toString)
+      .load()
+
+  /** The join family's admission step: ~6 contiguous event-time slabs
+    * (the q66 sizing convention), floored at 50 k records so SMALL
+    * corpora don't pay per-batch state-store commits for slabs the
+    * state never needed slicing into (measured at sf0.1: ÷6 with no
+    * floor ran 7 batches and tripled the family's basis lines; the
+    * floor keeps sf0.001/0.01 single-batch, sf0.1 at 2 batches — the
+    * multi-batch join path stays under the oracle gate — and the
+    * decade+ trees at ~6). On a LIVE stream, microbatches are
+    * arrival-sliced and join state is rate×watermark-bounded with no
+    * help; it is the AvailableNow BACKFILL replay that degenerates to
+    * corpus-sized state without admission control. A production
+    * historical backfill sizes this option to its per-slab state
+    * budget directly. */
+  private def joinStep(s: SparkSession, d: String): Long =
+    math.max(50000L, T.events(s, d).count() / 6L)
+
   /** Stream-stream interval join: purchases ⋈ clicks per user, the click
     * at most one hour before the purchase — both sides watermarked, equi
     * key (user_id) + event-time range constraint, the canonical
@@ -441,11 +479,8 @@ object Streaming {
     "q36_stream_join",
     (s, d) => {
       val log = ensureLog(s, d, copies = 1)
-      def side(): DataFrame = s.readStream
-        .format("kinesislike")
-        .option("path", log)
-        .option("startingPosition", "trim_horizon")
-        .load()
+      val step = joinStep(s, d)
+      def side(): DataFrame = joinSide(s, log, step)
       val purchases = parsed(side())
         .filter(col("event_type") === "purchase")
         .select(
@@ -495,11 +530,8 @@ object Streaming {
     "q61_stream_outer_join",
     (s, d) => {
       val log = ensureLog(s, d, copies = 1, sentinel = true)
-      def side(): DataFrame = s.readStream
-        .format("kinesislike")
-        .option("path", log)
-        .option("startingPosition", "trim_horizon")
-        .load()
+      val step = joinStep(s, d)
+      def side(): DataFrame = joinSide(s, log, step)
       val purchases = parsed(side())
         .filter(col("event_type").isin("purchase", "sentinel"))
         .select(
@@ -1340,11 +1372,8 @@ object Streaming {
     "q82_stream_full_outer_join",
     (s, d) => {
       val log = ensureLog(s, d, copies = 1, sentinel = true)
-      def side(): DataFrame = s.readStream
-        .format("kinesislike")
-        .option("path", log)
-        .option("startingPosition", "trim_horizon")
-        .load()
+      val step = joinStep(s, d)
+      def side(): DataFrame = joinSide(s, log, step)
       val purchases = parsed(side())
         .filter(col("event_type").isin("purchase", "sentinel"))
         .select(
@@ -1411,11 +1440,8 @@ object Streaming {
     "q84_stream_semi_join",
     (s, d) => {
       val log = ensureLog(s, d, copies = 1, sentinel = true)
-      def side(): DataFrame = s.readStream
-        .format("kinesislike")
-        .option("path", log)
-        .option("startingPosition", "trim_horizon")
-        .load()
+      val step = joinStep(s, d)
+      def side(): DataFrame = joinSide(s, log, step)
       val purchases = parsed(side())
         .filter(col("event_type").isin("purchase", "sentinel"))
         .select(
