@@ -2152,6 +2152,10 @@ object Streaming {
     val master   = s.sparkContext.master
     val withBudget = """local\[([^,\]]+)\s*,\s*(\d+)\]""".r
     master match {
+      // local-cluster[...] honors spark.task.maxFailures like a real
+      // cluster — it must not fall into the plain-local fail-fast arm.
+      case m if m.startsWith("local-cluster") =>
+        s.sparkContext.getConf.getInt("spark.task.maxFailures", 4)
       case withBudget(_, f)                => f.toInt
       case m if m.startsWith("local")      => 1
       case _ =>
