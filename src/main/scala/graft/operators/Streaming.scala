@@ -126,9 +126,12 @@ object Streaming {
   private val NumShards = 16
   /** Bumped whenever the shard-log format changes (v2 = µs-precision
     * timestamps; v3 = framed twins carry full AWS event-stream messages
-    * — headers + CRCs — instead of bare length-prefixed payloads); part
-    * of every fixture dir name. */
-  private val LayoutVersion = 3
+    * — headers + CRCs — instead of bare length-prefixed payloads; v4 =
+    * record payloads are the reference's Records JSON envelope —
+    * ContinuationSequenceNumber + base64 Data — with multi-record
+    * events and per-event cursor advance); part of every fixture dir
+    * name. */
+  private val LayoutVersion = 4
 
   /** Build (once per sf dir + copies) the TEXT-encoded shard log.
     * Lives under java.io.tmpdir; idempotent via the log's ready marker.
@@ -210,10 +213,15 @@ object Streaming {
     * whichever streaming query runs first. Idempotent: each variant is
     * guarded by its ready marker. */
   def prewarmLogs(s: SparkSession, d: String): Unit = {
-    ensureLog(s, d, copies = 1)
+    val base = ensureLog(s, d, copies = 1)
     ensureLog(s, d, copies = 2)
     ensureLog(s, d, copies = 1, sentinel = true)
     ensureTextLog(s, d, copies = 1, sentinel = true)
+    // q127's split pair: the one derived variant whose CONSUMPTION is
+    // per-run (the log mutates mid-query) — prewarm the cached pair so
+    // per-run work is byte copy/append only.
+    val k = maxEventId(s, d) / 2
+    KinesisLikeLog.deriveSplitPair(base, base + s"_split_$k", cut = k)
   }
 
   /** State-store partition count for every streaming proof, sized to
@@ -453,6 +461,28 @@ object Streaming {
       .option("maxRecordsPerBatch", step.toString)
       .load()
 
+  /** Events-table row count per sf dir, computed once and cached: the
+    * sizing inputs of the streaming pack (join-family slabs, restart
+    * seqSteps) repeat the same count per query otherwise — a Spark job
+    * at query-BUILD time apiece. The count is a fixture property of the
+    * immutable sf dir, so a plain concurrent map is safe. */
+  private val eventCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def eventCount(s: SparkSession, d: String): Long =
+    eventCountCache.computeIfAbsent(
+      new java.io.File(d).getAbsolutePath,
+      _ => T.events(s, d).count()).longValue()
+
+  /** Max event_id per sf dir — the seam-cut input of the position and
+    * error-retry proofs, cached like [[eventCount]]. */
+  private val maxEventIdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def maxEventId(s: SparkSession, d: String): Long =
+    maxEventIdCache.computeIfAbsent(
+      new java.io.File(d).getAbsolutePath,
+      _ => T.events(s, d).agg(max(col("event_id"))).head().getLong(0))
+      .longValue()
+
   /** The join family's admission step: ~6 contiguous event-time slabs
     * (the q66 sizing convention), floored at 50 k records so SMALL
     * corpora don't pay per-batch state-store commits for slabs the
@@ -465,9 +495,11 @@ object Streaming {
     * help; it is the AvailableNow BACKFILL replay that degenerates to
     * corpus-sized state without admission control. A production
     * historical backfill sizes this option to its per-slab state
-    * budget directly. */
+    * budget directly. (The count is the full events-table cardinality;
+    * on sentinel logs the drain carries one extra record — the slab
+    * sizing is a ~6-way split either way.) */
   private def joinStep(s: SparkSession, d: String): Long =
-    math.max(50000L, T.events(s, d).count() / 6L)
+    math.max(50000L, eventCount(s, d) / 6L)
 
   /** Stream-stream interval join: purchases ⋈ clicks per user, the click
     * at most one hour before the purchase — both sides watermarked, equi
@@ -838,7 +870,7 @@ object Streaming {
       val store = scratchDir("graft_store_compact")
       val ckpt  = scratchDir("graft_ckpt_compact")
       val sink  = new graft.streaming.IdempotentSink(store)
-      val limit = math.max(1L, T.events(s, d).count() / 6L)
+      val limit = math.max(1L, eventCount(s, d) / 6L)
       val stream = s.readStream
         .format("kinesislike")
         .option("path", log)
@@ -901,7 +933,7 @@ object Streaming {
       val store = scratchDir("graft_store_liverollup")
       val ckpt  = scratchDir("graft_ckpt_liverollup")
       val sink  = new graft.streaming.IdempotentSink(store)
-      val limit = math.max(1L, T.events(s, d).count() / 4L)
+      val limit = math.max(1L, eventCount(s, d) / 4L)
       val stream = s.readStream
         .format("kinesislike")
         .option("path", log)
@@ -1015,7 +1047,7 @@ object Streaming {
       val ckpt  = scratchDir("graft_ckpt_restart")
       val store = scratchDir("graft_store_restart")
       val sink  = new graft.streaming.IdempotentSink(store)
-      val nEvents = T.events(s, d).count()
+      val nEvents = eventCount(s, d)
       val seqStep = math.max(1L, nEvents / 2L)
       def agg(log: String, limit: Option[Long]): DataFrame = {
         val reader = s.readStream
@@ -1873,7 +1905,7 @@ object Streaming {
       val log = ensureLog(s, d, copies = 1, sentinel = true)
       // The cut point: a bounded driver-side scalar (the q94 seqStep
       // precedent), NOT corpus data on the driver.
-      val k = T.events(s, d).agg(max(col("event_id"))).head().getLong(0) / 2
+      val k = maxEventId(s, d) / 2
       val cents = expr("CAST(round(value * 100) AS BIGINT)")
       val hist = T.events(s, d)
         .filter(col("event_id") <= k)
@@ -1936,7 +1968,7 @@ object Streaming {
     "q126_stream_timecut_replay",
     (s, d) => {
       val log = ensureLog(s, d, copies = 1, sentinel = true)
-      val k = T.events(s, d).agg(max(col("event_id"))).head().getLong(0) / 2
+      val k = maxEventId(s, d) / 2
       // The cut instant: a bounded driver-side scalar (q125's posture).
       val tu = T.events(s, d).filter(col("event_id") === k + 1)
         .select(unix_micros(col("ts"))).head().getLong(0)
@@ -2011,12 +2043,18 @@ object Streaming {
     (s, d) => {
       val base = ensureLog(s, d, copies = 1)
       // The cut: a bounded driver-side scalar (q125's posture).
-      val k = T.events(s, d).agg(max(col("event_id"))).head().getLong(0) / 2
+      val k = maxEventId(s, d) / 2
+      // The split pair (open prefix + continuation tail fragments) is
+      // derived ONCE per (corpus, cut) and ready-marker cached; the
+      // per-run mutable log is then assembled by pure byte copy/append
+      // — the encode cost no longer bills per run (r18 verdict item 4).
+      val pair = base + s"_split_$k"
+      KinesisLikeLog.deriveSplitPair(base, pair, cut = k)
       val log   = scratchDir("graft_latest_log")
       val ckpt  = scratchDir("graft_ckpt_latest")
       val store = scratchDir("graft_store_latest")
       val sink  = new graft.streaming.IdempotentSink(store)
-      KinesisLikeLog.writeSplit(base, log, cut = k)
+      KinesisLikeLog.materializeSplit(pair, log)
       def live(): DataFrame = parsed(
         s.readStream
           .format("kinesislike")
@@ -2025,7 +2063,7 @@ object Streaming {
           .load())
         .select(col("event_type"), col("value"))
       runForeachBatch(s, live(), ckpt, sink(_, _))
-      KinesisLikeLog.appendTail(base, log, cut = k)
+      KinesisLikeLog.appendCachedTail(pair, log)
       runForeachBatch(s, live(), ckpt, sink(_, _))
       sink.readAll(s)
         .groupBy(col("event_type"))
@@ -2078,7 +2116,7 @@ object Streaming {
     "q129_stream_error_retry",
     (s, d) => {
       val base = ensureLog(s, d, copies = 1)
-      val mid  = T.events(s, d).agg(max(col("event_id"))).head().getLong(0) / 2
+      val mid  = maxEventId(s, d) / 2
       // Injection budget = the session's task-attempt budget: every
       // attempt of query start 1 raises, so the failure reaches the
       // PRODUCER exactly once regardless of spark.task.maxFailures.
@@ -2100,7 +2138,7 @@ object Streaming {
       // ready-marker-guarded dir never accrues them without bound.
       graft.sources.kinesislike.Faults.clearMarkers(log)
       val runId = new java.io.File(ckpt).getName
-      val seqStep = math.max(1L, T.events(s, d).count() / 3L)
+      val seqStep = math.max(1L, eventCount(s, d) / 3L)
       val registry = new graft.streaming.ProducerRegistry
       def rows(): DataFrame = parsed(
         s.readStream
@@ -2223,7 +2261,7 @@ object Streaming {
     "q131_stream_monitor_retry",
     (s, d) => {
       val base  = ensureLog(s, d, copies = 1)
-      val mid   = T.events(s, d).agg(max(col("event_id"))).head().getLong(0) / 2
+      val mid   = maxEventId(s, d) / 2
       val times = taskMaxFailures(s)
       val log = new java.io.File(
         new java.io.File(base).getParent,
@@ -2235,7 +2273,7 @@ object Streaming {
       val sink  = new graft.streaming.IdempotentSink(store)
       graft.sources.kinesislike.Faults.clearMarkers(log)
       val runId    = new java.io.File(ckpt).getName
-      val seqStep  = math.max(1L, T.events(s, d).count() / 3L)
+      val seqStep  = math.max(1L, eventCount(s, d) / 3L)
       val registry = new graft.streaming.ProducerRegistry
       val monitorSeen = new java.util.concurrent.atomic.AtomicInteger
       var backoffSlept = 0L
@@ -2313,6 +2351,74 @@ object Streaming {
       ORDER BY event_type"""),
   )
 
+  /** The frame-corruption taxonomy under the oracle gate — the
+    * fail-fast half of the S9 contract the way q129 gated transport
+    * errors: both CRC32s verify on EVERY decode and a frame that fails
+    * them must FAIL the read with the pointed error, never silently
+    * skip the frame or truncate the shard (a silent skip is DATA LOSS
+    * that no downstream check can see; the reference's
+    * `EventStream.decode!` likewise raises, subscribe_to_shard.ex:313-327).
+    * Mechanics: a derived twin of the framed base log with ONE payload
+    * byte flipped in a mid-shard-0 message ([[graft.sources.kinesislike
+    * .EventStreamFraming.deriveCorrupted]]); the corrupted read must
+    * throw with the message-CRC error in its cause chain (enforced
+    * in-query — a decoder that started tolerating corruption would turn
+    * the probe into a clean scan and fail the require). The gated
+    * result is the whole-corpus rollup over the CLEAN framed log
+    * through the source's BATCH path (the bounded-scan analog of a
+    * closed shard, gating the toBatch tier no streaming row exercises),
+    * plus the contract literal the oracle emits as TRUE. The unit
+    * corruption matrix (prelude CRC, truncation-at-EOF, absurd prelude
+    * length) lives in EventStreamFramingSpec; this row keeps the
+    * end-to-end fail-fast posture under the driver gate. */
+  private val q132 = Q(
+    "q132_stream_corrupt_frame",
+    (s, d) => {
+      val base = ensureLog(s, d, copies = 1)
+      val bad  = base + "_corrupt"
+      graft.sources.kinesislike.EventStreamFraming
+        .deriveCorrupted(base, bad, messageIndex = 2)
+      val failure =
+        try {
+          s.read.format("kinesislike").option("path", bad).load().count()
+          None
+        } catch { case t: Throwable => Some(t) }
+      def chain(t: Throwable): List[Throwable] = {
+        val b = List.newBuilder[Throwable]
+        var cur = t; var n = 0
+        while (cur != null && n < 20) {
+          b += cur
+          cur = if (cur.getCause eq cur) null else cur.getCause
+          n += 1
+        }
+        b.result()
+      }
+      require(
+        failure.exists(chain(_).exists(c =>
+          Option(c.getMessage).exists(_.contains("CRC mismatch")))),
+        s"q132: a corrupted frame must fail the read with the CRC " +
+          s"error, got ${failure.map(_.toString).getOrElse("a clean scan")}")
+      parsed(s.read.format("kinesislike").option("path", base).load())
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        .withColumn("corrupt_failed", lit(true))
+        .orderBy(col("event_type"))
+    },
+    // Clean whole-corpus rollup + the fail-fast contract literal (the
+    // house sketch-oracle convention for engine-side guarantees).
+    Some("""
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             TRUE AS corrupt_failed
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+  )
+
   /** [[runForeachBatch]] with the producer's retry loop around the query
     * start (P3/P5): classification, unhealthy marking, fixed-backoff
     * request, and restart-from-checkpoint all run through the REAL
@@ -2355,5 +2461,5 @@ object Streaming {
   val all: Seq[Q] = Seq(
     q28, q29, q30, q36, q37, q38, q39, q45, q46, q56, q61, q66, q73, q80,
     q82, q84, q92, q94, q100, q101, q114, q119, q125, q126, q127, q129,
-    q130, q131)
+    q130, q131, q132)
 }

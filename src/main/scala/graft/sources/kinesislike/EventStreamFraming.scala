@@ -4,10 +4,13 @@ import java.io.{File, FileInputStream}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
 
+import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
+
 /** Byte-level AWS event-stream encoding for the shard log — the fidelity
   * tier for the reference's largest state machine (the frame parser of
   * subscribe_to_shard.ex:273-327) plus its header demux
-  * (subscribe_to_shard.ex:320-341). The wire format is the public AWS
+  * (subscribe_to_shard.ex:320-341) and its payload decode
+  * (subscribe_to_shard.ex:343-366). The wire format is the public AWS
   * event-stream encoding (docs.aws.amazon.com/transcribe/latest/dg/
   * event-stream.html), implemented in full:
   *
@@ -33,20 +36,28 @@ import java.nio.file.{Files, Paths}
   * (subscribe_to_shard_test.exs:220-245 — mirrored by
   * EventStreamFramingSpec's 1 MB / 16 KB round-trip).
   *
-  * A framed shard file (`shard-NNNNN.elog`) is a header-framed twin of
-  * the line log: an `initial-response` event message first (skipped on
-  * decode, like the reference), then one message per record. A record
-  * message's payload is the log LINE (so every layer above the framing —
-  * parsing, offsets, cursor resolution — is encoding-agnostic; the
-  * record body staying in line format rather than the wire's Records
-  * JSON is the one documented fixture deviation). Control flow, however,
-  * is demuxed from the HEADERS, not from line markers: shard-closed is
-  * an event message whose JSON payload carries a null
-  * ContinuationSequenceNumber (subscribe_to_shard.ex:356-363), and an
+  * A `SubscribeToShardEvent` message's payload is the reference's JSON
+  * envelope (subscribe_to_shard.ex:343-366; fixture at
+  * subscribe_to_shard_test.exs:230-234):
+  *
+  *   {"ContinuationSequenceNumber":"<seq>","MillisBehindLatest":0,
+  *    "Records":[{"SequenceNumber":"...",
+  *                "ApproximateArrivalTimestamp":<epoch.micros>,
+  *                "PartitionKey":"...","Data":"<base64>"}, ...]}
+  *
+  * with possibly MANY records per event message (one resume-position
+  * advance covers the whole event — handle_event,
+  * subscribe_to_shard.ex:343-354) and a null continuation signalling
+  * shard-closed (subscribe_to_shard.ex:356-363). The `Data` field is
+  * base64 exactly as `ExAws.Kinesis.decode_records` receives it; the
+  * arrival timestamp is written as an exact-decimal epoch-seconds
+  * number (6 fractional digits) so the v2 log layout's microsecond
+  * fidelity survives the JSON tier without any float round-trip. An
   * in-stream error is an `exception` message whose `:exception-type`
-  * header names the class (subscribe_to_shard.ex:336-338). The decoder
-  * maps both back to the line vocabulary (`#CLOSED` / `#ERROR`) the
-  * shared parser consumes.
+  * header names the class. A framed shard file (`shard-NNNNN.elog`)
+  * opens with an `initial-response` event message (skipped on decode,
+  * like the reference), then carries record events of up to
+  * [[DefaultRecordsPerEvent]] records each.
   */
 object EventStreamFraming {
 
@@ -54,12 +65,22 @@ object EventStreamFraming {
     * across (subscribe_to_shard_test.exs:221-222). */
   val ChunkBytes = 16 * 1024
 
+  /** Records grouped into one SubscribeToShardEvent message by the
+    * framed sink — the multi-record-per-event cardinality of the real
+    * wire (subscribe_to_shard_test.exs:230-234 fixtures carry a Records
+    * LIST). Cursor advance is per EVENT: resuming after a continuation
+    * skips the whole event; an admission cap landing mid-event defers
+    * the remainder to the next microbatch via the reader's seam filter
+    * (exactly-once either way — KinesisLikeSourceSpec pins a mid-event
+    * cap). */
+  val DefaultRecordsPerEvent = 3
+
   /** Sanity ceiling on one message: a Kinesis record is ≤ 1 MB
-    * pre-base64 (≈1.4 MB encoded) plus line framing and headers — 4 MiB
-    * is generous. A corrupt prelude claiming more fails FAST at the
-    * prelude, not as a truncation error at EOF after buffering the rest
-    * of the file. */
-  val MaxMessageBytes: Int = 4 * 1024 * 1024
+    * pre-base64 (≈1.4 MB encoded) plus envelope framing and headers,
+    * times the per-event record grouping — 8 MiB is generous. A corrupt
+    * prelude claiming more fails FAST at the prelude, not as a
+    * truncation error at EOF after buffering the rest of the file. */
+  val MaxMessageBytes: Int = 8 * 1024 * 1024
 
   /** Smallest legal message: 12-byte prelude + 0 headers + 0 payload +
     * 4-byte message CRC. */
@@ -77,12 +98,12 @@ object EventStreamFraming {
   val SubscribeEventType   = "SubscribeToShardEvent"
   val InitialResponseType  = "initial-response"
 
-  /** Canonical payload of the shard-closed control event — the null
-    * ContinuationSequenceNumber signal of subscribe_to_shard.ex:356-363.
-    * Record payloads are tab-separated lines (never `{`-prefixed), so
-    * the decoder distinguishes control JSON from records on the first
-    * byte. */
-  val ClosedEventJson = """{"ContinuationSequenceNumber":null}"""
+  /** One shared Jackson mapper (thread-safe once configured): floats
+    * parse as BigDecimal so the exact-decimal arrival timestamp
+    * round-trips to microseconds without touching a Double. Jackson is
+    * Spark's own JSON dependency — no new library. */
+  private val mapper: ObjectMapper = new ObjectMapper()
+    .configure(DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
 
   private def crc32(bytes: Array[Byte], off: Int, len: Int): Int = {
     val c = new java.util.zip.CRC32
@@ -165,6 +186,64 @@ object EventStreamFraming {
   def initialResponseMessage: Array[Byte] =
     encodeEvent(InitialResponseType, "{}".getBytes(UTF_8))
 
+  /** Exact-decimal epoch seconds with 6 fractional digits — the wire's
+    * numeric ApproximateArrivalTimestamp carrying the log's microsecond
+    * precision losslessly (parsed back via BigDecimal, never a
+    * Double). */
+  private def arrivalDecimal(micros: Long): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(micros, 6)
+
+  private def arrivalMicros(n: JsonNode): Long =
+    n.decimalValue().movePointRight(6).longValueExact()
+
+  /** Encode one SubscribeToShardEvent carrying `records` — the
+    * reference's JSON envelope (subscribe_to_shard.ex:343-366): the
+    * continuation sequence number is the LAST record's sequence number
+    * (where a resubscribe after this event resumes), `Data` stays
+    * base64 exactly as decode_records receives it. */
+  def encodeRecordsEvent(
+      records: Seq[KinesisLikeLog.Record]): Array[Byte] = {
+    require(records.nonEmpty, "a records event needs at least one record")
+    val root = mapper.createObjectNode()
+    root.put("ContinuationSequenceNumber", records.last.seq.toString)
+    root.put("MillisBehindLatest", 0L)
+    val arr = root.putArray("Records")
+    records.foreach { r =>
+      val o = arr.addObject()
+      o.put("SequenceNumber", r.seq.toString)
+      o.put("ApproximateArrivalTimestamp", arrivalDecimal(r.arrivalMicros))
+      o.put("PartitionKey", r.partitionKey)
+      o.put("Data", r.dataB64)
+    }
+    encodeEvent(SubscribeEventType, mapper.writeValueAsBytes(root))
+  }
+
+  /** The shard-closed control event: a null ContinuationSequenceNumber
+    * with no records — the nil-continuation signal of
+    * subscribe_to_shard.ex:356-363. */
+  def closedEventMessage: Array[Byte] =
+    encodeEvent(SubscribeEventType,
+      """{"ContinuationSequenceNumber":null,"Records":[]}""".getBytes(UTF_8))
+
+  /** Translate one log line to its wire message — the single-record
+    * convenience of [[encodeRecordsEvent]] (the framed SINK groups
+    * records into multi-record events; this function is the unit the
+    * bijection property pins): a record line becomes a one-record
+    * envelope event, the closed marker the null-continuation control
+    * event, an `#ERROR` marker a typed exception message. */
+  def encodeLine(line: String): Array[Byte] =
+    if (line == KinesisLikeLog.ClosedMarker) closedEventMessage
+    else if (line.startsWith(KinesisLikeLog.ErrorMarker)) {
+      val parts = line.split('\t')
+      val spec  = parts.lift(1).getOrElse("transport_closed")
+      val times = parts.lift(2).getOrElse("1")
+      encodeException(spec,
+        s"""{"message":"injected","times":$times}""".getBytes(UTF_8))
+    } else
+      encodeRecordsEvent(Seq(KinesisLikeLog.parseLine(line).getOrElse(
+        throw new IllegalArgumentException(
+          s"not a record line: ${line.take(80)}"))))
+
   /** Decode one complete message: verify BOTH CRCs, parse the headers,
     * return (headers, payload). `msg` includes the prelude — exactly what
     * [[FrameDecoder]] yields. */
@@ -178,7 +257,10 @@ object EventStreamFraming {
     val headersLen = be32(msg, 4)
     require(crc32(msg, 0, 8) == be32(msg, 8),
       "event-stream prelude CRC mismatch")
-    require(headersLen >= 0 && 12 + headersLen + 4 <= total,
+    // Long arithmetic: a crafted headersLen near Int.MaxValue must fail
+    // HERE with the pointed message, not later as a raw
+    // ArrayIndexOutOfBounds inside copyOfRange.
+    require(headersLen >= 0 && 12L + headersLen + 4L <= total,
       s"headers length $headersLen does not fit in message of $total")
     require(crc32(msg, 0, total - 4) == be32(msg, total - 4),
       "event-stream message CRC mismatch")
@@ -199,31 +281,16 @@ object EventStreamFraming {
     (headers.result(), java.util.Arrays.copyOfRange(msg, end, total - 4))
   }
 
-  /** Translate one log line to its wire message — the encoder half of
-    * the line↔frame bijection ([[decodeToLine]] is the other half):
-    * records become SubscribeToShardEvent messages carrying the line,
-    * the closed marker becomes the null-continuation control event, an
-    * `#ERROR` marker becomes a typed exception message. */
-  def encodeLine(line: String): Array[Byte] =
-    if (line == KinesisLikeLog.ClosedMarker)
-      encodeEvent(SubscribeEventType, ClosedEventJson.getBytes(UTF_8))
-    else if (line.startsWith(KinesisLikeLog.ErrorMarker)) {
-      val parts = line.split('\t')
-      val spec  = parts.lift(1).getOrElse("transport_closed")
-      val times = parts.lift(2).getOrElse("1")
-      encodeException(spec,
-        s"""{"message":"injected","times":$times}""".getBytes(UTF_8))
-    } else encodeEvent(SubscribeEventType, line.getBytes(UTF_8))
-
-  private val TimesRe = """"times"\s*:\s*(\d+)""".r
-
-  /** Demux one decoded message back to line-space — the literal mirror
-    * of handle_message/handle_event (subscribe_to_shard.ex:329-363):
-    * asserts the content type, skips initial-response, maps the
-    * null-continuation control event to `#CLOSED`, an exception message
-    * to `#ERROR\t<class>\t<times>`, and a record event to its line. */
-  def decodeToLine(
-      headers: Map[String, String], payload: Array[Byte]): Option[String] = {
+  /** Demux one decoded message to the event vocabulary — the literal
+    * mirror of handle_message/handle_event/decode_message
+    * (subscribe_to_shard.ex:329-366): asserts the content type, skips
+    * initial-response (None), parses a SubscribeToShardEvent's JSON
+    * envelope (S12: the `Records` list, base64 `Data` intact, exact-µs
+    * arrival), maps a null continuation to [[KinesisLikeLog.Closed]]
+    * and an exception message to its typed class + raise budget. */
+  def decodeToEvent(
+      headers: Map[String, String],
+      payload: Array[Byte]): Option[KinesisLikeLog.ShardEvent] = {
     // @content_type assertion, subscribe_to_shard.ex:320-322.
     require(headers.get(ContentTypeHeader).contains(ContentTypeValue),
       s"unexpected $ContentTypeHeader: ${headers.get(ContentTypeHeader)}")
@@ -234,13 +301,23 @@ object EventStreamFraming {
           throw new IllegalArgumentException(s"missing $EventTypeHeader")) match {
           case InitialResponseType => None // subscribe_to_shard.ex:341
           case SubscribeEventType =>
-            val text = new String(payload, UTF_8)
-            if (text.startsWith("{")) {
-              // Control event: the only one is the shard-closed signal.
-              require(text == ClosedEventJson,
-                s"unrecognized control event payload: $text")
-              Some(KinesisLikeLog.ClosedMarker)
-            } else Some(text)
+            val root = mapper.readTree(payload)
+            val cont = root.path("ContinuationSequenceNumber")
+            if (cont.isNull || cont.isMissingNode)
+              Some(KinesisLikeLog.Closed) // subscribe_to_shard.ex:356-363
+            else {
+              val recs = Seq.newBuilder[KinesisLikeLog.Record]
+              root.path("Records").forEach { r =>
+                recs += KinesisLikeLog.Record(
+                  seq = r.path("SequenceNumber").asText().toLong,
+                  arrivalMicros =
+                    arrivalMicros(r.path("ApproximateArrivalTimestamp")),
+                  partitionKey = r.path("PartitionKey").asText(),
+                  dataB64 = r.path("Data").asText())
+              }
+              Some(KinesisLikeLog.RecordsEvent(
+                cont.asText().toLong, recs.result()))
+            }
           case other =>
             throw new IllegalArgumentException(s"unknown event type $other")
         }
@@ -248,12 +325,29 @@ object EventStreamFraming {
         val spec = headers.getOrElse(ExceptionTypeHeader, "transport_closed")
         val times = TimesRe
           .findFirstMatchIn(new String(payload, UTF_8))
-          .map(_.group(1)).getOrElse("1")
-        Some(s"${KinesisLikeLog.ErrorMarker}\t$spec\t$times")
+          .map(_.group(1).toInt).getOrElse(1)
+        Some(KinesisLikeLog.ErrorEvent(spec, times))
       case other =>
         throw new IllegalArgumentException(s"unknown message type $other")
     }
   }
+
+  private val TimesRe = """"times"\s*:\s*(\d+)""".r
+
+  /** [[decodeToEvent]] rendered back to line-space — the flatten the
+    * driver-side metadata folds and fixture derivations consume (the
+    * reader itself consumes events, [[FramedEventSource]]). */
+  def decodeToLines(
+      headers: Map[String, String], payload: Array[Byte]): Seq[String] =
+    decodeToEvent(headers, payload) match {
+      case None                          => Seq.empty
+      case Some(KinesisLikeLog.Closed)   => Seq(KinesisLikeLog.ClosedMarker)
+      case Some(KinesisLikeLog.ErrorEvent(spec, times)) =>
+        Seq(s"${KinesisLikeLog.ErrorMarker}\t$spec\t$times")
+      case Some(KinesisLikeLog.RecordsEvent(_, recs)) =>
+        recs.map(r =>
+          s"${r.seq}\t${r.arrivalMicros}\t${r.partitionKey}\t${r.dataB64}")
+    }
 
   /** Incremental frame reassembler — the `{buffer, msg_bytes_left}`
     * state machine of subscribe_to_shard.ex:277-327: feed arbitrary-size
@@ -304,18 +398,21 @@ object EventStreamFraming {
     def isMidFrame: Boolean = bytesLeft >= 0 || pending.size > 0
   }
 
-  /** Streaming line source over a framed shard file: reads in
+  /** Streaming EVENT source over a framed shard file: reads in
     * [[ChunkBytes]] chunks (never materializing the file), reassembles
-    * messages, verifies their CRCs, demuxes their headers, and yields
-    * each surviving message as the line it encodes (initial-response
-    * yields nothing). */
-  final class FramedLineSource(f: File) extends KinesisLikeLog.LineSource {
+    * messages, verifies their CRCs, demuxes their headers, decodes each
+    * Records envelope (S12), and yields events in wire order
+    * (initial-response skipped). This is the reader's input — cursor
+    * logic operates per EVENT, mirroring handle_event's one
+    * resume-position advance per message. */
+  final class FramedEventSource(f: File) extends KinesisLikeLog.EventSource {
     private val in      = new FileInputStream(f)
     private val decoder = new FrameDecoder
     private val chunk   = new Array[Byte](ChunkBytes)
-    private val queue   = scala.collection.mutable.Queue.empty[String]
+    private val queue =
+      scala.collection.mutable.Queue.empty[KinesisLikeLog.ShardEvent]
 
-    override def readLine(): String = {
+    override def readEvent(): KinesisLikeLog.ShardEvent = {
       while (queue.isEmpty) {
         val n = in.read(chunk)
         if (n < 0) {
@@ -325,7 +422,7 @@ object EventStreamFraming {
         }
         decoder.feed(chunk, 0, n).foreach { msg =>
           val (headers, payload) = decodeMessage(msg)
-          decodeToLine(headers, payload).foreach(queue.enqueue(_))
+          decodeToEvent(headers, payload).foreach(queue.enqueue(_))
         }
       }
       queue.dequeue()
@@ -336,10 +433,14 @@ object EventStreamFraming {
 
   /** Derive the framed twin of a line-log directory: every
     * `shard-NNNNN.log` becomes `shard-NNNNN.elog` — an initial-response
-    * message followed by one message per line, control markers demuxed
-    * into headers ([[encodeLine]]). Pure line transformation, idempotent
-    * via the ready marker (the [[KinesisLikeLog.derive]] convention). */
-  def deriveFramed(baseDir: String, targetDir: String): Unit =
+    * message, then Records-envelope events of up to `recordsPerEvent`
+    * records, control markers demuxed into headers. Pure line
+    * transformation, idempotent via the ready marker (the
+    * [[KinesisLikeLog.derive]] convention). */
+  def deriveFramed(
+      baseDir: String,
+      targetDir: String,
+      recordsPerEvent: Int = DefaultRecordsPerEvent): Unit =
     synchronized {
       val ready = Paths.get(targetDir, KinesisLikeLog.ReadyMarker)
       if (Files.exists(ready)) return
@@ -347,9 +448,53 @@ object EventStreamFraming {
       KinesisLikeLog.shardFiles(baseDir).foreach { f =>
         val sink = KinesisLikeLog.openLineSink(
           new File(targetDir,
-            KinesisLikeLog.shardId(f) + KinesisLikeLog.FramedExtension))
+            KinesisLikeLog.shardId(f) + KinesisLikeLog.FramedExtension),
+          append = false, recordsPerEvent = recordsPerEvent)
         try KinesisLikeLog.eachLine(f)(sink.writeLine)
         finally sink.close()
+      }
+      Files.createFile(ready)
+    }
+
+  /** Derive a CORRUPTED twin of a framed log directory: every shard is
+    * copied byte-for-byte, then one byte of the `messageIndex`-th
+    * message of shard 0 (first payload byte) is flipped — the message
+    * CRC can no longer verify, so any read of that shard must FAIL with
+    * the pointed CRC error rather than silently skip or truncate
+    * (q132's fail-fast contract; the corruption matrix of
+    * EventStreamFramingSpec at the unit tier). Idempotent via the ready
+    * marker. */
+  def deriveCorrupted(
+      baseDir: String, targetDir: String, messageIndex: Int): Unit =
+    synchronized {
+      val ready = Paths.get(targetDir, KinesisLikeLog.ReadyMarker)
+      if (Files.exists(ready)) return
+      Files.createDirectories(Paths.get(targetDir))
+      KinesisLikeLog.shardFiles(baseDir).zipWithIndex.foreach {
+        case (f, idx) =>
+          val bytes = Files.readAllBytes(f.toPath)
+          if (idx == 0) {
+            // Walk the preludes to the target message, then flip its
+            // first payload byte.
+            var off = 0
+            var m   = 0
+            while (m < messageIndex) {
+              require(off + 4 <= bytes.length,
+                s"deriveCorrupted: shard 0 has only $m messages, " +
+                  s"wanted index $messageIndex")
+              off += be32(bytes, off); m += 1
+            }
+            require(off + 12 <= bytes.length,
+              s"deriveCorrupted: shard 0 has only $m messages, " +
+                s"wanted index $messageIndex")
+            val headersLen = be32(bytes, off + 4)
+            val payloadOff = off + 12 + headersLen
+            require(payloadOff < off + be32(bytes, off) - 4,
+              s"deriveCorrupted: message $messageIndex has no payload")
+            bytes(payloadOff) = (bytes(payloadOff) ^ 0x01).toByte
+          }
+          Files.write(
+            Paths.get(targetDir, f.getName), bytes)
       }
       Files.createFile(ready)
     }

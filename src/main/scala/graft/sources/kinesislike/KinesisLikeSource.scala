@@ -446,12 +446,24 @@ object KinesisLikeReaderFactory extends PartitionReaderFactory {
     new KinesisLikeReader(p.asInstanceOf[KinesisLikePartition])
 }
 
-/** Executor-side shard reader: streams the ordered log file, skips to the
-  * cursor, emits records in (after, until], decodes the base64 payload —
-  * the RecordReader analog of the reference's frame parser + decoder
-  * (S9 subscribe_to_shard.ex:277-327 and S12 365-366). Order within a
-  * shard is file order = sequence order, preserving the reference's
-  * event-order guarantee (subscribe_to_shard.ex:157). */
+/** Executor-side shard reader: streams the ordered log file EVENT by
+  * event — the RecordReader analog of the reference's frame parser +
+  * decoder (S9 subscribe_to_shard.ex:277-327, S10 329-341, S12
+  * 343-366). Cursor logic runs at the reference's per-EVENT granularity
+  * (handle_event advances the resume position once per
+  * SubscribeToShardEvent, covering ALL its records): a whole event
+  * whose continuation is ≤ the committed cursor is skipped without
+  * touching its records — the resubscribe-from-continuation fast path —
+  * and an event whose continuation passes the batch end is the last
+  * that can matter (per-shard order). The one engine-side seam: an
+  * admission cap (maxRecordsPerBatch) is sequence-space arithmetic and
+  * can land MID-event; the in-event (after, until] record filter then
+  * defers the remainder to the next microbatch, preserving exactly-once
+  * (spec-pinned) — a wire subscription never cuts mid-event, and
+  * neither does an uncapped replay. Record payloads decode from the
+  * envelope's base64 `Data` (S12); order within a shard is event order
+  * then in-event record order, preserving the reference's event-order
+  * guarantee (subscribe_to_shard.ex:157). */
 class KinesisLikeReader(p: KinesisLikePartition)
     extends PartitionReader[InternalRow] {
 
@@ -465,35 +477,53 @@ class KinesisLikeReader(p: KinesisLikePartition)
 
   // Extension-dispatched: a `.elog` shard streams through the event-
   // stream frame reassembler (16 KB chunks, partial frames buffered —
-  // the S9 byte tier), a `.log` shard through a plain line reader; both
-  // feed the same parser below.
-  private val in = KinesisLikeLog.openLines(new File(p.path))
+  // the S9 byte tier) and the Records-envelope decode (S12); a `.log`
+  // shard reads line-per-event; both yield the same event vocabulary.
+  private val in = KinesisLikeLog.openEvents(new File(p.path))
   private var row: InternalRow = _
   private var delivered        = 0L
+  private var exhausted        = false
+  private val pending = scala.collection.mutable.Queue.empty[InternalRow]
   private val shardUtf         = UTF8String.fromString(p.shardId)
 
   override def next(): Boolean = {
-    var line = in.readLine()
-    while (line != null) {
-      if (line.startsWith(KinesisLikeLog.ErrorMarker)) maybeRaiseInstream(line)
-      KinesisLikeLog.parseLine(line) match {
-        case Some(r) if r.seq > p.until => return false // ordered: done
-        case Some(r) if r.seq > p.after =>
-          maybeFail()
-          row = new GenericInternalRow(Array[Any](
-            shardUtf,
-            UTF8String.fromString(r.seq.toString),
-            r.arrivalMicros,
-            UTF8String.fromString(r.partitionKey),
-            java.util.Base64.getDecoder.decode(r.dataB64),
-          ))
-          delivered += 1
-          return true
-        case _ => // skipped (≤ cursor) or marker line
+    while (pending.isEmpty && !exhausted) {
+      in.readEvent() match {
+        case null => exhausted = true
+        case KinesisLikeLog.ErrorEvent(spec, times) =>
+          maybeRaiseInstream(spec, times)
+        case KinesisLikeLog.Closed => // nil continuation: no records
+        case KinesisLikeLog.RecordsEvent(cont, recs) =>
+          if (cont > p.after) {
+            // The event is (at least partly) past the cursor; the
+            // record filter handles batch-seam straddles exactly-once.
+            recs.foreach { r =>
+              if (r.seq > p.after && r.seq <= p.until) {
+                maybeFail()
+                pending.enqueue(new GenericInternalRow(Array[Any](
+                  shardUtf,
+                  UTF8String.fromString(r.seq.toString),
+                  r.arrivalMicros,
+                  UTF8String.fromString(r.partitionKey),
+                  java.util.Base64.getDecoder.decode(r.dataB64),
+                )))
+                delivered += 1
+              }
+            }
+            // Ordered shard: once an event's continuation passes the
+            // batch end, no later event can hold in-range records
+            // (per-shard sequence is non-decreasing, so every later
+            // record has seq ≥ this continuation > until). STRICTLY
+            // past: at cont == until the NEXT event may still open with
+            // an at-least-once DUPLICATE of seq == until, which belongs
+            // to this batch (duplicates share a sequence number and
+            // must never straddle a batch — q29's dedup invariant).
+            if (cont > p.until) exhausted = true
+          } // else: whole-event skip — continuation ≤ committed cursor
       }
-      line = in.readLine()
     }
-    false
+    if (pending.isEmpty) false
+    else { row = pending.dequeue(); true }
   }
 
   /** One-shot fault injection: after `failOnceAfter` delivered records,
@@ -508,21 +538,16 @@ class KinesisLikeReader(p: KinesisLikePartition)
           s"simulated transport close after $delivered records on ${p.shardId}")
     }
 
-  /** In-stream exception record: `#ERROR\t<class>` raises the typed
-    * class the first time any reader reaches it — the S10 exception-
-    * within-the-event-stream demux path (subscribe_to_shard.ex:329-341)
-    * exercised through a real read, not a hand-built instance. */
-  private def maybeRaiseInstream(line: String): Unit = {
-    val parts = line.split('\t')
-    val spec  = parts.lift(1).getOrElse("transport_closed")
-    // Optional third field: raise budget (default 1). q129 plants 2 so
-    // the QUERY-level failure survives one task-attempt retry under any
-    // local master's task budget.
-    val times = parts.lift(2).map(_.toInt).getOrElse(1)
+  /** In-stream exception event: raises the typed class the first time
+    * any reader reaches it — the S10 exception-within-the-event-stream
+    * demux path (subscribe_to_shard.ex:329-341) exercised through a
+    * real read, not a hand-built instance. `times` is the raise budget
+    * (q129 plants the session's task-attempt budget so the QUERY-level
+    * failure survives task retries under any local master). */
+  private def maybeRaiseInstream(spec: String, times: Int): Unit =
     if (Faults.shouldRaise(
         Faults.marker(p.markerDir, s"_INSTREAM_RAISED_${p.shardId}", p.faultScope), times))
       throw KinesisLikeErrors.make(spec)
-  }
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()

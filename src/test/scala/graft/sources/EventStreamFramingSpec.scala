@@ -75,26 +75,84 @@ class EventStreamFramingSpec extends SparkSpec {
     "initial-response is SKIPPED, a record event yields its line, the " +
     "null-continuation control event yields the closed marker, an " +
     "exception message yields the typed #ERROR line") {
-    def roundTrip(msg: Array[Byte]): Option[String] = {
+    def roundTrip(msg: Array[Byte]): Seq[String] = {
       val (h, p) = decodeMessage(msg)
-      decodeToLine(h, p)
+      decodeToLines(h, p)
     }
-    assert(roundTrip(initialResponseMessage) === None) // s2s.ex:341
+    assert(roundTrip(initialResponseMessage) === Seq.empty) // s2s.ex:341
     val line = record(7, "payload")
-    assert(roundTrip(encodeLine(line)) === Some(line))
+    assert(roundTrip(encodeLine(line)) === Seq(line))
     assert(roundTrip(encodeLine(KinesisLikeLog.ClosedMarker)) ===
-      Some(KinesisLikeLog.ClosedMarker)) // s2s.ex:356-363
+      Seq(KinesisLikeLog.ClosedMarker)) // s2s.ex:356-363
     assert(roundTrip(encodeLine(s"${KinesisLikeLog.ErrorMarker}\thttp_error:503\t2")) ===
-      Some(s"${KinesisLikeLog.ErrorMarker}\thttp_error:503\t2")) // s2s.ex:336-338
+      Seq(s"${KinesisLikeLog.ErrorMarker}\thttp_error:503\t2")) // s2s.ex:336-338
     // A wrong content type is refused (the @content_type assertion,
     // subscribe_to_shard.ex:320-322).
     intercept[IllegalArgumentException] {
-      decodeToLine(
+      decodeToLines(
         Map(ContentTypeHeader -> "text/plain",
           MessageTypeHeader -> EventMessageType,
           EventTypeHeader -> SubscribeEventType),
         "x".getBytes(UTF_8))
     }
+  }
+
+  test("a multi-record SubscribeToShardEvent round-trips through the " +
+    "Records JSON envelope: one message, many records, base64 Data " +
+    "intact, exact-microsecond arrivals, and the continuation is the " +
+    "LAST record's sequence number (handle_event advances the cursor " +
+    "once per EVENT, subscribe_to_shard.ex:343-354)") {
+    val lines = Seq(record(11, "a"), record(12, "b\tc\nd"), record(13, "e"))
+    val recs  = lines.map(KinesisLikeLog.parseLine(_).get)
+    val msg   = encodeRecordsEvent(recs)
+    val (h, p) = decodeMessage(msg)
+    assert(h(EventTypeHeader) === SubscribeEventType)
+    // The payload IS the reference's JSON shape
+    // (subscribe_to_shard_test.exs:230-234).
+    val json = new String(p, UTF_8)
+    assert(json.contains("\"ContinuationSequenceNumber\":\"13\""))
+    assert(json.contains("\"Records\":["))
+    assert(json.contains("\"Data\":\"" + recs(1).dataB64 + "\""))
+    decodeToEvent(h, p) match {
+      case Some(KinesisLikeLog.RecordsEvent(cont, got)) =>
+        assert(cont === 13L)
+        assert(got === recs)
+      case other => fail(s"expected a records event, got $other")
+    }
+    assert(decodeToLines(h, p) === lines)
+  }
+
+  test("the framed sink groups records into multi-record envelope " +
+    "events (flushing before control messages so message order equals " +
+    "line order), and the event source yields per-event continuations; " +
+    "the line flatten is grouping-invariant") {
+    val dir   = tmpDir("graft_framing_group")
+    val lines = (1L to 7L).map(i => record(i, s"p$i")) :+
+      KinesisLikeLog.ClosedMarker
+    val f = dir.resolve("shard-00000.elog")
+    val sink = KinesisLikeLog.openLineSink(f.toFile, recordsPerEvent = 3)
+    try lines.foreach(sink.writeLine)
+    finally sink.close()
+
+    val src = KinesisLikeLog.openEvents(f.toFile)
+    val events = try Iterator.continually(src.readEvent())
+      .takeWhile(_ != null).toList
+    finally src.close()
+    // 7 records at 3/event = events of 3, 3, 1 — the trailing partial
+    // group flushed by the closed marker — then the control event.
+    assert(events.map {
+      case KinesisLikeLog.RecordsEvent(c, rs) => (c, rs.map(_.seq))
+      case KinesisLikeLog.Closed              => (-1L, Seq.empty[Long])
+      case other                              => fail(s"unexpected $other")
+    } === List(
+      (3L, Seq(1L, 2L, 3L)), (6L, Seq(4L, 5L, 6L)), (7L, Seq(7L)),
+      (-1L, Seq.empty[Long])))
+    // Flattened back to lines, grouping is invisible.
+    val flat = scala.collection.mutable.ArrayBuffer.empty[String]
+    KinesisLikeLog.eachLine(f.toFile)(flat += _)
+    assert(flat.toSeq === lines)
+    assert(KinesisLikeLog.maxSeq(f.toFile) === 7L)
+    assert(KinesisLikeLog.isClosed(f.toFile))
   }
 
   test("CRC verification fails fast: flipping any single byte of a " +

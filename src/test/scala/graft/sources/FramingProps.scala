@@ -95,6 +95,40 @@ object FramingProps extends Properties("EventStreamFraming") {
           s"\thttp_error:${400 + (seq % 200)}\t${1 + seq % 3}"
     }) { line =>
       val (h, p) = decodeMessage(EventStreamFraming.encodeLine(line))
-      decodeToLine(h, p).contains(line)
+      decodeToLines(h, p) == Seq(line)
+    }
+
+  property("multi-record envelope events are grouping-invariant: for " +
+    "ANY records-per-event, sink >> event-source >> flatten reproduces " +
+    "the record lines exactly, with per-event continuations equal to " +
+    "each group's last sequence number") =
+    Prop.forAll(for {
+      n   <- Gen.choose(1, 40)
+      per <- Gen.choose(1, 7)
+    } yield (n, per)) { case (n, per) =>
+      val lines = (1L to n.toLong).map { seq =>
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(s"payload-$seq".getBytes(UTF_8))
+        s"$seq\t${1000000L + seq}\tk$seq\t$b64"
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft_fp_group")
+      val f   = dir.resolve("shard-00000.elog").toFile
+      val sink = graft.sources.kinesislike.KinesisLikeLog
+        .openLineSink(f, recordsPerEvent = per)
+      try lines.foreach(sink.writeLine)
+      finally sink.close()
+      val src = graft.sources.kinesislike.KinesisLikeLog.openEvents(f)
+      val events = try Iterator.continually(src.readEvent())
+        .takeWhile(_ != null).toList
+      finally src.close()
+      val conts = events.collect {
+        case graft.sources.kinesislike.KinesisLikeLog.RecordsEvent(c, rs) =>
+          (c, rs.map(_.seq))
+      }
+      val expected = lines.map(_.split('\t')(0).toLong).grouped(per)
+        .map(g => (g.last, g.toSeq)).toList
+      val flat = scala.collection.mutable.ArrayBuffer.empty[String]
+      graft.sources.kinesislike.KinesisLikeLog.eachLine(f)(flat += _)
+      conts == expected && flat.toSeq == lines
     }
 }

@@ -267,6 +267,43 @@ class KinesisLikeSourceSpec extends SparkSpec {
     }
   }
 
+  test("per-event cursor with a MID-event admission cap: a multi-record " +
+    "envelope event straddling a batch end defers its remainder to the " +
+    "next microbatch exactly-once (the reader's seam filter), while an " +
+    "uncapped resume from a committed continuation skips whole events") {
+    val dir = tmpDir("kl_midevent")
+    val f   = dir.resolve("shard-00000.elog").toFile
+    // 10 records grouped 4 per SubscribeToShardEvent: events end at
+    // seq 4, 8, 10 (the closed marker flushes the partial last group).
+    val sink = KinesisLikeLog.openLineSink(f, recordsPerEvent = 4)
+    try {
+      (1L to 10L).foreach { i =>
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(s"p$i".getBytes(UTF_8))
+        sink.writeLine(s"$i\t${i * 1000000L}\tk\t$b64")
+      }
+      sink.writeLine(KinesisLikeLog.ClosedMarker)
+    } finally sink.close()
+    // A cap of 3 ends batches at seq 3, 6, 9, 10 — three of the four
+    // ends land MID-event. Every record must still arrive exactly once.
+    val got = runStream(dir, "trim_horizon", tmpDir("kl_midevent_ck"),
+      "kl_midevent_sink", Map("maxRecordsPerBatch" -> "3"))
+    assert(got.map(_._2).sorted == (1L to 10L))
+    // And a reader resuming from a MID-event cursor (after=5) delivers
+    // only the straddling event's records past the cursor — never the
+    // already-committed prefix of that event.
+    val reader = new graft.sources.kinesislike.KinesisLikeReader(
+      graft.sources.kinesislike.KinesisLikePartition(
+        "shard-00000", f.getAbsolutePath, after = 5L,
+        until = Long.MaxValue, failOnceAfter = -1L,
+        markerDir = dir.toString, failAtOpen = "", failAtOpenTimes = 1))
+    val tail = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try while (reader.next())
+      tail += reader.get().getUTF8String(1).toString.toLong
+    finally reader.close()
+    assert(tail.toSeq == (6L to 10L))
+  }
+
   test("shard count > cores: 16 shards on a 4-core master schedule " +
     "fairly under contention — every shard fully delivered exactly " +
     "once across multiple rate-limited microbatches, per-shard order " +
