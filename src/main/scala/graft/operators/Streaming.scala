@@ -497,9 +497,27 @@ object Streaming {
     * historical backfill sizes this option to its per-slab state
     * budget directly. (The count is the full events-table cardinality;
     * on sentinel logs the drain carries one extra record — the slab
-    * sizing is a ~6-way split either way.) */
-  private def joinStep(s: SparkSession, d: String): Long =
-    math.max(50000L, eventCount(s, d) / 6L)
+    * sizing is a ~6-way split either way.)
+    *
+    * Slab-count sizing rule (measured, BASELINE r19 slab-curve table —
+    * q82 full-outer at sf10, 10⁷ events): the curve is U-shaped.
+    * Uncapped (1 slab) is the corpus-sized-state cliff (96.5 s with a
+    * 1.8× GC band, the r18 finding); 2→60.7 s, 3→51.3 s, 6→61.8 s,
+    * 12→69.5 s, 24→108.0 s — per-batch state-store commit overhead
+    * grows roughly linearly in slab count once per-slab state fits
+    * memory, and state pressure only wins below ~3 slabs at this
+    * volume. Rule: size a production backfill at
+    * slabs = corpus-state / per-executor-state-budget — the SMALLEST
+    * count whose per-slab state fits the budget, and no finer. The
+    * default 6 sits within 20% of this box's minimum while carrying 2×
+    * the state headroom of the optimum — the safety margin is worth
+    * more than the seconds. `GRAFT_JOIN_SLABS` overrides the divisor —
+    * the probe hook the curve was measured through. */
+  private def joinStep(s: SparkSession, d: String): Long = {
+    val slabs =
+      sys.env.get("GRAFT_JOIN_SLABS").map(_.toLong).getOrElse(6L)
+    math.max(50000L, eventCount(s, d) / slabs)
+  }
 
   /** Stream-stream interval join: purchases ⋈ clicks per user, the click
     * at most one hour before the purchase — both sides watermarked, equi
