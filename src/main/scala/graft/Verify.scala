@@ -32,14 +32,14 @@ object Verify {
     val only   = args.drop(2).toSet
     val runT0  = System.nanoTime()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Annotated int64 micros (not INT96) so the driver-side DuckDB
       // reader sees the same logical type Spark computed with.
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Fixture-schema preamble: one stderr line per table, so a driver-side

@@ -1025,21 +1025,35 @@ object Dedup {
     * Jaccard — the cost LSH exists to avoid — so the audit computes it
     * over [[truthSample]]: the fixed K = [[TruthSampleK]] documents whose
     * md5(doc_id) sorts first, so the quadratic stays O(K²) forever while
-    * the canopy under audit is the same full-corpus stage the pipeline
-    * runs. The ≥ 0.2 threshold is evaluated as `5·inter ≥ union` — pure
+    * the canopy under audit is the same banding stage the pipeline runs
+    * ([[lshSignatures]]/[[lshCandidates]]), evaluated on the sample —
+    * band values are per-doc, so the corpus-wide candidate set
+    * restricted to sample×sample pairs is EXACTLY the sample-restricted
+    * band join (r19: the restriction is pushed below the join; the
+    * DuckDB oracle still spells it corpus-wide and the hashes match).
+    * The ≥ 0.2 threshold is evaluated as `5·inter ≥ union` — pure
     * integers, so the boundary cannot drift between engines. Single-row
     * output of counts and integer-ppm recall/precision.
     *
-    * 100 TB shape: the canopy is d02's shared stage unchanged; truth is
-    * K² with the K-row sample broadcast against itself; the full-outer
+    * 100 TB shape: one corpus pass (the bounded top-K sample); every
+    * later stage is K-sized — truth is K² with the K-row sample spread
+    * across the cluster and broadcast against itself; the full-outer
     * reconcile of two pair-sets shuffles only pair keys. */
   private val d12 = Q(
     "d12_lsh_canopy_audit",
     (s, d) => {
-      val base = shingled(s, d).localCheckpoint(true)
-      // K rows, read three times (truth self-join + two semi-join probes
-      // + the n_docs count): checkpoint so the top-K pass runs once.
-      val samp = truthSample(base).localCheckpoint(true)
+      // K rows, read four times (truth self-join ×2 + the
+      // sample-restricted canopy + the n_docs count): checkpoint so the
+      // top-K pass over the corpus runs once — and SPREAD the K rows
+      // across the session's parallelism first, because TakeOrdered
+      // emits ONE partition and a one-partition stream side turns the
+      // K² truth join into a single 5 s task (r19 profile: stage wall
+      // 5.28 s on 1 task, 31 cores idle) at any cluster size. The
+      // shingled base itself is consumed only by this top-K pass now,
+      // so it no longer needs its own checkpoint.
+      val samp = truthSample(shingled(s, d))
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
       // Length-ratio prefilter (lossless): jacc ≤ min/max, so jacc ≥ 1/5
       // REQUIRES 5·min(|A|,|B|) ≥ max(|A|,|B|) — the standard set-size
       // filter every similarity-join runs before paying the intersection.
@@ -1058,11 +1072,17 @@ object Dedup {
         .filter(col("inter") * 5 >= col("n1") + col("n2") - col("inter"))
         .select(col("id1"), col("id2"))
       val ids = samp.select(col("doc_id"))
-      val cand = lshCandidates(lshSignatures(s, base))
-        .join(broadcast(ids.select(col("doc_id").as("id1"))),
-          Seq("id1"), "left_semi")
-        .join(broadcast(ids.select(col("doc_id").as("id2"))),
-          Seq("id2"), "left_semi")
+      // The canopy restricted to sample×sample pairs, with the sample
+      // filter pushed BELOW the band self-join (guide §2.3/§2.4): a
+      // candidate pair is two docs sharing a band value, and band values
+      // are per-doc functions of the doc's own shingles, so restricting
+      // the SIGNATURE frame to sampled docs yields exactly the pairs the
+      // full-corpus band join + two id semi-joins yielded (the r18 shape;
+      // the unchanged DuckDB oracle still spells it corpus-wide) while
+      // hashing K docs instead of the corpus. The audited stage is the
+      // same banding logic d02 runs — same [[lshSignatures]] /
+      // [[lshCandidates]] code on a row subset.
+      val cand = lshCandidates(lshSignatures(s, samp))
       val merged = cand.withColumn("in_cand", lit(1L))
         .join(truth.withColumn("in_true", lit(1L)),
           Seq("id1", "id2"), "fullOuter")

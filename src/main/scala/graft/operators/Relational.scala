@@ -778,12 +778,45 @@ object Relational {
       ORDER BY p_partkey"""),
   )
 
+  /** The exact interpolated per-flag price median as a k-row frame
+    * (l_returnflag, median_price) — q31/q40's shared exact leg.
+    *
+    * r19: was `percentile(l_extendedprice, 0.5)` inside the main
+    * aggregate — a TypedImperativeAggregate that plans the WHOLE
+    * aggregate as ObjectHashAggregate (no whole-stage codegen) and
+    * buffers every value of the group in an in-memory counts map
+    * (measured: +2.4 s over the same aggregate without it at sf0.1; at
+    * scale the map IS the group — the q99-scaladoc liability). Now a
+    * [[DistributedScan.rankSelect]] selection over 128-currency-unit
+    * price bands (q99/q120's posture): the median is the value pair at
+    * ranks ((n+1) div 2, n div 2 + 1), interpolated as (lo+hi)/2 —
+    * exactly `percentile`'s 0.5-weighted interpolation (both reduce to
+    * one rounding of (lo+hi) then an exact halving; odd n gives lo=hi,
+    * the identity), so the DuckDB `quantile_cont` oracle is untouched
+    * and hash-matches at every SF. Only the one band straddling each
+    * target rank is ever sorted. */
+  private[graft] def flagPriceMedian(
+      s: SparkSession, d: String): DataFrame =
+    DistributedScan.rankSelect(
+        T.lineitem(s, d).select(
+          col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber")),
+        "l_returnflag",
+        expr("CAST(floor(l_extendedprice) AS BIGINT) div 128"),
+        Seq(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber")),
+        col("l_extendedprice"),
+        Seq("lov" -> "(n + 1) div 2", "hiv" -> "n div 2 + 1"))
+      .select(col("l_returnflag"),
+        round((col("lov") + col("hiv")) / 2.0, 4).as("median_price"))
+
   /** Statistical aggregate pack: sample stddev, Pearson correlation,
-    * exact interpolated percentile (Spark `percentile` ≡ DuckDB
-    * `quantile_cont`). Rounding chosen per magnitude so cross-engine
-    * summation-formula noise (Welford vs central-moment accumulators)
-    * cannot flip a digit: stddev ~3·10⁴ → 2 dp, corr/median per their
-    * scales. */
+    * exact interpolated percentile (≡ DuckDB `quantile_cont`; since r19
+    * computed as [[flagPriceMedian]]'s rank selection so the main
+    * aggregate stays a codegen HashAggregate — see there). Rounding
+    * chosen per magnitude so cross-engine summation-formula noise
+    * (Welford vs central-moment accumulators) cannot flip a digit:
+    * stddev ~3·10⁴ → 2 dp, corr/median per their scales. */
   private val q31 = Q(
     "q31_agg_stats",
     (s, d) =>
@@ -793,10 +826,12 @@ object Relational {
           round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
           round(corr(col("l_quantity"), col("l_extendedprice")), 6)
             .as("corr_qty_price"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4)
-            .as("median_price"),
           round(avg(col("l_extendedprice")), 4).as("avg_price"),
         )
+        .join(broadcast(flagPriceMedian(s, d)), Seq("l_returnflag"))
+        .select(
+          col("l_returnflag"), col("sd_price"), col("corr_qty_price"),
+          col("median_price"), col("avg_price"))
         .orderBy(col("l_returnflag")),
     Some("""
       SELECT l_returnflag,
@@ -931,14 +966,19 @@ object Relational {
     * viable plan (exact percentile is a per-group sort). */
   private val q40 = Q(
     "q40_agg_approx_quantile",
+    // The exact leg is [[flagPriceMedian]]'s rank selection since r19
+    // (shared with q31; bit-identical to the old in-aggregate
+    // `percentile`, see there) so the sketch aggregate no longer drags
+    // an every-value counts map through the same ObjectHashAggregate.
     (s, d) =>
       T.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4)
-            .as("p50_exact"),
           expr("approx_percentile(l_extendedprice, 0.5, 10000)")
             .cast("double").as("apx"))
+        .join(broadcast(flagPriceMedian(s, d)
+            .withColumnRenamed("median_price", "p50_exact")),
+          Seq("l_returnflag"))
         .select(
           col("l_returnflag"),
           col("p50_exact"),

@@ -436,9 +436,18 @@ object Similarity {
   private def lloydCentroids(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // Both centroid frames are k = 8 rows read by MANY consumers (the
+    // E-step broadcasts, the shift join, s09's quantizer): checkpointed
+    // (r19), or every consumer re-runs the seed TakeOrdered scan and —
+    // far worse — ncent's whole E0 cross-join + M-step subtree. Before
+    // the checkpoints s07's physical plan carried the Lloyd subtree
+    // 4× (670 formatted-plan lines; 2.9-4.3 s billed); after, the
+    // corpus is cross-joined once per E-step pass and the plan is
+    // ~1/3 the size.
     val cent0 = e.orderBy(col("vec_id")).limit(8)
       .select(col("vec_id").as("cid"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
+      .localCheckpoint(true)
     // E-step 0, keeping the vector for the M-step: min over a struct
     // whose (dist, cid) prefix decides before the rode-along embedding
     // is ever compared.
@@ -460,6 +469,7 @@ object Similarity {
       .groupBy(col("cid"))
       .agg(array_sort(collect_list(struct(col("i"), col("dm")))).as("ps"))
       .select(col("cid"), expr("transform(ps, q -> q.dm)").as("cvec"))
+      .localCheckpoint(true)
     (cent0, ncent)
   }
 
@@ -472,6 +482,9 @@ object Similarity {
       // broadcast union of both centroid sets.
       val tagged = cent0.withColumn("rnd", lit(0))
         .unionByName(ncent.withColumn("rnd", lit(1)))
+      // Per-vector movement frame, read by BOTH rollups (s0 by cid0 and
+      // s1 by cid1): checkpointed (r19) so the corpus × 16-centroid
+      // E-step aggregate runs once, not once per rollup.
       val mv = e.crossJoin(broadcast(tagged))
         .select(col("vec_id"), col("rnd"), col("cid"), dist2.as("dist"))
         .groupBy(col("vec_id"))
@@ -483,6 +496,7 @@ object Similarity {
         .select(
           col("m0.cid").as("cid0"), col("m0.dist").as("dist0"),
           col("m1.cid").as("cid1"), col("m1.dist").as("dist1"))
+        .localCheckpoint(true)
       val ppm0 = floor(col("dist0") * lit(1000000)).cast("long")
       val ppm1 = floor(col("dist1") * lit(1000000)).cast("long")
       val s0 = mv.groupBy(col("cid0").as("cid"))

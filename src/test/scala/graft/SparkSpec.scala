@@ -14,12 +14,14 @@ object SparkSpec {
   lazy val session: SparkSession = {
     // local[4,2]: allow one task retry, like a real cluster — the fault-
     // injection test needs a task failure to be retryable.
-    val s = SparkSession.builder()
+    // GraftSession.tuned: the specs exercise the same session tuning the
+    // runtime entry points (Bench/Verify) run with.
+    val s = GraftSession.tuned(SparkSession.builder()
       .master("local[4,2]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

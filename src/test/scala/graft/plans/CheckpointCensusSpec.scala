@@ -40,17 +40,22 @@ class CheckpointCensusSpec extends AnyFunSuite {
     val documented: Map[String, Int] = Map(
       // Multi-consumer builds inside one query: the shared shingle base
       // + band canopy (d02/d05/d11/d19 via lshCandidates/shingled),
-      // d04's simhash chunk table, d06's sign-LSH band table, d12/d13's
-      // base + K=500 truth sample + scored pair table, d19's
-      // side-tagged delta split; iterative: d07's connected-components
-      // fixpoint rounds (2 sites: the once-built edge frame + each
-      // round's re-fed labels, lineage truncated).
-      "operators/Dedup.scala"        -> 13,
+      // d04's simhash chunk table, d06's sign-LSH band table, d12's
+      // spread K=500 truth sample (r19: its shingled base became
+      // single-use — the top-K pass — and lost its own site), d13's
+      // base + scored pair table, d19's side-tagged delta split;
+      // iterative: d07's connected-components fixpoint rounds (2 sites:
+      // the once-built edge frame + each round's re-fed labels, lineage
+      // truncated).
+      "operators/Dedup.scala"        -> 12,
       // s15: the top-20 candidate frames (relevance + pair grid) and
       // the greedy MMR selected-set rounds (iterative unionByName
       // re-feed); s16: the exact top-10 frame consumed by the IDCG
-      // scalar and both probe-metric legs.
-      "operators/Similarity.scala"   -> 4,
+      // scalar and both probe-metric legs; s07/s09 (r19): the two k-row
+      // Lloyd centroid frames (multi-consumer — E-step broadcasts,
+      // shift join, s09's quantizer) and s07's per-vector movement
+      // frame (read by both the cid0 and cid1 rollups).
+      "operators/Similarity.scala"   -> 7,
       // t19's distinct (source, word) grid (sizes + self-join legs);
       // t20's vocabulary grid (four consumers, one build — the scaladoc
       // owns the loss-restarts-query trade).

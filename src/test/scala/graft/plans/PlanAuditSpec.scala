@@ -1082,6 +1082,8 @@ class PlanAuditSpec extends SparkSpec {
       "p08_token_budget"         -> "grid (k-source remainder frame)",
       "s16_ranking_metrics"      -> "grid (<= 10-row cut frames, own pin)",
       "p10_snapshot_drift"       -> "grid (9-row bin grid, own pin)",
+      "q31_agg_stats"            -> "scan-blocks (rankSelect, 128-unit price bands)",
+      "q40_agg_approx_quantile"  -> "scan-blocks (rankSelect, 128-unit price bands)",
       "q67_stratified_quantiles" -> "scan-blocks (rankSelect, unit-value bands)",
       "q99_histogram_equidepth"  -> "scan-blocks (bucketedRowNumber, 128-unit price bands)",
       "q116_winsorize"           -> "scan-blocks (rankSelect, 16-cent bands)",
@@ -1143,7 +1145,12 @@ class PlanAuditSpec extends SparkSpec {
       "d09_decontamination"        -> (1, 0),
       "d10_dedup_survivors"        -> (1, 0),
       "d11_dedup_editdistance"     -> (3, 0),
-      "d12_lsh_canopy_audit"       -> (3, 2),
+      // r19: the two sample-id semi-join broadcasts fell away when the
+      // sample restriction was pushed below the band join (the canopy
+      // now bands only the K-row sample); the remaining hash broadcast
+      // is the band join's build side, the two nested-loop crosses are
+      // the K² truth pair join and the 1-row n_docs scalar.
+      "d12_lsh_canopy_audit"       -> (1, 2),
       "d14_paragraph_dedup"        -> (1, 0),
       "d15_boilerplate_chunks"     -> (2, 0),
       "d17_semantic_exemplar_dedup" -> (1, 0),
@@ -1164,6 +1171,11 @@ class PlanAuditSpec extends SparkSpec {
       "q102_mom_change"            -> (1, 0),
       "q109_basket_lift"           -> (2, 1),
       "q112_pit_versioned_join"    -> (1, 0),
+      // q31/q40: the rankSelect boundary table + the k-row median frame
+      // joined back to the stats/sketch aggregate (both bounded by
+      // #flags × #target-ranks).
+      "q31_agg_stats"              -> (3, 0),
+      "q40_agg_approx_quantile"    -> (3, 0),
       "q116_winsorize"             -> (3, 0),
       "q117_pagerank"              -> (6, 0),
       "q120_mad_outliers"          -> (17, 0),
