@@ -333,6 +333,11 @@ object Dedup {
 
   private val d02 = Q(
     "d02_dedup_minhash_lsh",
+    // No pre-sort checkpoint (r19 probe): orderBy's range sampling does
+    // execute the verify subtree twice, but with the session's AQE
+    // coalesce floor keeping the intersect stage parallel the duplicate
+    // costs ~0.1 s wall here — the checkpoint measured flat-to-worse
+    // (2.3-2.7 s vs 2.15 s isolated).
     (s, d) =>
       lshPairs(s, d)
         .select(col("id1"), col("id2"), round(col("jacc"), 6).as("jaccard"))

@@ -1519,11 +1519,16 @@ object Similarity {
         .withColumn("diff", col("v") - col("cval"))
         .groupBy(col("vec_id"), col("m"), col("code"))
         .agg(round(sum(col("diff") * col("diff")), 9).as("d2"))
+      // n×M assignment rows read by BOTH the dims join and the
+      // dist_before rollup: checkpointed (r19), or each consumer re-runs
+      // the n×M×k distance expansion + argmin chain (the query's
+      // dominant cost) from scratch.
       val codes = dist
         .groupBy(col("vec_id"), col("m"))
         .agg(min(struct(col("d2"), col("code"))).as("best"))
         .select(col("vec_id"), col("m"),
           col("best.code").as("code"), col("best.d2").as("d2b"))
+        .localCheckpoint(true)
       val dims = corpus
         .join(codes.select(col("vec_id"), col("m"), col("code")),
           Seq("vec_id", "m"))

@@ -1702,6 +1702,11 @@ object TextAnalysis {
   private val t26 = Q(
     "t26_ccnet_buckets",
     (s, d) => {
+      // NOT checkpointed (r19 probe): the three consumers' re-expansions
+      // of the LM chain dedupe through exchange reuse already — an eager
+      // checkpoint here measured flat-to-worse (3.2/4.1 s vs 3.2 s
+      // isolated) because it serializes the chain's materialization
+      // before any consumer starts.
       val ce = bigramScored(s, d)
         .select(col("doc_id"), col("lang"),
           (round(col("ce_raw"), 4) + lit(0.0)).as("ce"))

@@ -54,8 +54,10 @@ class CheckpointCensusSpec extends AnyFunSuite {
       // scalar and both probe-metric legs; s07/s09 (r19): the two k-row
       // Lloyd centroid frames (multi-consumer — E-step broadcasts,
       // shift join, s09's quantizer) and s07's per-vector movement
-      // frame (read by both the cid0 and cid1 rollups).
-      "operators/Similarity.scala"   -> 7,
+      // frame (read by both the cid0 and cid1 rollups); s17 (r19): the
+      // n×M assignment frame (read by the dims join AND the
+      // dist_before rollup — each re-ran the n×M×k distance chain).
+      "operators/Similarity.scala"   -> 8,
       // t19's distinct (source, word) grid (sizes + self-join legs);
       // t20's vocabulary grid (four consumers, one build — the scaladoc
       // owns the loss-restarts-query trade).

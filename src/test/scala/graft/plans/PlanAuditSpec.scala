@@ -1203,9 +1203,15 @@ class PlanAuditSpec extends SparkSpec {
       "s03_ann_join"               -> (0, 1),
       "s04_ann_lsh"                -> (0, 1),
       "s06_kmeans_assign"          -> (0, 1),
-      "s07_kmeans_mstep"           -> (1, 5),
+      // s07/s09 (r19): the Lloyd centroid frames and s07's movement
+      // frame are eagerly checkpointed, so the E-step crossJoin
+      // broadcasts run at BUILD time and no longer appear in the final
+      // plan — s07's final plan is k-row joins only; s09 keeps its
+      // probed-cell hash broadcast plus the query/centroid crosses that
+      // consume the checkpointed quantizer.
+      "s07_kmeans_mstep"           -> (1, 0),
       "s08_ann_recall"             -> (4, 4),
-      "s09_ann_ivf_kmeans"         -> (1, 5),
+      "s09_ann_ivf_kmeans"         -> (1, 3),
       "s10_ann_rerank"             -> (0, 1),
       "s11_ann_pq_adc"             -> (4, 1),
       "s12_ann_nprobe_curve"       -> (12, 8),
@@ -1246,7 +1252,10 @@ class PlanAuditSpec extends SparkSpec {
       // M×k×16) into the distance join; the codebook subtree re-expands
       // under the codes and dims joins per the reused-subtree
       // convention, hence 3 prints.
-      "s17_pq_train"               -> (3, 0),
+      // s17 (r19): the assignment frame's checkpoint moves the
+      // codebook-broadcast distance chain to build time; the final plan
+      // keeps the dims-join broadcast only.
+      "s17_pq_train"               -> (1, 0),
       // t27: planner auto-broadcasts — the per-doc novelty join-back
       // and the two exclusivePrefixSum block-offset joins (block tables
       // are rows/4096-sized; AQE re-decides at scale, the d01 posture);
