@@ -1480,28 +1480,33 @@ object Streaming {
     * match is already in the right store) and is marked done, so no
     * match multiplicity ever amplifies the output, and unmatched rows
     * simply age out of the state store at watermark with no emission
-    * path at all. The sentinel rides both sides (equal user+timestamp,
-    * so it matches itself and flushes both stores at the end) and is
-    * dropped by the type tag at the sink.
+    * path at all. That last property is why — unlike its outer siblings
+    * q61/q82, whose null-padded rows emit only when the watermark
+    * passes the match window — q84 runs WITHOUT the sentinel: semi has
+    * no watermark-triggered emission path, so every output row leaves
+    * during a data batch and a final store flush proves nothing. (The
+    * r19 sentinel variant of this query paid one extra no-data
+    * microbatch for that flush — two more state-store commit stages per
+    * lifecycle, profiled at ~0.6 s wall at sf0.1 — for identical
+    * results; the oracle gate re-proved identity when it was dropped.)
     *
     * Scale posture: state per side bounded by watermark × interval, one
     * shuffle onto the join keys — q36's plan minus the output fan-out. */
   private val q84 = Q(
     "q84_stream_semi_join",
     (s, d) => {
-      val log = ensureLog(s, d, copies = 1, sentinel = true)
+      val log = ensureLog(s, d, copies = 1)
       val step = joinStep(s, d)
       def side(): DataFrame = joinSide(s, log, step)
       val purchases = parsed(side())
-        .filter(col("event_type").isin("purchase", "sentinel"))
+        .filter(col("event_type") === "purchase")
         .select(
           col("user_id").as("p_user"),
           col("event_id").as("purchase_id"),
-          col("ts").as("p_ts"),
-          col("event_type").as("p_type"))
+          col("ts").as("p_ts"))
         .withWatermark("p_ts", "1 hour")
       val clicks = parsed(side())
-        .filter(col("event_type").isin("click", "sentinel"))
+        .filter(col("event_type") === "click")
         .select(
           col("user_id").as("c_user"),
           col("event_id").as("click_id"),
@@ -1514,7 +1519,6 @@ object Streaming {
           col("c_ts") <= col("p_ts"),
         "leftSemi")
       runToMemory(s, joined, "append")
-        .filter(col("p_type") === "purchase")
         .select(col("purchase_id"), col("p_user").as("user_id"))
         .orderBy(col("purchase_id"))
     },
